@@ -1,0 +1,174 @@
+"""Loci partitioning: assign loci to shards (tasks/devices).
+
+Host-side replacements for the reference's Spark partitioners:
+ - uniform split (cf. /root/reference .../DistributedUtil.scala:83-108)
+ - depth-balanced split via micro-partition read counting
+   (cf. DistributedUtil.scala:162-251), with the Spark counting job replaced
+   by a vectorized numpy histogram over read intervals.
+
+The result is a LociMap[int]: locus -> shard id. On TPU, each shard's loci
+become fixed-shape tiles processed by one device; boundary reads are
+duplicated into adjacent shards on host (halo duplication), so no device
+halo exchange is required.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from guacamole_tpu.loci.locimap import LociMap, LociMapBuilder
+from guacamole_tpu.loci.lociset import LociSet
+from guacamole_tpu.utils.progress import progress
+
+
+def partition_loci_uniformly(tasks: int, loci: LociSet) -> LociMap:
+    """Split loci into `tasks` contiguous chunks of (approximately) equal
+    loci count. Exact-output parity with the reference algorithm, including
+    its rounding behavior (DistributedUtil.scala:83-108)."""
+    assert tasks >= 1, "`tasks` (--parallelism) should be >= 1"
+    loci_per_task = max(1.0, loci.count / tasks)
+    builder = LociMapBuilder()
+    loci_assigned = 0
+    task = 0
+
+    def remaining_for_this_task() -> int:
+        # Scala math.round: floor(x + 0.5) for positive x.
+        return int(np.floor((task + 1) * loci_per_task - loci_assigned + 0.5))
+
+    for contig in loci.contigs:
+        for start, end in loci.on_contig(contig).ranges:
+            while start < end:
+                length = min(remaining_for_this_task(), end - start)
+                if length > 0:
+                    builder.put(contig, start, start + length, task)
+                    start += length
+                    loci_assigned += length
+                if remaining_for_this_task() == 0:
+                    task += 1
+    result = builder.result()
+    assert result.count == loci.count
+    return result
+
+
+def count_regions_per_micro_partition(
+    micro_partitions: LociMap, region_sets: Sequence, num_micro: int
+) -> np.ndarray:
+    """For each micro partition, count regions (reads) overlapping it.
+
+    A region spanning several micro partitions counts once in each — the same
+    semantics as the reference's flatMap(getAll).countByValue
+    (DistributedUtil.scala:181-191) — computed here with searchsorted over
+    the interval arrays instead of a Spark job.
+    """
+    counts = np.zeros(num_micro, dtype=np.int64)
+    for regions in region_sets:
+        by_contig: Dict[str, List] = {}
+        for region in regions:
+            by_contig.setdefault(region.reference_contig, []).append(region)
+        for contig, contig_regions in by_contig.items():
+            cmap = micro_partitions.on_contig(contig)
+            if cmap.is_empty:
+                continue
+            starts = np.fromiter(
+                (r.start for r in contig_regions), dtype=np.int64
+            )
+            ends = np.fromiter((r.end for r in contig_regions), dtype=np.int64)
+            # interval index range [lo, hi) overlapping each region
+            los = np.searchsorted(cmap.ends, starts, side="right")
+            his = np.searchsorted(cmap.starts, ends, side="left")
+            values = np.asarray(cmap.values, dtype=np.int64)
+            for lo, hi in zip(los.tolist(), his.tolist()):
+                if hi > lo:
+                    # distinct micro partitions overlapped by this region
+                    counts[np.unique(values[lo:hi])] += 1
+    return counts
+
+
+def partition_loci_by_approximate_depth(
+    tasks: int, loci: LociSet, accuracy: int, *region_sets
+) -> LociMap:
+    """Assign loci to tasks so each task overlaps about the same number of
+    regions, via uniform micro-partitioning + greedy equalizing assignment
+    (DistributedUtil.scala:162-251)."""
+    assert tasks >= 1
+    assert loci.count > 0
+    assert len(region_sets) > 0
+    num_micro = int(min(accuracy * tasks, loci.count))
+    micro_partitions = partition_loci_uniformly(num_micro, loci)
+    counts = count_regions_per_micro_partition(
+        micro_partitions, region_sets, num_micro
+    )
+
+    total_regions = int(counts.sum())
+    regions_per_task = max(1.0, total_regions / tasks)
+    inverse = micro_partitions.inverse_map()
+
+    builder = LociMapBuilder()
+    regions_assigned = 0.0
+    task = 0
+
+    def regions_remaining_for_this_task() -> int:
+        return int(np.floor((task + 1) * regions_per_task - regions_assigned + 0.5))
+
+    for micro_task in range(num_micro):
+        loci_set = inverse.get(micro_task, LociSet.empty())
+        regions_in_set = int(counts[micro_task])
+        while not loci_set.is_empty:
+            if regions_in_set == 0:
+                builder.put_loci_set(loci_set, task)
+                loci_set = LociSet.empty()
+            else:
+                if regions_remaining_for_this_task() == 0:
+                    task += 1
+                assert regions_remaining_for_this_task() > 0
+                assert task < tasks
+                fraction_to_take = min(
+                    1.0, regions_remaining_for_this_task() / regions_in_set
+                )
+                loci_to_take = max(1, int(fraction_to_take * loci_set.count))
+                regions_to_take = int(fraction_to_take * regions_in_set)
+                current_set, remaining_set = loci_set.take(loci_to_take)
+                builder.put_loci_set(current_set, task)
+                regions_assigned += regions_to_take
+                regions_in_set -= regions_to_take
+                loci_set = remaining_set
+    result = builder.result()
+    assert result.count == loci.count
+    return result
+
+
+def partition_loci_from_args(
+    parallelism: int,
+    partition_accuracy: int,
+    loci: LociSet,
+    *region_sets,
+    default_parallelism: int = 1,
+) -> LociMap:
+    """Dispatch on CLI args, mirroring partitionLociAccordingToArgs
+    (DistributedUtil.scala:55-69)."""
+    tasks = parallelism if parallelism > 0 else default_parallelism
+    if partition_accuracy == 0:
+        return partition_loci_uniformly(tasks, loci)
+    return partition_loci_by_approximate_depth(
+        tasks, loci, partition_accuracy, *region_sets
+    )
+
+
+def filter_loci_whose_contigs_have_no_regions(loci: LociSet, regions) -> LociSet:
+    """Drop contigs with no overlapping regions
+    (DistributedUtil.scala:114-127)."""
+    contigs_in_set = set(loci.contigs)
+    counts: Dict[str, int] = {c: 0 for c in contigs_in_set}
+    for region in regions:
+        if region.reference_contig in contigs_in_set:
+            counts[region.reference_contig] += 1
+    without = {c for c, n in counts.items() if n == 0}
+    if without:
+        progress(
+            "Filtering out contigs with no overlapping regions: %s"
+            % ", ".join(sorted(without))
+        )
+        return loci.filter_contigs(lambda c: c not in without)
+    return loci
