@@ -67,6 +67,8 @@ class SingleContigMap(Generic[T]):
 
     def get_all_indices(self, start: int, end: int) -> Tuple[int, int]:
         """Range [lo, hi) of interval indices overlapping [start, end)."""
+        if end <= start:
+            return 0, 0
         lo = int(np.searchsorted(self.ends, start, side="right"))
         hi = int(np.searchsorted(self.starts, end, side="left"))
         return lo, hi
