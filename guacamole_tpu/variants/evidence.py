@@ -1,0 +1,84 @@
+"""AlleleEvidence: per-sample read statistics supporting a called allele.
+
+(cf. /root/reference .../variants/AlleleEvidence.scala:41-102)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List
+
+from guacamole_tpu.utils.phred import success_probability_to_phred
+
+
+def _median(values: List[float]) -> float:
+    n = len(values)
+    if n == 0:
+        return float("nan")
+    s = sorted(values)
+    if n % 2 == 1:
+        return float(s[n // 2])
+    return 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def _mean(values: List[float]) -> float:
+    if not values:
+        return float("nan")
+    return sum(values) / len(values)
+
+
+@dataclass(frozen=True)
+class AlleleEvidence:
+    """Pileup/read statistics in support of a given allele.
+
+    likelihood: probability of the genotype
+    read_depth / allele_read_depth: total reads / reads carrying the allele
+    forward_depth / allele_forward_depth: same restricted to forward strand
+    mean/median MAPQ & base quality over allele-supporting elements,
+    median mismatch count of allele-supporting reads.
+    """
+
+    likelihood: float
+    read_depth: int
+    allele_read_depth: int
+    forward_depth: int
+    allele_forward_depth: int
+    mean_mapping_quality: float
+    median_mapping_quality: float
+    mean_base_quality: float
+    median_base_quality: float
+    median_mismatches_per_read: float
+
+    @property
+    def phred_scaled_likelihood(self) -> int:
+        # subtract a small delta to prevent p = 1 (AlleleEvidence.scala:52)
+        return success_probability_to_phred(self.likelihood - 1e-10)
+
+    @property
+    def variant_allele_frequency(self) -> float:
+        return self.allele_read_depth / self.read_depth
+
+    @staticmethod
+    def from_pileup(likelihood: float, allele, pileup) -> "AlleleEvidence":
+        allele_read_depth, allele_forward_depth = (
+            pileup.allele_read_depth_and_positive_depth(allele)
+        )
+        allele_elements = [e for e in pileup.elements if e.allele == allele]
+        mapqs = [float(e.read.alignment_quality) for e in allele_elements]
+        quals = [float(e.quality_score) for e in allele_elements]
+        mismatches = [
+            float(e.read.mdtag.count_of_mismatches) for e in allele_elements
+        ]
+        return AlleleEvidence(
+            likelihood=likelihood,
+            read_depth=pileup.depth,
+            allele_read_depth=allele_read_depth,
+            forward_depth=pileup.positive_depth,
+            allele_forward_depth=allele_forward_depth,
+            mean_mapping_quality=_mean(mapqs),
+            median_mapping_quality=_median(mapqs),
+            mean_base_quality=_mean(quals),
+            median_base_quality=_median(quals),
+            median_mismatches_per_read=_median(mismatches),
+        )
