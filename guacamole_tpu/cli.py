@@ -1,0 +1,285 @@
+"""Command-line interface: the `guacamole` driver.
+
+Subcommand registry and flag surface mirror the reference CLI
+(cf. /root/reference .../Guacamole.scala:37-77 and the per-command args4j
+argument traits), dispatching into the TPU-native callers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from guacamole_tpu import __version__
+from guacamole_tpu.utils.progress import DelayedMessages, progress
+
+
+def _add_base_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--debug", action="store_true", help="Print debug output")
+
+
+def _add_loci_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--loci",
+        default="",
+        help="Loci at which to call variants. Either 'all' or "
+        "contig:start-end,contig:start-end,...",
+    )
+    p.add_argument(
+        "--loci-from-file",
+        default="",
+        help="Path to file giving loci at which to call variants.",
+    )
+
+
+def _add_reads_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--reads", required=True, help="Aligned reads (BAM/SAM)")
+    _add_read_loading_args(p)
+
+
+def _add_tumor_normal_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--tumor-reads", required=True, help="Aligned tumor reads")
+    p.add_argument("--normal-reads", required=True, help="Aligned normal reads")
+    _add_read_loading_args(p)
+
+
+def _add_read_loading_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--no-sequence-dictionary",
+        action="store_true",
+        help="Get contigs and lengths from reads, not the sequence dictionary",
+    )
+    p.add_argument(
+        "--recompute-md-tags",
+        action="store_true",
+        help="Recompute MD tags from the reference fasta",
+    )
+
+
+def _add_output_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--out",
+        default="",
+        help="Variant output path (.vcf or .json). Default: print to stdout.",
+    )
+    p.add_argument(
+        "--max-genotypes",
+        type=int,
+        default=0,
+        help="Maximum number of genotypes to output (0 = all)",
+    )
+
+
+def _add_distributed_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--parallelism",
+        type=int,
+        default=0,
+        help="Number of variant-calling shards (0 = number of devices)",
+    )
+    p.add_argument(
+        "--partition-accuracy",
+        type=int,
+        default=250,
+        help="Micro-partitions per task for depth-balanced loci partitioning "
+        "(0 = partition uniformly)",
+    )
+    p.add_argument(
+        "--tile-size",
+        type=int,
+        default=4096,
+        help="Loci per device tile",
+    )
+
+
+def _default_parallelism() -> int:
+    try:
+        import jax
+
+        return max(1, len(jax.devices()))
+    except Exception:
+        return 1
+
+
+def _partition(args, loci_set, *read_lists):
+    from guacamole_tpu.loci.partition import partition_loci_from_args
+
+    return partition_loci_from_args(
+        args.parallelism,
+        args.partition_accuracy,
+        loci_set,
+        *read_lists,
+        default_parallelism=_default_parallelism(),
+    )
+
+
+def cmd_germline_threshold(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="guacamole germline-threshold",
+        description="call variants by thresholding read counts (toy example)",
+    )
+    _add_base_args(p)
+    _add_loci_args(p)
+    _add_reads_args(p)
+    _add_output_args(p)
+    _add_distributed_args(p)
+    p.add_argument(
+        "--threshold",
+        type=int,
+        default=8,
+        metavar="X",
+        help="Make a call if at least X%% of reads support it. Default: 8",
+    )
+    p.add_argument(
+        "--emit-ref", action="store_true", help="Output homozygous reference calls"
+    )
+    p.add_argument(
+        "--emit-no-call", action="store_true", help="Output no-call calls"
+    )
+    p.add_argument("--reference-fasta", default=None, help="Reference FASTA")
+    args = p.parse_args(argv)
+
+    from guacamole_tpu.callers.common import (
+        resolve_loci_builder,
+        validate_output_path,
+        write_variants,
+    )
+    from guacamole_tpu.callers.germline_threshold import call_variants
+    from guacamole_tpu.gio.fasta import ReferenceGenome
+    from guacamole_tpu.gio.load import load_read_set
+    from guacamole_tpu.reads.read import InputFilters
+
+    validate_output_path(args.out)
+    loci_builder = resolve_loci_builder(args.loci, args.loci_from_file)
+    reference = (
+        ReferenceGenome.from_fasta(args.reference_fasta)
+        if args.reference_fasta
+        else None
+    )
+    filters = InputFilters.create(
+        overlaps_loci=loci_builder, non_duplicate=True, has_mdtag=True
+    )
+    read_set = load_read_set(
+        args.reads,
+        filters,
+        contig_lengths_from_dictionary=not args.no_sequence_dictionary,
+        reference_genome=reference,
+        recompute_mdtags=args.recompute_md_tags,
+    )
+    reads = read_set.mapped_reads
+    progress(
+        "Loaded %d mapped non-duplicate MdTag-containing reads." % len(reads)
+    )
+    loci_set = loci_builder.result(read_set.contig_lengths)
+    loci_partitions = _partition(args, loci_set, reads)
+    calls = call_variants(
+        reads,
+        loci_partitions,
+        threshold_percent=args.threshold,
+        emit_ref=args.emit_ref,
+        emit_no_call=args.emit_no_call,
+        tile_size=args.tile_size,
+        reference_genome=reference,
+    )
+    progress("Called %d genotypes." % len(calls))
+    write_variants(
+        [c.to_vcf_record() for c in calls],
+        args.out,
+        contig_lengths=read_set.contig_lengths,
+        max_genotypes=args.max_genotypes,
+    )
+    DelayedMessages.default.print()
+    return 0
+
+
+def cmd_germline_standard(argv: List[str]) -> int:
+    from guacamole_tpu.callers.germline_standard import main as standard_main
+
+    return standard_main(argv, _add_fns=ARG_HELPERS)
+
+
+def cmd_somatic_standard(argv: List[str]) -> int:
+    from guacamole_tpu.callers.somatic_standard import main as somatic_main
+
+    return somatic_main(argv, _add_fns=ARG_HELPERS)
+
+
+def cmd_variant_support(argv: List[str]) -> int:
+    from guacamole_tpu.callers.variant_support import main as vs_main
+
+    return vs_main(argv, _add_fns=ARG_HELPERS)
+
+
+def cmd_vaf_histogram(argv: List[str]) -> int:
+    from guacamole_tpu.callers.vaf_histogram import main as vaf_main
+
+    return vaf_main(argv, _add_fns=ARG_HELPERS)
+
+
+def cmd_structural_variant(argv: List[str]) -> int:
+    from guacamole_tpu.callers.structural_variant import main as sv_main
+
+    return sv_main(argv, _add_fns=ARG_HELPERS)
+
+
+ARG_HELPERS = {
+    "base": _add_base_args,
+    "loci": _add_loci_args,
+    "reads": _add_reads_args,
+    "tumor_normal": _add_tumor_normal_args,
+    "output": _add_output_args,
+    "distributed": _add_distributed_args,
+    "partition": _partition,
+    "default_parallelism": _default_parallelism,
+}
+
+COMMANDS = {
+    "germline-threshold": (
+        cmd_germline_threshold,
+        "call variants by thresholding read counts (toy example)",
+    ),
+    "germline-standard": (
+        cmd_germline_standard,
+        "call variants using a simple quality-based probability",
+    ),
+    "somatic-standard": (
+        cmd_somatic_standard,
+        "call somatic variants using independent callers on tumor and normal",
+    ),
+    "variant-support": (
+        cmd_variant_support,
+        "Find number of reads that support each variant across BAMs",
+    ),
+    "vaf-histogram": (
+        cmd_vaf_histogram,
+        "Compute and cluster the variant allele frequencies",
+    ),
+    "structural-variant": (
+        cmd_structural_variant,
+        "Find structural variants, e.g. large deletions",
+    ),
+}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    from guacamole_tpu.platform import configure_platform
+
+    configure_platform()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(f"guacamole-tpu {__version__}: TPU-native variant caller.")
+        print("Usage: guacamole <command> [args]\n\nCommands:")
+        for name, (_, description) in COMMANDS.items():
+            print(f"  {name:20s} {description}")
+        return 0 if argv else 1
+    command = argv[0]
+    if command not in COMMANDS:
+        print(f"Unknown command: {command}", file=sys.stderr)
+        print(f"Valid commands: {', '.join(COMMANDS)}", file=sys.stderr)
+        return 1
+    return COMMANDS[command][0](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,126 @@
+"""Device kernels over packed locus tiles (JAX/XLA).
+
+These are the per-locus compute primitives of every caller, vectorized over
+whole tiles of loci at once instead of per-locus objects:
+
+ - allele/strand counting (germline-threshold, evidence stats, VAF)
+ - per-element correctness probabilities from base/mapping qualities
+ - diploid genotype log-likelihoods over all allele pairs (germline-standard
+   and somatic screening; cf. the per-locus math at /root/reference
+   .../likelihood/Likelihood.scala:149-201 — here one fused computation for
+   L loci x D depth x P genotype pairs)
+
+All kernels take fixed-shape arrays ([L, D] with -1/False padding) so XLA
+compiles each (L, D, K) bucket once. f32 on device; exact f64 confirmation
+for emitted calls happens host-side at candidate loci only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LOG2 = float(np.log(2.0))
+
+
+@functools.lru_cache(maxsize=None)
+def genotype_pairs(max_alleles: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Unordered diploid genotype index pairs (i <= j) over K alleles, in
+    the same enumeration order as the reference (i outer, j inner)."""
+    pairs = [
+        (i, j)
+        for i in range(max_alleles)
+        for j in range(i, max_alleles)
+    ]
+    i_idx = np.array([p[0] for p in pairs], dtype=np.int32)
+    j_idx = np.array([p[1] for p in pairs], dtype=np.int32)
+    return i_idx, j_idx
+
+
+def phred_to_success(phred: jnp.ndarray) -> jnp.ndarray:
+    return 1.0 - jnp.power(10.0, phred.astype(jnp.float32) / -10.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_alleles",))
+def allele_counts(
+    allele_id: jnp.ndarray,  # [L, D] int
+    strand: jnp.ndarray,  # [L, D] bool
+    valid: jnp.ndarray,  # [L, D] bool
+    max_alleles: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-locus allele counts and forward-strand counts: [L, K] int32."""
+    one_hot = (
+        (allele_id[:, :, None] == jnp.arange(max_alleles, dtype=allele_id.dtype))
+        & valid[:, :, None]
+    )
+    counts = jnp.sum(one_hot, axis=1, dtype=jnp.int32)
+    fwd = jnp.sum(one_hot & strand[:, :, None], axis=1, dtype=jnp.int32)
+    return counts, fwd
+
+
+@functools.partial(jax.jit, static_argnames=("include_alignment",))
+def probability_correct(
+    qual: jnp.ndarray,  # [L, D] int
+    mapq: jnp.ndarray,  # [L, D] int
+    valid: jnp.ndarray,  # [L, D] bool
+    include_alignment: bool = False,
+) -> jnp.ndarray:
+    """P(sequenced bases correct) per element, 0 outside valid slots."""
+    pc = phred_to_success(qual)
+    if include_alignment:
+        pc = pc * phred_to_success(mapq)
+    return jnp.where(valid, pc, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_alleles",))
+def genotype_log_likelihoods(
+    allele_id: jnp.ndarray,  # [L, D] int
+    pc: jnp.ndarray,  # [L, D] f32 probability-correct
+    valid: jnp.ndarray,  # [L, D] bool
+    max_alleles: int,
+) -> jnp.ndarray:
+    """log L(g) for all K(K+1)/2 diploid genotypes per locus: [L, P] f32.
+
+    log L(i,j) = sum_d log(p(i,d) + p(j,d)) - depth * log 2
+    with p(a,d) = pc(d) if element d carries allele a else 1 - pc(d).
+    """
+    i_idx, j_idx = genotype_pairs(max_alleles)
+    i_idx = jnp.asarray(i_idx)
+    j_idx = jnp.asarray(j_idx)
+    # [L, D, K]: per-element probability under each allele hypothesis
+    k_range = jnp.arange(max_alleles, dtype=allele_id.dtype)
+    matches = allele_id[:, :, None] == k_range  # [L, D, K]
+    p = jnp.where(matches, pc[:, :, None], 1.0 - pc[:, :, None])
+    # [L, D, P] pair sums -> log -> masked sum over depth
+    pair_sum = p[:, :, i_idx] + p[:, :, j_idx]
+    log_terms = jnp.where(valid[:, :, None], jnp.log(pair_sum), 0.0)
+    depth = jnp.sum(valid, axis=1, dtype=jnp.float32)  # [L]
+    return jnp.sum(log_terms, axis=1) - depth[:, None] * LOG2
+
+
+class TileStats(NamedTuple):
+    counts: jnp.ndarray  # [L, K] allele counts
+    forward_counts: jnp.ndarray  # [L, K]
+    depth: jnp.ndarray  # [L] valid-slot depth
+    forward_depth: jnp.ndarray  # [L]
+    variant_evidence: jnp.ndarray  # [L] bool: any variant-allele element
+
+
+@functools.partial(jax.jit, static_argnames=("max_alleles",))
+def tile_stats(
+    allele_id: jnp.ndarray,
+    strand: jnp.ndarray,
+    valid: jnp.ndarray,
+    is_variant: jnp.ndarray,  # [L, K] bool
+    max_alleles: int,
+) -> TileStats:
+    """Fused counting + candidate screening for one tile."""
+    counts, fwd = allele_counts(allele_id, strand, valid, max_alleles)
+    depth = jnp.sum(valid, axis=1, dtype=jnp.int32)
+    forward_depth = jnp.sum(valid & strand, axis=1, dtype=jnp.int32)
+    variant_evidence = jnp.any((counts > 0) & is_variant, axis=1)
+    return TileStats(counts, fwd, depth, forward_depth, variant_evidence)

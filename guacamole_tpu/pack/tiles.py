@@ -1,0 +1,316 @@
+"""Locus-tile packing: reads -> fixed-shape pileup tensors.
+
+This layer replaces Pileup/PileupElement objects on the compute path.
+For a tile of L loci the packer emits dense [L, D] arrays (D = padded max
+depth, bucketed to powers of two so XLA sees few distinct shapes):
+
+  allele_id[L, D]  per-element id into the per-locus allele dictionary
+  qual[L, D]       element phred quality (insertion-min / deletion-anchor /
+                   MAPQ rules already applied)
+  mapq[L, D]       read mapping quality
+  strand[L, D]     positive strand?
+  mismatches[L,D]  read-level MD mismatch count
+  valid[L, D]      slot occupied?
+
+plus per-locus metadata: resolved reference base, true depth, sorted allele
+dictionaries (host-side), variant flags, and overflow markers for loci whose
+distinct-allele count exceeds K (handled exactly on host; the multi-allelic
+filter caps K in practice, cf. /root/reference .../PileupFilter.scala:29-44).
+
+Elements appear in read-sorted order per locus — the same order the
+reference's shuffle+sort delivers reads to pileups — so per-locus statistics
+and tie-breaks are reproducible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from guacamole_tpu.pack.events import EventKind, event_allele, read_pileup_events
+from guacamole_tpu.reads.read import MappedRead
+from guacamole_tpu.utils import bases as Bases
+from guacamole_tpu.variants.allele import Allele
+
+DEFAULT_MAX_ALLELES = 8
+
+
+def _pad_depth(depth: int) -> int:
+    """Bucket depths to powers of four (>=8) so a whole run sees only a
+    couple of distinct XLA shapes."""
+    d = 8
+    while d < depth:
+        d *= 4
+    return d
+
+
+@dataclass
+class LocusTile:
+    """Fixed-shape pileup tensors for a tile of loci on one contig."""
+
+    contig: str
+    loci: np.ndarray  # [L] int64 absolute loci (sorted, may be sparse)
+    ref_base: np.ndarray  # [L] uint8 resolved reference base
+    depth: np.ndarray  # [L] int32 true depth (may exceed D on overflow)
+    allele_id: np.ndarray  # [L, D] int16, -1 = empty slot
+    qual: np.ndarray  # [L, D] int16
+    mapq: np.ndarray  # [L, D] int16
+    strand: np.ndarray  # [L, D] bool
+    mismatches: np.ndarray  # [L, D] int16
+    edge_distance: np.ndarray  # [L, D] int32 distance from sequencing end
+    valid: np.ndarray  # [L, D] bool
+    alleles: List[List[Allele]]  # per-locus sorted allele dictionary
+    is_variant: np.ndarray  # [L, K] bool
+    is_standard_alt: np.ndarray  # [L, K] bool (alt all standard bases)
+    num_alleles: np.ndarray  # [L] int16
+    overflow: np.ndarray  # [L] bool: > K distinct alleles at this locus
+
+    @property
+    def L(self) -> int:
+        return len(self.loci)
+
+    @property
+    def D(self) -> int:
+        return self.allele_id.shape[1]
+
+    @property
+    def K(self) -> int:
+        return self.is_variant.shape[1]
+
+
+def pack_tile(
+    reads: Sequence[MappedRead],
+    contig: str,
+    loci: Sequence[int],
+    max_alleles: int = DEFAULT_MAX_ALLELES,
+    reference_genome=None,
+    depth_pad: Optional[int] = None,
+) -> LocusTile:
+    """Pack sorted reads into a LocusTile over the given loci.
+
+    reads must be sorted by start; only reads overlapping the tile loci
+    contribute. The reference base per locus comes from `reference_genome`
+    when given, else the first read (in order) whose MD-reconstructed base is
+    a standard base (parity with Pileup.referenceBaseAtLocus).
+    """
+    loci_arr = np.asarray(sorted(loci), dtype=np.int64)
+    L = len(loci_arr)
+    K = max_alleles
+
+    # Collect per-locus element lists: (events, locus) in read order.
+    per_locus_events: List[List] = [[] for _ in range(L)]
+    if L > 0:
+        lo_bound = int(loci_arr[0])
+        hi_bound = int(loci_arr[-1])
+        for read in reads:
+            if read.reference_contig != contig:
+                continue
+            if read.end <= lo_bound or read.start > hi_bound:
+                continue
+            if read.cigar.read_length != len(read.sequence):
+                # Structurally inconsistent record (CIGAR consumes a
+                # different number of read bases than SEQ provides); such
+                # reads cannot be classified and are dropped defensively.
+                continue
+            events = read_pileup_events(read)
+            # indices of tile loci covered by this read
+            lo = int(np.searchsorted(loci_arr, read.start, side="left"))
+            hi = int(np.searchsorted(loci_arr, read.end, side="left"))
+            for li in range(lo, hi):
+                per_locus_events[li].append(events)
+
+    # Resolve reference bases.
+    ref_base = np.full(L, Bases.N, dtype=np.uint8)
+    for li in range(L):
+        locus = int(loci_arr[li])
+        if reference_genome is not None:
+            ref_base[li] = reference_genome.get_reference_base(contig, locus)
+            continue
+        for events in per_locus_events[li]:
+            base = events.md_ref[locus - events.start]
+            if Bases.IS_STANDARD_TABLE[base]:
+                ref_base[li] = base
+                break
+
+    max_depth = max((len(e) for e in per_locus_events), default=0)
+    D = depth_pad if depth_pad is not None else _pad_depth(max(max_depth, 1))
+
+    allele_id = np.full((L, D), -1, dtype=np.int16)
+    qual = np.zeros((L, D), dtype=np.int16)
+    mapq = np.zeros((L, D), dtype=np.int16)
+    strand = np.zeros((L, D), dtype=bool)
+    mismatches = np.zeros((L, D), dtype=np.int16)
+    edge_distance = np.zeros((L, D), dtype=np.int32)
+    valid = np.zeros((L, D), dtype=bool)
+    depth = np.zeros(L, dtype=np.int32)
+    is_variant = np.zeros((L, K), dtype=bool)
+    is_standard_alt = np.zeros((L, K), dtype=bool)
+    num_alleles = np.zeros(L, dtype=np.int16)
+    overflow = np.zeros(L, dtype=bool)
+    allele_tables: List[List[Allele]] = []
+
+    for li in range(L):
+        locus = int(loci_arr[li])
+        events_here = per_locus_events[li]
+        depth[li] = len(events_here)
+        rb = int(ref_base[li])
+        # First pass: element alleles in read order.
+        element_alleles = [event_allele(ev, locus, rb) for ev in events_here]
+        distinct = sorted(set(element_alleles))
+        if len(distinct) > K:
+            overflow[li] = True
+            allele_tables.append(
+                [Allele(r, a) for r, a in distinct]
+            )
+            # Still pack the first D elements with capped dictionary ids so
+            # screening kernels see the locus; exact handling is host-side.
+            distinct = distinct[:K]
+        else:
+            allele_tables.append([Allele(r, a) for r, a in distinct])
+        index = {pair: i for i, pair in enumerate(distinct)}
+        num_alleles[li] = len(distinct)
+        for k, (r, a) in enumerate(distinct):
+            is_variant[li, k] = r != a
+            is_standard_alt[li, k] = all(Bases.IS_STANDARD_TABLE[b] for b in a)
+        for slot, (ev, pair) in enumerate(zip(events_here, element_alleles)):
+            if slot >= D:
+                overflow[li] = True
+                break
+            aid = index.get(pair)
+            if aid is None:
+                continue  # beyond capped dictionary
+            i = locus - ev.start
+            allele_id[li, slot] = aid
+            qual[li, slot] = ev.quals[i]
+            mapq[li, slot] = ev.read.alignment_quality
+            strand[li, slot] = ev.read.is_positive_strand
+            mismatches[li, slot] = (
+                ev.read.mdtag.count_of_mismatches if ev.read.mdtag else 0
+            )
+            if ev.read.is_positive_strand:
+                edge_distance[li, slot] = ev.read.end - locus
+            else:
+                edge_distance[li, slot] = locus - ev.read.start
+            valid[li, slot] = True
+
+    return LocusTile(
+        contig=contig,
+        loci=loci_arr,
+        ref_base=ref_base,
+        depth=depth,
+        allele_id=allele_id,
+        qual=qual,
+        mapq=mapq,
+        strand=strand,
+        mismatches=mismatches,
+        edge_distance=edge_distance,
+        valid=valid,
+        alleles=allele_tables,
+        is_variant=is_variant,
+        is_standard_alt=is_standard_alt,
+        num_alleles=num_alleles,
+        overflow=overflow,
+    )
+
+
+def pack_tiles(
+    reads: Sequence[MappedRead],
+    contig: str,
+    loci,
+    tile_size: int = 2048,
+    max_alleles: int = DEFAULT_MAX_ALLELES,
+    reference_genome=None,
+    skip_empty: bool = True,
+    use_fast: bool = True,
+    pad_to_tile_size: bool = True,
+) -> List[LocusTile]:
+    """Pack a contig's loci (a SingleContigSet or iterable of ints) into
+    tiles of at most tile_size loci.
+
+    With skip_empty (the common-caller default), loci not covered by any
+    read are dropped before tiling, so tiles stay dense over covered regions
+    (the analog of skipEmpty fast-forwarding in SlidingWindow.scala:149-187).
+    """
+    if hasattr(loci, "ranges"):
+        all_loci = np.concatenate(
+            [np.arange(s, e, dtype=np.int64) for s, e in loci.ranges]
+        ) if not loci.is_empty else np.empty(0, dtype=np.int64)
+    else:
+        all_loci = np.asarray(sorted(loci), dtype=np.int64)
+
+    contig_reads = [r for r in reads if r.reference_contig == contig]
+
+    if skip_empty and len(all_loci) and contig_reads:
+        starts = np.fromiter((r.start for r in contig_reads), dtype=np.int64)
+        ends = np.fromiter((r.end for r in contig_reads), dtype=np.int64)
+        # coverage mask over candidate loci via interval difference counting
+        order = np.argsort(starts, kind="stable")
+        starts, ends = starts[order], ends[order]
+        boundaries = np.zeros(len(all_loci) + 1, dtype=np.int64)
+        lo = np.searchsorted(all_loci, starts, side="left")
+        hi = np.searchsorted(all_loci, ends, side="left")
+        np.add.at(boundaries, lo, 1)
+        np.add.at(boundaries, hi, -1)
+        covered = np.cumsum(boundaries[:-1]) > 0
+        all_loci = all_loci[covered]
+    elif skip_empty and not contig_reads:
+        all_loci = np.empty(0, dtype=np.int64)
+
+    from guacamole_tpu.pack.fast import pack_tile_fast
+
+    packer = pack_tile_fast if use_fast else pack_tile
+    tiles = []
+    for i in range(0, len(all_loci), tile_size):
+        tile = packer(
+            contig_reads,
+            contig,
+            all_loci[i : i + tile_size],
+            max_alleles=max_alleles,
+            reference_genome=reference_genome,
+        )
+        if pad_to_tile_size and tile.L < tile_size:
+            tile = pad_tile_loci(tile, tile_size)
+        tiles.append(tile)
+    return tiles
+
+
+def pad_tile_loci(tile: LocusTile, target_l: int) -> LocusTile:
+    """Pad a tile's locus axis to target_l with sentinel rows (locus -1,
+    depth 0, all slots invalid) so every tile in a run has the same [L, D]
+    shape per depth bucket — keeping the number of distinct XLA compilations
+    small and fixed."""
+    import dataclasses
+
+    pad = target_l - tile.L
+    if pad <= 0:
+        return tile
+
+    def pad2(a):
+        return np.concatenate(
+            [a, np.zeros((pad,) + a.shape[1:], dtype=a.dtype)], axis=0
+        )
+
+    loci = np.concatenate([tile.loci, np.full(pad, -1, dtype=np.int64)])
+    allele_id = np.concatenate(
+        [tile.allele_id, np.full((pad, tile.D), -1, dtype=tile.allele_id.dtype)]
+    )
+    return dataclasses.replace(
+        tile,
+        loci=loci,
+        ref_base=pad2(tile.ref_base),
+        depth=pad2(tile.depth),
+        allele_id=allele_id,
+        qual=pad2(tile.qual),
+        mapq=pad2(tile.mapq),
+        strand=pad2(tile.strand),
+        mismatches=pad2(tile.mismatches),
+        edge_distance=pad2(tile.edge_distance),
+        valid=pad2(tile.valid),
+        alleles=tile.alleles + [[] for _ in range(pad)],
+        is_variant=pad2(tile.is_variant),
+        is_standard_alt=pad2(tile.is_standard_alt),
+        num_alleles=pad2(tile.num_alleles),
+        overflow=pad2(tile.overflow),
+    )

@@ -1,0 +1,40 @@
+"""JAX platform selection.
+
+The deployment environment may pin JAX to the TPU backend at interpreter
+startup (sitecustomize), overriding the JAX_PLATFORMS environment variable.
+configure_platform() re-applies the user's choice before any backend is
+initialized, so `JAX_PLATFORMS=cpu guacamole ...` behaves as expected.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def configure_platform(platform: Optional[str] = None) -> None:
+    """Apply the requested JAX platform (or the JAX_PLATFORMS env var).
+
+    Must run before any JAX backend is initialized; silently keeps the
+    current configuration if it can't be changed anymore.
+    """
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "GUAC_JAX_CACHE", os.path.expanduser("~/.cache/guacamole_tpu/jax")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    choice = platform or os.environ.get("JAX_PLATFORMS")
+    if not choice:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", choice)
+    except Exception:
+        pass
