@@ -1,0 +1,256 @@
+"""germline-standard caller: Bayesian genotyping from base qualities.
+
+TPU-native two-phase design (cf. /root/reference
+.../commands/GermlineStandardCaller.scala:49-124):
+
+ 1. Device screen: pack loci tiles, compute per-locus variant-evidence masks
+    over MAPQ-filtered elements (one fused kernel over whole tiles). Loci
+    with no variant-allele element cannot produce a call (the most likely
+    genotype over a ref-only allele set has no variant allele), so the
+    screen is an exact superset of emitted loci.
+ 2. Host confirm: at surviving candidate loci only (a small fraction),
+    rebuild the pileup from the tile's read indices and run the exact
+    float64 likelihood model (normalized, log-space, reference summation
+    order), argmax genotype, evidence statistics, and genotype filters.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from guacamole_tpu.filters.genotype_filters import apply_genotype_filters
+from guacamole_tpu.filters.pileup_filters import quality_aligned_reads_filter
+from guacamole_tpu.gio.vcf import VcfRecord
+from guacamole_tpu.likelihood import (
+    likelihoods_of_all_possible_genotypes_from_pileup,
+)
+from guacamole_tpu.loci.locimap import LociMap
+from guacamole_tpu.ops.kernels import tile_stats
+from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
+from guacamole_tpu.pileup.element import PileupElement
+from guacamole_tpu.pileup.pileup import Pileup
+from guacamole_tpu.reads.read import MappedRead
+from guacamole_tpu.utils import bases as Bases
+from guacamole_tpu.variants.called import CalledAllele
+from guacamole_tpu.variants.evidence import AlleleEvidence
+
+
+def call_variants_at_locus(
+    pileup: Pileup,
+    min_alignment_quality: int = 0,
+    emit_ref: bool = False,
+) -> List[CalledAllele]:
+    """Exact per-pileup caller
+    (cf. GermlineStandardCaller.callVariantsAtLocus, :90-124)."""
+    if not pileup.elements:
+        return []
+    calls: List[CalledAllele] = []
+    for sample_name, sample_pileup in sorted(pileup.by_sample().items()):
+        filtered = quality_aligned_reads_filter(
+            sample_pileup.elements, min_alignment_quality
+        )
+        if not filtered:
+            continue
+        filtered_pileup = Pileup(
+            sample_pileup.reference_name,
+            sample_pileup.locus,
+            sample_pileup.reference_base,
+            filtered,
+        )
+        genotype_likelihoods = likelihoods_of_all_possible_genotypes_from_pileup(
+            filtered_pileup, log_space=True, normalize=True
+        )
+        if not genotype_likelihoods:
+            continue
+        genotype, log_prob = max(genotype_likelihoods, key=lambda gl: gl[1])
+        probability = math.exp(log_prob)
+        for allele in genotype.non_reference_alleles:
+            calls.append(
+                CalledAllele(
+                    sample_name=sample_name,
+                    reference_contig=sample_pileup.reference_name,
+                    start=sample_pileup.locus,
+                    allele=allele,
+                    evidence=AlleleEvidence.from_pileup(
+                        probability, allele, sample_pileup
+                    ),
+                )
+            )
+    return calls
+
+
+def _pileup_from_tile_row(
+    tile: LocusTile, li: int, reads: Sequence[MappedRead]
+) -> Pileup:
+    """Rebuild the exact pileup at a tile row from packed read indices."""
+    locus = int(tile.loci[li])
+    ref_base = int(tile.ref_base[li])
+    elements = [
+        PileupElement.at_locus(reads[int(ri)], locus, ref_base)
+        for ri, ok in zip(tile.read_index[li], tile.valid[li])
+        if ok and ri >= 0
+    ]
+    return Pileup(tile.contig, locus, ref_base, elements)
+
+
+def _candidate_rows(tile: LocusTile, min_alignment_quality: int) -> np.ndarray:
+    """Loci with >= 1 variant-allele element among MAPQ-passing elements."""
+    valid = tile.valid & (tile.mapq >= min_alignment_quality)
+    stats = tile_stats(
+        tile.allele_id, tile.strand, valid, tile.is_variant, tile.K
+    )
+    candidates = np.asarray(stats.variant_evidence)
+    return np.flatnonzero(candidates | tile.overflow)
+
+
+def call_variants(
+    reads: Sequence[MappedRead],
+    loci_partitions: LociMap,
+    min_alignment_quality: int = 0,
+    emit_ref: bool = False,
+    tile_size: int = 4096,
+    max_alleles: int = 8,
+    reference_genome=None,
+) -> List[CalledAllele]:
+    """Two-phase (device screen -> exact host confirm) over a partitioning."""
+    by_sample: Dict[str, List[MappedRead]] = {}
+    for read in reads:
+        by_sample.setdefault(read.sample_name or "default", []).append(read)
+
+    calls: List[CalledAllele] = []
+    inverse = loci_partitions.inverse_map()
+    for task in sorted(inverse):
+        task_loci = inverse[task]
+        for sample_name, sample_reads in sorted(by_sample.items()):
+            sample_reads = sorted(sample_reads, key=lambda r: r.start)
+            for contig in task_loci.contigs:
+                tiles = pack_tiles(
+                    sample_reads,
+                    contig,
+                    task_loci.on_contig(contig),
+                    tile_size=tile_size,
+                    max_alleles=max_alleles,
+                    reference_genome=reference_genome,
+                )
+                for tile in tiles:
+                    for li in _candidate_rows(tile, min_alignment_quality):
+                        if tile.depth[li] == 0:
+                            continue
+                        pileup = (
+                            Pileup.from_reads(
+                                sample_reads,
+                                contig,
+                                int(tile.loci[li]),
+                                reference_base=int(tile.ref_base[li]),
+                            )
+                            if tile.overflow[li]
+                            else _pileup_from_tile_row(tile, li, sample_reads)
+                        )
+                        calls.extend(
+                            call_variants_at_locus(
+                                pileup, min_alignment_quality, emit_ref
+                            )
+                        )
+    return calls
+
+
+def called_allele_to_vcf_record(call: CalledAllele) -> VcfRecord:
+    """ADAM genotype conversion parity (AlleleConversions.scala:30-45)."""
+    ev = call.evidence
+    return VcfRecord(
+        contig=call.reference_contig,
+        start=call.start,
+        ref=Bases.bases_to_string(call.allele.ref_bases),
+        alt=Bases.bases_to_string(call.allele.alt_bases),
+        sample_name=call.sample_name or "default",
+        genotype=("Ref", "Alt"),
+        read_depth=ev.read_depth,
+        reference_read_depth=ev.read_depth - ev.allele_read_depth,
+        alternate_read_depth=ev.allele_read_depth,
+        genotype_quality=ev.phred_scaled_likelihood,
+        id_="." if call.rs_id is None else str(call.rs_id),
+    )
+
+
+def main(argv, _add_fns) -> int:
+    import argparse
+
+    from guacamole_tpu.callers.common import (
+        resolve_loci_builder,
+        validate_output_path,
+        write_variants,
+    )
+    from guacamole_tpu.gio.fasta import ReferenceGenome
+    from guacamole_tpu.gio.load import load_read_set
+    from guacamole_tpu.reads.read import InputFilters
+    from guacamole_tpu.utils.progress import progress
+
+    p = argparse.ArgumentParser(
+        prog="guacamole germline-standard",
+        description="call variants using a simple quality-based probability",
+    )
+    _add_fns["base"](p)
+    _add_fns["loci"](p)
+    _add_fns["reads"](p)
+    _add_fns["output"](p)
+    _add_fns["distributed"](p)
+    p.add_argument("--emit-ref", action="store_true")
+    p.add_argument("--reference-fasta", default=None)
+    # pileup filter args (PileupFilter.scala:48-59)
+    p.add_argument("--min-mapq", type=int, default=1, dest="min_alignment_quality")
+    p.add_argument("--filter-multi-allelic", action="store_true")
+    p.add_argument("--min-edge-distance", type=int, default=0)
+    # genotype filter args (GenotypeFilter.scala:121-138)
+    p.add_argument("--min-read-depth", type=int, default=0)
+    p.add_argument("--max-read-depth", type=int, default=2**31 - 1)
+    p.add_argument("--min-alternate-read-depth", type=int, default=0)
+    p.add_argument("--min-likelihood", type=int, default=0)
+    args = p.parse_args(argv)
+
+    validate_output_path(args.out)
+    loci_builder = resolve_loci_builder(args.loci, args.loci_from_file)
+    reference = (
+        ReferenceGenome.from_fasta(args.reference_fasta)
+        if args.reference_fasta
+        else None
+    )
+    filters = InputFilters.create(
+        overlaps_loci=loci_builder, non_duplicate=True, has_mdtag=True
+    )
+    read_set = load_read_set(
+        args.reads,
+        filters,
+        contig_lengths_from_dictionary=not args.no_sequence_dictionary,
+        reference_genome=reference,
+        recompute_mdtags=args.recompute_md_tags,
+    )
+    reads = read_set.mapped_reads
+    progress("Loaded %d mapped non-duplicate reads." % len(reads))
+    loci_set = loci_builder.result(read_set.contig_lengths)
+    partitions = _add_fns["partition"](args, loci_set, reads)
+    calls = call_variants(
+        reads,
+        partitions,
+        min_alignment_quality=args.min_alignment_quality,
+        emit_ref=args.emit_ref,
+        tile_size=args.tile_size,
+        reference_genome=reference,
+    )
+    filtered = apply_genotype_filters(
+        calls,
+        min_read_depth=args.min_read_depth,
+        max_read_depth=args.max_read_depth,
+        min_alternate_read_depth=args.min_alternate_read_depth,
+        min_likelihood=args.min_likelihood,
+    )
+    progress("Called %d genotypes after filtering." % len(filtered))
+    write_variants(
+        [called_allele_to_vcf_record(c) for c in filtered],
+        args.out,
+        contig_lengths=read_set.contig_lengths,
+        max_genotypes=args.max_genotypes,
+    )
+    return 0

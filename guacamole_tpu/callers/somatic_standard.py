@@ -1,0 +1,425 @@
+"""somatic-standard caller: tumor/normal subtraction via genotype likelihoods.
+
+TPU-native two-phase design (cf. /root/reference
+.../commands/SomaticStandardCaller.scala:66-245):
+
+ 1. Device screen over tumor tiles: loci with >= 1 variant-allele element
+    among MAPQ-passing tumor elements (a call requires a variant allele in
+    the most likely tumor genotype, which requires tumor variant evidence).
+ 2. Exact host confirm at candidates: rebuild tumor pileup from packed read
+    indices and the normal pileup via a sparse pack over candidate loci
+    (each sample resolves its own reference base, as in the reference's
+    per-sample initOrMovePileup); apply pileup filters; tumor likelihoods
+    include alignment quality, normal likelihoods ignore it; gate on
+    somatic odds.
+
+Known numerical deviation: the reference sums normal variant-genotype
+likelihoods in JVM HashMap iteration order; we sum in genotype enumeration
+order (deterministic), which can differ in the last float64 ulps.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from guacamole_tpu.filters.pileup_filters import filter_pileup
+from guacamole_tpu.gio.vcf import VcfRecord
+from guacamole_tpu.likelihood import (
+    likelihoods_of_all_possible_genotypes_from_pileup,
+    probability_correct_ignoring_alignment,
+    probability_correct_including_alignment,
+)
+from guacamole_tpu.loci.locimap import LociMap
+from guacamole_tpu.ops.kernels import tile_stats
+from guacamole_tpu.pack.fast import pack_tile_fast
+from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
+from guacamole_tpu.pileup.element import PileupElement
+from guacamole_tpu.pileup.pileup import Pileup
+from guacamole_tpu.reads.read import MappedRead
+from guacamole_tpu.utils import bases as Bases
+from guacamole_tpu.variants.allele import Allele
+from guacamole_tpu.variants.called import CalledSomaticAllele
+from guacamole_tpu.variants.evidence import AlleleEvidence
+
+INT_MAX = 2**31 - 1
+
+
+def find_potential_variant_at_locus(
+    tumor_pileup: Pileup,
+    normal_pileup: Pileup,
+    odds_threshold: int,
+    min_alignment_quality: int = 1,
+    filter_multi_allelic: bool = False,
+    max_read_depth: int = INT_MAX,
+) -> List[CalledSomaticAllele]:
+    """Exact per-locus somatic kernel
+    (cf. SomaticStandardCaller.findPotentialVariantAtLocus, :162-245)."""
+    filtered_normal = filter_pileup(
+        normal_pileup, filter_multi_allelic, min_alignment_quality, 0
+    )
+    filtered_tumor = filter_pileup(
+        tumor_pileup, filter_multi_allelic, min_alignment_quality, 0
+    )
+    if (
+        not filtered_tumor.elements
+        or not filtered_normal.elements
+        or filtered_tumor.depth > max_read_depth
+        or filtered_normal.depth > max_read_depth
+        or filtered_tumor.reference_depth == filtered_tumor.depth
+    ):
+        return []
+
+    tumor_likelihoods = likelihoods_of_all_possible_genotypes_from_pileup(
+        filtered_tumor,
+        probability_correct_including_alignment,
+        normalize=True,
+    )
+    if not tumor_likelihoods:
+        return []
+    best_genotype, best_likelihood = max(tumor_likelihoods, key=lambda gl: gl[1])
+    if not best_genotype.has_variant_allele:
+        return []
+
+    normal_likelihoods = likelihoods_of_all_possible_genotypes_from_pileup(
+        filtered_normal,
+        probability_correct_ignoring_alignment,
+        normalize=True,
+    )
+    normal_variants_total = sum(
+        l for g, l in normal_likelihoods if g.has_variant_allele
+    )
+    somatic_odds = (
+        best_likelihood / normal_variants_total
+        if normal_variants_total != 0
+        else float("inf")
+    )
+    if somatic_odds * 100 < odds_threshold:
+        return []
+
+    allele = next(
+        (a for a in best_genotype.non_reference_alleles if a.alt_bases), None
+    )
+    if allele is None:
+        return []
+    tumor_evidence = AlleleEvidence.from_pileup(
+        best_likelihood, allele, filtered_tumor
+    )
+    normal_evidence = AlleleEvidence.from_pileup(
+        1 - normal_variants_total,
+        Allele(allele.ref_bases, allele.ref_bases),
+        filtered_normal,
+    )
+    return [
+        CalledSomaticAllele(
+            sample_name=tumor_pileup.sample_name,
+            reference_contig=tumor_pileup.reference_name,
+            start=tumor_pileup.locus,
+            allele=allele,
+            somatic_log_odds=math.log(somatic_odds),
+            tumor_variant_evidence=tumor_evidence,
+            normal_reference_evidence=normal_evidence,
+        )
+    ]
+
+
+def _pileup_from_tile_row(tile, li, reads) -> Pileup:
+    locus = int(tile.loci[li])
+    ref_base = int(tile.ref_base[li])
+    elements = [
+        PileupElement.at_locus(reads[int(ri)], locus, ref_base)
+        for ri, ok in zip(tile.read_index[li], tile.valid[li])
+        if ok and ri >= 0
+    ]
+    return Pileup(tile.contig, locus, ref_base, elements)
+
+
+def call_variants(
+    tumor_reads: Sequence[MappedRead],
+    normal_reads: Sequence[MappedRead],
+    loci_partitions: LociMap,
+    odds_threshold: int = 20,
+    min_alignment_quality: int = 1,
+    filter_multi_allelic: bool = False,
+    max_read_depth: int = INT_MAX,
+    tile_size: int = 4096,
+    max_alleles: int = 8,
+    reference_genome=None,
+) -> List[CalledSomaticAllele]:
+    tumor_sorted = sorted(
+        (r for r in tumor_reads), key=lambda r: r.start
+    )
+    normal_sorted = sorted(
+        (r for r in normal_reads), key=lambda r: r.start
+    )
+    calls: List[CalledSomaticAllele] = []
+    inverse = loci_partitions.inverse_map()
+    for task in sorted(inverse):
+        task_loci = inverse[task]
+        for contig in task_loci.contigs:
+            tiles = pack_tiles(
+                tumor_sorted,
+                contig,
+                task_loci.on_contig(contig),
+                tile_size=tile_size,
+                max_alleles=max_alleles,
+                reference_genome=reference_genome,
+            )
+            for tile in tiles:
+                # Device screen over the tumor sample.
+                valid = np.asarray(tile.valid) & (
+                    np.asarray(tile.mapq) >= min_alignment_quality
+                )
+                stats = tile_stats(
+                    tile.allele_id, tile.strand, valid, tile.is_variant, tile.K
+                )
+                candidates = np.flatnonzero(
+                    np.asarray(stats.variant_evidence) | tile.overflow
+                )
+                if len(candidates) == 0:
+                    continue
+                candidate_loci = [
+                    int(tile.loci[li]) for li in candidates if tile.depth[li] > 0
+                ]
+                if not candidate_loci:
+                    continue
+                # Sparse normal tile over just the candidate loci (resolves
+                # the normal sample's own reference bases).
+                normal_tile = pack_tile_fast(
+                    normal_sorted,
+                    contig,
+                    candidate_loci,
+                    max_alleles=max_alleles,
+                    reference_genome=reference_genome,
+                )
+                normal_row = {
+                    int(normal_tile.loci[i]): i for i in range(normal_tile.L)
+                }
+                for li in candidates:
+                    if tile.depth[li] == 0:
+                        continue
+                    locus = int(tile.loci[li])
+                    tumor_pileup = (
+                        Pileup.from_reads(
+                            tumor_sorted,
+                            contig,
+                            locus,
+                            reference_base=int(tile.ref_base[li]),
+                        )
+                        if tile.overflow[li]
+                        else _pileup_from_tile_row(tile, li, tumor_sorted)
+                    )
+                    ni = normal_row[locus]
+                    normal_pileup = (
+                        Pileup.from_reads(
+                            normal_sorted,
+                            contig,
+                            locus,
+                            reference_base=int(normal_tile.ref_base[ni]),
+                        )
+                        if normal_tile.overflow[ni]
+                        else _pileup_from_tile_row(normal_tile, ni, normal_sorted)
+                    )
+                    calls.extend(
+                        find_potential_variant_at_locus(
+                            tumor_pileup,
+                            normal_pileup,
+                            odds_threshold,
+                            min_alignment_quality,
+                            filter_multi_allelic,
+                            max_read_depth,
+                        )
+                    )
+    return calls
+
+
+def annotate_dbsnp(
+    calls: Sequence[CalledSomaticAllele], dbsnp_vcf_path: str
+) -> List[CalledSomaticAllele]:
+    """Annotate calls with dbSNP rsIDs by (contig, start, ref, alt) join
+    (cf. SomaticStandardCaller.scala:139-149)."""
+    from guacamole_tpu.gio.vcf import read_vcf
+
+    index: Dict[Tuple[str, int, str, str], str] = {}
+    for variant in read_vcf(dbsnp_vcf_path):
+        for alt in variant.alts:
+            if variant.id_:
+                index[(variant.contig, variant.start, variant.ref, alt)] = (
+                    variant.id_
+                )
+    out = []
+    for call in calls:
+        key = (
+            call.reference_contig,
+            call.start,
+            Bases.bases_to_string(call.allele.ref_bases),
+            Bases.bases_to_string(call.allele.alt_bases),
+        )
+        rs_id = index.get(key)
+        if rs_id is not None:
+            digits = "".join(c for c in rs_id if c.isdigit())
+            out.append(call.with_rs_id(int(digits) if digits else None))
+        else:
+            out.append(call)
+    return out
+
+
+def called_somatic_allele_to_vcf_record(call: CalledSomaticAllele) -> VcfRecord:
+    """(cf. AlleleConversions.calledSomaticAlleleToADAMGenotype, :47-62)"""
+    ev = call.tumor_variant_evidence
+    return VcfRecord(
+        contig=call.reference_contig,
+        start=call.start,
+        ref=Bases.bases_to_string(call.allele.ref_bases),
+        alt=Bases.bases_to_string(call.allele.alt_bases),
+        sample_name=call.sample_name or "default",
+        genotype=("Ref", "Alt"),
+        read_depth=ev.read_depth,
+        reference_read_depth=ev.read_depth - ev.allele_read_depth,
+        alternate_read_depth=ev.allele_read_depth,
+        genotype_quality=call.phred_scaled_somatic_likelihood,
+        id_="." if call.rs_id is None else f"rs{call.rs_id}",
+    )
+
+
+def main(argv, _add_fns) -> int:
+    import argparse
+
+    from guacamole_tpu.callers.common import (
+        resolve_loci_builder,
+        validate_output_path,
+        write_variants,
+    )
+    from guacamole_tpu.filters.somatic_filters import (
+        apply_somatic_filters,
+        somatic_minimum_alternate_read_depth,
+        somatic_within_read_depth_range,
+    )
+    from guacamole_tpu.gio.fasta import ReferenceGenome
+    from guacamole_tpu.gio.load import load_read_set
+    from guacamole_tpu.reads.read import InputFilters
+    from guacamole_tpu.utils.progress import progress
+
+    p = argparse.ArgumentParser(
+        prog="guacamole somatic-standard",
+        description="call somatic variants using independent callers on "
+        "tumor and normal",
+    )
+    _add_fns["base"](p)
+    _add_fns["loci"](p)
+    _add_fns["tumor_normal"](p)
+    _add_fns["output"](p)
+    _add_fns["distributed"](p)
+    p.add_argument("--odds", type=int, default=20, dest="odds_threshold")
+    p.add_argument("--dbsnp-vcf", default="")
+    p.add_argument("--reference-fasta", default=None)
+    # pileup filter args
+    p.add_argument("--min-mapq", type=int, default=1, dest="min_alignment_quality")
+    p.add_argument("--filter-multi-allelic", action="store_true")
+    p.add_argument("--min-edge-distance", type=int, default=0)
+    # somatic genotype filter args (SomaticGenotypeFilter.scala:245-280)
+    p.add_argument("--min-likelihood", type=int, default=0)
+    p.add_argument("--min-vaf", type=int, default=0)
+    p.add_argument("--min-lod", type=int, default=0)
+    p.add_argument("--min-average-mapping-quality", type=int, default=0)
+    p.add_argument("--min-average-base-quality", type=int, default=0)
+    p.add_argument("--min-tumor-read-depth", type=int, default=0)
+    p.add_argument("--min-normal-read-depth", type=int, default=0)
+    p.add_argument("--max-tumor-read-depth", type=int, default=INT_MAX)
+    p.add_argument("--min-tumor-alternate-read-depth", type=int, default=0)
+    p.add_argument("--max-median-mismatches", type=int, default=INT_MAX)
+    args = p.parse_args(argv)
+
+    validate_output_path(args.out)
+    loci_builder = resolve_loci_builder(args.loci, args.loci_from_file)
+    reference = (
+        ReferenceGenome.from_fasta(args.reference_fasta)
+        if args.reference_fasta
+        else None
+    )
+    filters = InputFilters.create(
+        overlaps_loci=loci_builder,
+        non_duplicate=True,
+        passed_vendor_quality_checks=True,
+        has_mdtag=True,
+    )
+    tumor_set = load_read_set(
+        args.tumor_reads,
+        filters,
+        token=1,
+        contig_lengths_from_dictionary=not args.no_sequence_dictionary,
+        reference_genome=reference,
+        recompute_mdtags=args.recompute_md_tags,
+    )
+    normal_set = load_read_set(
+        args.normal_reads,
+        filters,
+        token=2,
+        contig_lengths_from_dictionary=not args.no_sequence_dictionary,
+        reference_genome=reference,
+        recompute_mdtags=args.recompute_md_tags,
+    )
+    progress(
+        "Loaded %d tumor, %d normal reads."
+        % (len(tumor_set.mapped_reads), len(normal_set.mapped_reads))
+    )
+    loci_set = loci_builder.result(normal_set.contig_lengths)
+    partitions = _add_fns["partition"](
+        args, loci_set, tumor_set.mapped_reads, normal_set.mapped_reads
+    )
+    potential = call_variants(
+        tumor_set.mapped_reads,
+        normal_set.mapped_reads,
+        partitions,
+        odds_threshold=args.odds_threshold,
+        min_alignment_quality=args.min_alignment_quality,
+        filter_multi_allelic=args.filter_multi_allelic,
+        max_read_depth=args.max_tumor_read_depth,
+        tile_size=args.tile_size,
+        reference_genome=reference,
+    )
+    progress("Computed %d potential genotypes." % len(potential))
+    # Pre-filters applied before dbSNP annotation (driver order parity).
+    potential = [
+        g
+        for g in potential
+        if somatic_within_read_depth_range(
+            g,
+            args.min_tumor_read_depth,
+            args.max_tumor_read_depth,
+            args.min_normal_read_depth,
+        )
+    ]
+    if args.min_tumor_alternate_read_depth > 0:
+        potential = [
+            g
+            for g in potential
+            if somatic_minimum_alternate_read_depth(
+                g, args.min_tumor_alternate_read_depth
+            )
+        ]
+    if args.dbsnp_vcf:
+        potential = annotate_dbsnp(potential, args.dbsnp_vcf)
+    filtered = apply_somatic_filters(
+        potential,
+        min_tumor_read_depth=args.min_tumor_read_depth,
+        max_tumor_read_depth=args.max_tumor_read_depth,
+        min_normal_read_depth=args.min_normal_read_depth,
+        min_tumor_alternate_read_depth=args.min_tumor_alternate_read_depth,
+        min_log_odds=args.min_lod,
+        min_likelihood=args.min_likelihood,
+        min_vaf=args.min_vaf,
+        min_average_mapping_quality=args.min_average_mapping_quality,
+        min_average_base_quality=args.min_average_base_quality,
+        maximum_median_mismatches=args.max_median_mismatches,
+    )
+    progress("Computed %d genotypes after basic filtering." % len(filtered))
+    write_variants(
+        [called_somatic_allele_to_vcf_record(c) for c in filtered],
+        args.out,
+        contig_lengths=normal_set.contig_lengths,
+        max_genotypes=args.max_genotypes,
+    )
+    return 0

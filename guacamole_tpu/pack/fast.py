@@ -172,11 +172,12 @@ def pack_tile_fast(
     rows_strand: List[np.ndarray] = []
     rows_mismatch: List[np.ndarray] = []
     rows_edge: List[np.ndarray] = []
+    rows_readidx: List[np.ndarray] = []
     special_entries: List[Tuple[int, int, bytes, int]] = []
     # (flat row offset, kind, payload, ref placeholder resolved later)
     total_rows = 0
 
-    for read in reads:
+    for read_i, read in enumerate(reads):
         if read.reference_contig != contig:
             continue
         if read.end <= lo_bound or read.start > hi_bound:
@@ -213,6 +214,7 @@ def pack_tile_fast(
             rows_edge.append((read.end - loci_arr[lo:hi]).astype(np.int32))
         else:
             rows_edge.append((loci_arr[lo:hi] - read.start).astype(np.int32))
+        rows_readidx.append(np.full(count, read_i, dtype=np.int32))
         if ev.specials:
             offset_to_rowpos = {int(o): i for i, o in enumerate(offsets)}
             for off, (kind, payload, q) in ev.specials.items():
@@ -235,6 +237,7 @@ def pack_tile_fast(
     strand = np.concatenate(rows_strand)
     mismatch = np.concatenate(rows_mismatch)
     edge = np.concatenate(rows_edge)
+    readidx = np.concatenate(rows_readidx)
 
     # Stable sort by locus keeps read order within each locus.
     order = np.argsort(locus_row, kind="stable")
@@ -247,6 +250,7 @@ def pack_tile_fast(
     strand = strand[order]
     mismatch = mismatch[order]
     edge = edge[order]
+    readidx = readidx[order]
     # Map original flat row -> sorted position for special entries.
     inv_order = np.empty_like(order)
     inv_order[order] = np.arange(len(order))
@@ -371,6 +375,7 @@ def pack_tile_fast(
     strand_a = np.zeros((L, D), dtype=bool)
     mismatch_a = np.zeros((L, D), dtype=np.int16)
     edge_a = np.zeros((L, D), dtype=np.int32)
+    readidx_a = np.full((L, D), -1, dtype=np.int32)
     valid_a = np.zeros((L, D), dtype=bool)
 
     elem_ids = elem_allele_id[in_range]
@@ -382,6 +387,7 @@ def pack_tile_fast(
     strand_a[li, si] = strand[in_range]
     mismatch_a[li, si] = mismatch[in_range]
     edge_a[li, si] = edge[in_range]
+    readidx_a[li, si] = readidx[in_range]
     valid_a[li, si] = True
     # invalidate slots that exceeded the allele cap so kernels don't see them
     if (~capped).any():
@@ -391,6 +397,7 @@ def pack_tile_fast(
         strand_a[li[~capped], si[~capped]] = False
         mismatch_a[li[~capped], si[~capped]] = 0
         edge_a[li[~capped], si[~capped]] = 0
+        readidx_a[li[~capped], si[~capped]] = -1
 
     # ---- per-locus allele tables ----
     alleles: List[List[Allele]] = []
@@ -419,6 +426,7 @@ def pack_tile_fast(
         strand=strand_a,
         mismatches=mismatch_a,
         edge_distance=edge_a,
+        read_index=readidx_a,
         valid=valid_a,
         alleles=alleles,
         is_variant=is_variant,
@@ -441,6 +449,7 @@ def _empty_tile(contig, loci_arr, K, D) -> LocusTile:
         strand=np.zeros((L, D), dtype=bool),
         mismatches=np.zeros((L, D), dtype=np.int16),
         edge_distance=np.zeros((L, D), dtype=np.int32),
+        read_index=np.full((L, D), -1, dtype=np.int32),
         valid=np.zeros((L, D), dtype=bool),
         alleles=[[] for _ in range(L)],
         is_variant=np.zeros((L, K), dtype=bool),

@@ -60,6 +60,7 @@ class LocusTile:
     strand: np.ndarray  # [L, D] bool
     mismatches: np.ndarray  # [L, D] int16
     edge_distance: np.ndarray  # [L, D] int32 distance from sequencing end
+    read_index: np.ndarray  # [L, D] int32 index into the packed read list
     valid: np.ndarray  # [L, D] bool
     alleles: List[List[Allele]]  # per-locus sorted allele dictionary
     is_variant: np.ndarray  # [L, K] bool
@@ -104,7 +105,7 @@ def pack_tile(
     if L > 0:
         lo_bound = int(loci_arr[0])
         hi_bound = int(loci_arr[-1])
-        for read in reads:
+        for read_i, read in enumerate(reads):
             if read.reference_contig != contig:
                 continue
             if read.end <= lo_bound or read.start > hi_bound:
@@ -119,7 +120,7 @@ def pack_tile(
             lo = int(np.searchsorted(loci_arr, read.start, side="left"))
             hi = int(np.searchsorted(loci_arr, read.end, side="left"))
             for li in range(lo, hi):
-                per_locus_events[li].append(events)
+                per_locus_events[li].append((read_i, events))
 
     # Resolve reference bases.
     ref_base = np.full(L, Bases.N, dtype=np.uint8)
@@ -128,7 +129,7 @@ def pack_tile(
         if reference_genome is not None:
             ref_base[li] = reference_genome.get_reference_base(contig, locus)
             continue
-        for events in per_locus_events[li]:
+        for _read_i, events in per_locus_events[li]:
             base = events.md_ref[locus - events.start]
             if Bases.IS_STANDARD_TABLE[base]:
                 ref_base[li] = base
@@ -143,6 +144,7 @@ def pack_tile(
     strand = np.zeros((L, D), dtype=bool)
     mismatches = np.zeros((L, D), dtype=np.int16)
     edge_distance = np.zeros((L, D), dtype=np.int32)
+    read_index = np.full((L, D), -1, dtype=np.int32)
     valid = np.zeros((L, D), dtype=bool)
     depth = np.zeros(L, dtype=np.int32)
     is_variant = np.zeros((L, K), dtype=bool)
@@ -157,7 +159,9 @@ def pack_tile(
         depth[li] = len(events_here)
         rb = int(ref_base[li])
         # First pass: element alleles in read order.
-        element_alleles = [event_allele(ev, locus, rb) for ev in events_here]
+        element_alleles = [
+            event_allele(ev, locus, rb) for _ri, ev in events_here
+        ]
         distinct = sorted(set(element_alleles))
         if len(distinct) > K:
             overflow[li] = True
@@ -174,7 +178,9 @@ def pack_tile(
         for k, (r, a) in enumerate(distinct):
             is_variant[li, k] = r != a
             is_standard_alt[li, k] = all(Bases.IS_STANDARD_TABLE[b] for b in a)
-        for slot, (ev, pair) in enumerate(zip(events_here, element_alleles)):
+        for slot, ((read_i, ev), pair) in enumerate(
+            zip(events_here, element_alleles)
+        ):
             if slot >= D:
                 overflow[li] = True
                 break
@@ -182,6 +188,7 @@ def pack_tile(
             if aid is None:
                 continue  # beyond capped dictionary
             i = locus - ev.start
+            read_index[li, slot] = read_i
             allele_id[li, slot] = aid
             qual[li, slot] = ev.quals[i]
             mapq[li, slot] = ev.read.alignment_quality
@@ -206,6 +213,7 @@ def pack_tile(
         strand=strand,
         mismatches=mismatches,
         edge_distance=edge_distance,
+        read_index=read_index,
         valid=valid,
         alleles=allele_tables,
         is_variant=is_variant,
@@ -233,30 +241,57 @@ def pack_tiles(
     read are dropped before tiling, so tiles stay dense over covered regions
     (the analog of skipEmpty fast-forwarding in SlidingWindow.scala:149-187).
     """
-    if hasattr(loci, "ranges"):
-        all_loci = np.concatenate(
-            [np.arange(s, e, dtype=np.int64) for s, e in loci.ranges]
-        ) if not loci.is_empty else np.empty(0, dtype=np.int64)
-    else:
-        all_loci = np.asarray(sorted(loci), dtype=np.int64)
-
     contig_reads = [r for r in reads if r.reference_contig == contig]
 
-    if skip_empty and len(all_loci) and contig_reads:
-        starts = np.fromiter((r.start for r in contig_reads), dtype=np.int64)
-        ends = np.fromiter((r.end for r in contig_reads), dtype=np.int64)
-        # coverage mask over candidate loci via interval difference counting
-        order = np.argsort(starts, kind="stable")
-        starts, ends = starts[order], ends[order]
-        boundaries = np.zeros(len(all_loci) + 1, dtype=np.int64)
-        lo = np.searchsorted(all_loci, starts, side="left")
-        hi = np.searchsorted(all_loci, ends, side="left")
-        np.add.at(boundaries, lo, 1)
-        np.add.at(boundaries, hi, -1)
-        covered = np.cumsum(boundaries[:-1]) > 0
-        all_loci = all_loci[covered]
-    elif skip_empty and not contig_reads:
-        all_loci = np.empty(0, dtype=np.int64)
+    loci_ranges = (
+        loci.ranges
+        if hasattr(loci, "ranges")
+        else _ranges_from_loci(sorted(loci))
+    )
+
+    if skip_empty:
+        if not contig_reads:
+            all_loci = np.empty(0, dtype=np.int64)
+        else:
+            # Intersect the loci ranges with the union of read intervals
+            # WITHOUT materializing per-locus arrays over uncovered spans
+            # (whole-genome loci sets are interval-compressed; keep them so).
+            starts = np.fromiter(
+                (r.start for r in contig_reads), dtype=np.int64
+            )
+            ends = np.fromiter((r.end for r in contig_reads), dtype=np.int64)
+            order = np.argsort(starts, kind="stable")
+            starts, ends = starts[order], np.maximum.accumulate(ends[order])
+            # merged covered intervals
+            covered: List[Tuple[int, int]] = []
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                if covered and s <= covered[-1][1]:
+                    covered[-1] = (covered[-1][0], max(covered[-1][1], e))
+                else:
+                    covered.append((s, e))
+            pieces = []
+            ci = 0
+            for s, e in loci_ranges:
+                while ci < len(covered) and covered[ci][1] <= s:
+                    ci += 1
+                cj = ci
+                while cj < len(covered) and covered[cj][0] < e:
+                    lo = max(s, covered[cj][0])
+                    hi = min(e, covered[cj][1])
+                    if hi > lo:
+                        pieces.append(np.arange(lo, hi, dtype=np.int64))
+                    cj += 1
+            all_loci = (
+                np.concatenate(pieces) if pieces else np.empty(0, dtype=np.int64)
+            )
+    else:
+        all_loci = (
+            np.concatenate(
+                [np.arange(s, e, dtype=np.int64) for s, e in loci_ranges]
+            )
+            if loci_ranges
+            else np.empty(0, dtype=np.int64)
+        )
 
     from guacamole_tpu.pack.fast import pack_tile_fast
 
@@ -274,6 +309,17 @@ def pack_tiles(
             tile = pad_tile_loci(tile, tile_size)
         tiles.append(tile)
     return tiles
+
+
+def _ranges_from_loci(sorted_loci) -> List[Tuple[int, int]]:
+    """Compress a sorted list of loci into half-open ranges."""
+    ranges: List[Tuple[int, int]] = []
+    for locus in sorted_loci:
+        if ranges and locus == ranges[-1][1]:
+            ranges[-1] = (ranges[-1][0], locus + 1)
+        else:
+            ranges.append((locus, locus + 1))
+    return ranges
 
 
 def pad_tile_loci(tile: LocusTile, target_l: int) -> LocusTile:
@@ -307,6 +353,9 @@ def pad_tile_loci(tile: LocusTile, target_l: int) -> LocusTile:
         strand=pad2(tile.strand),
         mismatches=pad2(tile.mismatches),
         edge_distance=pad2(tile.edge_distance),
+        read_index=np.concatenate(
+            [tile.read_index, np.full((pad, tile.D), -1, dtype=np.int32)]
+        ),
         valid=pad2(tile.valid),
         alleles=tile.alleles + [[] for _ in range(pad)],
         is_variant=pad2(tile.is_variant),

@@ -31,6 +31,7 @@ def assert_tiles_equal(fast, slow):
     np.testing.assert_array_equal(fast.strand, slow.strand)
     np.testing.assert_array_equal(fast.mismatches, slow.mismatches)
     np.testing.assert_array_equal(fast.edge_distance, slow.edge_distance)
+    np.testing.assert_array_equal(fast.read_index, slow.read_index)
     np.testing.assert_array_equal(fast.is_variant, slow.is_variant)
     np.testing.assert_array_equal(fast.is_standard_alt, slow.is_standard_alt)
 
