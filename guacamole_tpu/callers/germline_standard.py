@@ -199,6 +199,9 @@ def main(argv, _add_fns) -> int:
     _add_fns["distributed"](p)
     p.add_argument("--emit-ref", action="store_true")
     p.add_argument("--reference-fasta", default=None)
+    p.add_argument(
+        "--truth", default="", help="Truth VCF to compute concordance against"
+    )
     # pileup filter args (PileupFilter.scala:48-59)
     p.add_argument("--min-mapq", type=int, default=1, dest="min_alignment_quality")
     p.add_argument("--filter-multi-allelic", action="store_true")
@@ -247,10 +250,15 @@ def main(argv, _add_fns) -> int:
         min_likelihood=args.min_likelihood,
     )
     progress("Called %d genotypes after filtering." % len(filtered))
+    records = [called_allele_to_vcf_record(c) for c in filtered]
     write_variants(
-        [called_allele_to_vcf_record(c) for c in filtered],
+        records,
         args.out,
         contig_lengths=read_set.contig_lengths,
         max_genotypes=args.max_genotypes,
     )
+    if args.truth:
+        from guacamole_tpu.concordance import print_genotype_concordance
+
+        print_genotype_concordance(records, args.truth)
     return 0

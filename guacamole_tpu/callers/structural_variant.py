@@ -1,0 +1,328 @@
+"""structural-variant caller: DELLY-style large-deletion finder.
+
+(cf. /root/reference .../commands/StructuralVariantCaller.scala:27-289)
+1. Find read pairs with abnormally large insert sizes (median + 5*MAD).
+2. Build a compatibility graph of pairs explainable by one deletion.
+3. Greedily grow one clique per connected component.
+
+This is host-side control flow by nature (data-dependent graph algorithms);
+the insert-size statistics are vectorized numpy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from guacamole_tpu.reads.read import PairedMappedRead
+
+MAX_INSERT_SIZE = 25000
+BLOCK_SIZE = 25
+
+
+@dataclass(frozen=True)
+class GenomeRange:
+    contig: str
+    start: int
+    stop: int
+
+    def __str__(self) -> str:
+        return f"GenomeRange({self.contig},{self.start},{self.stop})"
+
+
+@dataclass(frozen=True)
+class MedianStats:
+    median: float
+    mad: float
+
+
+def median_stats(values: Sequence[float]) -> MedianStats:
+    """Median and median absolute deviation of an unordered sample."""
+    if len(values) == 0:
+        return MedianStats(0.0, 0.0)
+    arr = np.sort(np.asarray(values, dtype=np.float64))
+    n = len(arr)
+    if n % 2 == 0:
+        median = 0.5 * (arr[n // 2 - 1] + arr[n // 2])
+    else:
+        median = float(arr[n // 2])
+    residuals = np.sort(np.abs(arr - median))
+    if n % 2 == 0:
+        mad = 0.5 * (residuals[n // 2 - 1] + residuals[n // 2])
+    else:
+        mad = float(residuals[n // 2])
+    return MedianStats(float(median), float(mad))
+
+
+def oriented_insert_size(pair: PairedMappedRead) -> int:
+    """Insert size signed by read orientation, positive in the common case."""
+    sign = 1 if pair.read.is_positive_strand else -1
+    return pair.inferred_insert_size * sign
+
+
+@dataclass
+class ExceptionalReads:
+    reads_in_range: List[PairedMappedRead]
+    insert_stats: MedianStats
+    max_normal_insert_size: int
+    exceptional_reads: List[PairedMappedRead]
+
+
+def get_exceptional_reads(
+    pairs: Sequence[PairedMappedRead], sample_limit: int = 100000
+) -> ExceptionalReads:
+    """Pairs whose insert size exceeds median + 5*MAD
+    (StructuralVariantCaller.scala:102-129)."""
+    reads_in_range = [
+        p
+        for p in pairs
+        if p.read.reference_contig == p.mate.reference_contig
+        and p.read.is_positive_strand != p.mate.is_positive_strand
+        and p.inferred_insert_size < MAX_INSERT_SIZE
+    ]
+    insert_sizes = [oriented_insert_size(p) for p in reads_in_range]
+    stats = median_stats(insert_sizes[:sample_limit])
+    max_normal = int(stats.median + 5 * stats.mad)
+    exceptional = [
+        p for p in reads_in_range if p.inferred_insert_size > max_normal
+    ]
+    return ExceptionalReads(reads_in_range, stats, max_normal, exceptional)
+
+
+def are_reads_compatible(
+    pair1: PairedMappedRead, pair2: PairedMappedRead, max_normal_insert_size: int
+) -> bool:
+    """Could one deletion make both pairs' insert sizes normal?
+    (DELLY logic, StructuralVariantCaller.scala:132-151)"""
+    if pair1.min_pos > pair2.min_pos:
+        return are_reads_compatible(pair2, pair1, max_normal_insert_size)
+    p1_min, p1_gap_min, p1_gap_max, p1_max = pair1.starts_and_stops
+    p2_min, p2_gap_min, p2_gap_max, p2_max = pair2.starts_and_stops
+    return not (
+        (p2_gap_min - p1_min) > max_normal_insert_size
+        or (
+            p2_gap_max < p1_gap_max
+            and (p1_max - p2_gap_max) > max_normal_insert_size
+        )
+        or (
+            p2_gap_max >= p1_gap_max
+            and (p2_max - p1_gap_max) > max_normal_insert_size
+        )
+        or (p1_gap_max < p2_min or p2_gap_max < p1_min)
+    )
+
+
+class PairGraph:
+    """Undirected weighted graph over read pairs (nodes keyed by index)."""
+
+    def __init__(self, nodes: List[PairedMappedRead]):
+        self.nodes = nodes
+        self.edges: List[Tuple[float, int, int]] = []  # (weight, i, j)
+        self.adjacency: Dict[int, Set[int]] = {}
+
+    def add_edge(self, i: int, j: int, weight: float) -> None:
+        self.edges.append((weight, i, j))
+        self.adjacency.setdefault(i, set()).add(j)
+        self.adjacency.setdefault(j, set()).add(i)
+
+    def connected_components(self) -> List[List[int]]:
+        seen: Set[int] = set()
+        components = []
+        for start in sorted(self.adjacency):
+            if start in seen:
+                continue
+            stack = [start]
+            component = []
+            while stack:
+                node = stack.pop()
+                if node in seen:
+                    continue
+                seen.add(node)
+                component.append(node)
+                stack.extend(self.adjacency.get(node, ()))
+            components.append(sorted(component))
+        return components
+
+
+def build_variant_graph(
+    exceptional: Iterable[PairedMappedRead], max_normal_insert_size: int
+) -> PairGraph:
+    """Edges between pairs explainable by the same deletion
+    (StructuralVariantCaller.scala:159-189)."""
+    reads = sorted(exceptional, key=lambda p: p.min_pos)
+    graph = PairGraph(reads)
+    for i, pair in enumerate(reads):
+        start, _, gap_end, _ = pair.starts_and_stops
+        for j in range(i + 1, len(reads)):
+            next_pair = reads[j]
+            next_start, next_gap_start, next_gap_end, _ = (
+                next_pair.starts_and_stops
+            )
+            if abs(next_gap_start - start) > max_normal_insert_size:
+                break
+            if are_reads_compatible(pair, next_pair, max_normal_insert_size):
+                weight = abs((next_gap_end - next_start) - (gap_end - start))
+                graph.add_edge(i, j, weight)
+    return graph
+
+
+@dataclass(frozen=True)
+class SVClique:
+    """A set of mutually compatible read pairs inducing one deletion
+    (StructuralVariantCaller.scala:191-246)."""
+
+    read_pairs: frozenset  # of node indices
+    wiggle: int
+    sv_start: int
+    sv_end: int
+    max_normal_insert_size: int
+
+    @staticmethod
+    def seed(
+        node: int, pair: PairedMappedRead, max_normal_insert_size: int
+    ) -> "SVClique":
+        _, sv_start, sv_end, _ = pair.starts_and_stops
+        wiggle = max_normal_insert_size - (pair.insert_size - (sv_end - sv_start))
+        return SVClique(
+            frozenset([node]), wiggle, sv_start, sv_end, max_normal_insert_size
+        )
+
+    def maybe_absorb(
+        self, node: int, pair: PairedMappedRead
+    ) -> Optional["SVClique"]:
+        _, gap_min, gap_max, _ = pair.starts_and_stops
+        new_start = max(self.sv_start, gap_min)
+        new_end = min(self.sv_end, gap_max)
+        wiggle_new_read = self.max_normal_insert_size - (
+            pair.insert_size - (new_end - new_start)
+        )
+        wiggle_change = self.wiggle + (new_end - new_start) - (
+            self.sv_end - self.sv_start
+        )
+        new_wiggle = min(wiggle_new_read, wiggle_change)
+        if new_start < new_end and new_wiggle >= 0:
+            return SVClique(
+                self.read_pairs | {node},
+                new_wiggle,
+                new_start,
+                new_end,
+                self.max_normal_insert_size,
+            )
+        return None
+
+    def span(self, graph: PairGraph) -> GenomeRange:
+        any_node = next(iter(self.read_pairs))
+        return GenomeRange(
+            graph.nodes[any_node].read.reference_contig, self.sv_start, self.sv_end
+        )
+
+
+def find_one_clique(
+    graph: PairGraph, component: List[int], max_normal_insert_size: int
+) -> SVClique:
+    """Greedy clique growth from the lowest-weight edge
+    (StructuralVariantCaller.scala:248-264)."""
+    component_set = set(component)
+    edges = sorted(
+        (e for e in graph.edges if e[1] in component_set),
+        key=lambda e: e[0],
+    )
+    weight, i, j = edges[0]
+    seed_node = min((i, j), key=lambda n: graph.nodes[n].min_pos)
+    clique = SVClique.seed(
+        seed_node, graph.nodes[seed_node], max_normal_insert_size
+    )
+    for weight, i, j in edges:
+        in_i = i in clique.read_pairs
+        in_j = j in clique.read_pairs
+        if in_i == in_j:
+            continue
+        candidate = j if in_i else i
+        # candidate must be connected to every clique member
+        if not clique.read_pairs <= graph.adjacency.get(candidate, set()):
+            continue
+        absorbed = clique.maybe_absorb(candidate, graph.nodes[candidate])
+        if absorbed is not None:
+            clique = absorbed
+    return clique
+
+
+def find_cliques(
+    graph: PairGraph, max_normal_insert_size: int
+) -> List[SVClique]:
+    return [
+        find_one_clique(graph, component, max_normal_insert_size)
+        for component in graph.connected_components()
+        if len(component) >= 2
+    ]
+
+
+def call_structural_variants(
+    paired_reads: Sequence[PairedMappedRead],
+) -> Tuple[int, Dict[str, List[GenomeRange]]]:
+    """Full pipeline: exceptional pairs -> per-contig graphs -> cliques."""
+    exceptional = get_exceptional_reads(paired_reads)
+    by_contig: Dict[str, List[PairedMappedRead]] = {}
+    for pair in exceptional.exceptional_reads:
+        by_contig.setdefault(pair.read.reference_contig, []).append(pair)
+    results: Dict[str, List[GenomeRange]] = {}
+    for contig, pairs in sorted(by_contig.items()):
+        graph = build_variant_graph(pairs, exceptional.max_normal_insert_size)
+        cliques = find_cliques(graph, exceptional.max_normal_insert_size)
+        results[contig] = [c.span(graph) for c in cliques]
+    return exceptional.max_normal_insert_size, results
+
+
+def main(argv, _add_fns) -> int:
+    import argparse
+
+    from guacamole_tpu.gio.load import load_read_set
+    from guacamole_tpu.reads.read import InputFilters, PairedMappedRead
+    from guacamole_tpu.utils.progress import progress
+
+    p = argparse.ArgumentParser(
+        prog="guacamole structural-variant",
+        description="Find structural variants, e.g. large deletions",
+    )
+    _add_fns["base"](p)
+    _add_fns["loci"](p)
+    _add_fns["reads"](p)
+    _add_fns["distributed"](p)
+    p.add_argument("--filter-contig", default="")
+    p.add_argument("--output", default="")
+    args = p.parse_args(argv)
+
+    read_set = load_read_set(
+        args.reads, InputFilters.create(non_duplicate=True)
+    )
+    pairs = [
+        pm
+        for pm in (
+            PairedMappedRead.from_paired_read(pr)
+            for pr in read_set.mapped_paired_reads
+            if pr.is_first_in_pair
+        )
+        if pm is not None
+    ]
+    if args.filter_contig:
+        pairs = [
+            pm
+            for pm in pairs
+            if pm.read.reference_contig == args.filter_contig
+            or pm.mate.reference_contig == args.filter_contig
+        ]
+    max_normal, results = call_structural_variants(pairs)
+    progress(f"max normal insert size: {max_normal}")
+    lines = [
+        f"({contig},{[str(r) for r in ranges]})"
+        for contig, ranges in results.items()
+    ]
+    if args.output:
+        with open(args.output, "w") as out:
+            out.write("\n".join(lines) + ("\n" if lines else ""))
+    else:
+        for line in lines:
+            print(line)
+    return 0

@@ -1,0 +1,280 @@
+"""vaf-histogram tool: per-sample variant-allele-frequency distributions.
+
+(cf. /root/reference .../commands/VAFHistogram.scala:42-283)
+VAFs are computed on device from tile counts (non-reference fraction per
+locus); the optional Gaussian mixture clustering runs as a vectorized EM in
+JAX (replacing Spark MLlib's GaussianMixture).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from guacamole_tpu.loci.locimap import LociMap
+from guacamole_tpu.ops.kernels import tile_stats
+from guacamole_tpu.pack.tiles import pack_tiles
+from guacamole_tpu.utils.progress import progress
+from guacamole_tpu.variants.allele import Allele
+
+
+@dataclass(frozen=True)
+class VariantLocus:
+    contig: str
+    locus: int
+    variant_allele_frequency: float
+
+
+def variant_loci_from_reads(
+    reads,
+    loci_partitions: LociMap,
+    min_read_depth: int = 0,
+    min_variant_allele_frequency: int = 0,
+    print_stats: bool = False,
+    sample_percent: int = 100,
+    tile_size: int = 4096,
+) -> List[VariantLocus]:
+    """All loci with non-reference evidence and their VAFs
+    (VAFHistogram.scala:208-255). referenceDepth counts Match elements:
+    elements whose allele equals (ref_base, ref_base)."""
+    sorted_reads = sorted(reads, key=lambda r: r.start)
+    sample_name = reads[0].sample_name if reads else "default"
+    out: List[VariantLocus] = []
+    inverse = loci_partitions.inverse_map()
+    for task in sorted(inverse):
+        task_loci = inverse[task]
+        for contig in task_loci.contigs:
+            tiles = pack_tiles(
+                sorted_reads,
+                contig,
+                task_loci.on_contig(contig),
+                tile_size=tile_size,
+            )
+            for tile in tiles:
+                stats = tile_stats(
+                    tile.allele_id,
+                    tile.strand,
+                    tile.valid,
+                    tile.is_variant,
+                    tile.K,
+                )
+                counts = np.asarray(stats.counts)
+                for li in range(tile.L):
+                    depth = int(tile.depth[li])
+                    if depth == 0:
+                        continue
+                    rb = int(tile.ref_base[li])
+                    ref_allele = Allele(bytes([rb]), bytes([rb]))
+                    table = tile.alleles[li]
+                    try:
+                        ref_id = table.index(ref_allele)
+                    except ValueError:
+                        ref_id = -1
+                    if tile.overflow[li]:
+                        # exact host fallback
+                        from guacamole_tpu.pileup.pileup import Pileup
+
+                        pileup = Pileup.from_reads(
+                            sorted_reads, contig, int(tile.loci[li])
+                        )
+                        depth = pileup.depth
+                        ref_depth = pileup.reference_depth
+                    else:
+                        ref_depth = (
+                            int(counts[li, ref_id]) if 0 <= ref_id < tile.K else 0
+                        )
+                    if ref_depth == depth:
+                        continue
+                    vaf = (depth - ref_depth) / depth
+                    if depth >= min_read_depth and vaf >= (
+                        min_variant_allele_frequency / 100.0
+                    ):
+                        out.append(
+                            VariantLocus(contig, int(tile.loci[li]), vaf)
+                        )
+    if print_stats and out:
+        vafs = np.array([v.variant_allele_frequency for v in out])
+        if sample_percent < 100:
+            rng = np.random.RandomState(0)
+            vafs = rng.choice(
+                vafs, size=max(1, len(vafs) * sample_percent // 100), replace=False
+            )
+        progress(
+            "Variant loci stats for %s (min: %f, max: %f, median: %f, mean: %f, "
+            "25Pct: %f, 75Pct: %f)"
+            % (
+                sample_name,
+                vafs.min(),
+                vafs.max(),
+                float(np.percentile(vafs, 50)),
+                vafs.mean(),
+                float(np.percentile(vafs, 25)),
+                float(np.percentile(vafs, 75)),
+            )
+        )
+    return out
+
+
+def generate_vaf_histogram(
+    variant_loci: Sequence[VariantLocus], bins: int
+) -> Dict[int, int]:
+    """Bin VAFs with the reference's integer rounding
+    (VAFHistogram.scala:188-196)."""
+    assert 1 <= bins <= 100, "Bins should be between 1 and 100"
+    histogram: Dict[int, int] = {}
+    for v in variant_loci:
+        percent = int(v.variant_allele_frequency * 100)
+        binned = percent - (percent % (100 // bins))
+        histogram[binned] = histogram.get(binned, 0) + 1
+    return histogram
+
+
+def build_mixture_model(
+    variant_loci: Sequence[VariantLocus],
+    num_clusters: int,
+    max_iterations: int = 50,
+    convergence_tol: float = 1e-2,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """1-D Gaussian mixture EM over VAFs, vectorized in JAX (the MLlib
+    GaussianMixture analog, VAFHistogram.scala:265-281).
+
+    Returns (weights, means, variances).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(
+        [v.variant_allele_frequency for v in variant_loci], dtype=jnp.float32
+    )
+    n = x.shape[0]
+    k = num_clusters
+    rng = np.random.RandomState(seed)
+    means0 = jnp.asarray(
+        np.quantile(np.asarray(x), (np.arange(k) + 0.5) / k), dtype=jnp.float32
+    )
+    weights0 = jnp.full((k,), 1.0 / k, dtype=jnp.float32)
+    variances0 = jnp.full((k,), jnp.var(x) + 1e-4, dtype=jnp.float32)
+
+    @jax.jit
+    def em_step(weights, means, variances):
+        # E step: responsibilities [n, k]
+        diff = x[:, None] - means[None, :]
+        log_pdf = (
+            -0.5 * diff * diff / variances[None, :]
+            - 0.5 * jnp.log(2 * jnp.pi * variances[None, :])
+        )
+        log_w = jnp.log(weights)[None, :] + log_pdf
+        log_norm = jax.scipy.special.logsumexp(log_w, axis=1, keepdims=True)
+        resp = jnp.exp(log_w - log_norm)
+        # M step
+        nk = resp.sum(axis=0) + 1e-10
+        new_weights = nk / n
+        new_means = (resp * x[:, None]).sum(axis=0) / nk
+        centered = x[:, None] - new_means[None, :]
+        new_vars = (resp * centered * centered).sum(axis=0) / nk + 1e-8
+        log_likelihood = log_norm.sum()
+        return new_weights, new_means, new_vars, log_likelihood
+
+    weights, means, variances = weights0, means0, variances0
+    last_ll = -np.inf
+    for _ in range(max_iterations):
+        weights, means, variances, ll = em_step(weights, means, variances)
+        ll = float(ll)
+        if abs(ll - last_ll) < convergence_tol:
+            break
+        last_ll = ll
+    weights, means, variances = map(np.asarray, (weights, means, variances))
+    for i in range(k):
+        print(
+            f"Cluster {i}: mean={means[i]}, std. deviation={np.sqrt(variances[i])}, "
+            f"weight={weights[i]}"
+        )
+    return weights, means, variances
+
+
+def main(argv, _add_fns) -> int:
+    import argparse
+
+    from guacamole_tpu.callers.common import resolve_loci_builder
+    from guacamole_tpu.gio.load import load_read_set
+    from guacamole_tpu.loci.partition import partition_loci_from_args
+    from guacamole_tpu.reads.read import InputFilters
+
+    p = argparse.ArgumentParser(
+        prog="guacamole vaf-histogram",
+        description="Compute and cluster the variant allele frequencies",
+    )
+    _add_fns["base"](p)
+    _add_fns["loci"](p)
+    _add_fns["distributed"](p)
+    p.add_argument("--out", default="", help="File path for the histogram")
+    p.add_argument("--local-out", default="", dest="local_out")
+    p.add_argument("--bins", type=int, default=20)
+    p.add_argument("--cluster", action="store_true")
+    p.add_argument("--num-clusters", type=int, default=3)
+    p.add_argument("--min-read-depth", type=int, default=0)
+    p.add_argument("--min-vaf", type=int, default=0)
+    p.add_argument("--print-stats", action="store_true")
+    p.add_argument("--sample-percent", type=int, default=25)
+    p.add_argument("bams", nargs="+")
+    args = p.parse_args(argv)
+
+    loci_builder = resolve_loci_builder(args.loci, args.loci_from_file)
+    filters = InputFilters.create(
+        overlaps_loci=loci_builder,
+        non_duplicate=True,
+        passed_vendor_quality_checks=True,
+        has_mdtag=True,
+    )
+    read_sets = [
+        load_read_set(bam, InputFilters.empty, token=i)
+        for i, bam in enumerate(args.bams)
+    ]
+    loci_set = loci_builder.result(read_sets[0].contig_lengths)
+    partitions = partition_loci_from_args(
+        args.parallelism,
+        args.partition_accuracy,
+        loci_set,
+        read_sets[0].mapped_reads,
+        default_parallelism=_add_fns["default_parallelism"](),
+    )
+    all_variant_loci = [
+        variant_loci_from_reads(
+            rs.mapped_reads,
+            partitions,
+            min_read_depth=args.min_read_depth,
+            min_variant_allele_frequency=args.min_vaf,
+            print_stats=args.print_stats,
+            sample_percent=args.sample_percent,
+            tile_size=args.tile_size,
+        )
+        for rs in read_sets
+    ]
+    bin_size = 100 // args.bins
+    lines: List[str] = []
+    for bam, rs, variant_loci in zip(args.bams, read_sets, all_variant_loci):
+        sample = (
+            rs.mapped_reads[0].sample_name if rs.mapped_reads else "default"
+        )
+        histogram = generate_vaf_histogram(variant_loci, args.bins)
+        for bin_start in sorted(histogram):
+            lines.append(
+                f"{bam}, {sample}, {bin_start}, "
+                f"{min(bin_start + bin_size, 100)}, {histogram[bin_start]}"
+            )
+    if args.local_out or args.out:
+        path = args.local_out or args.out
+        with open(path, "w") as out:
+            out.write("Filename, SampleName, BinStart, BinEnd, Size\n")
+            out.write("\n".join(lines) + ("\n" if lines else ""))
+    else:
+        for line in lines:
+            print(line)
+    if args.cluster:
+        for variant_loci in all_variant_loci:
+            if variant_loci:
+                build_mixture_model(variant_loci, args.num_clusters)
+    return 0

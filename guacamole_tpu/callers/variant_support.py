@@ -1,0 +1,126 @@
+"""variant-support tool: per-BAM allele counts at known variant sites.
+
+(cf. /root/reference .../commands/VariantSupport.scala:31-119)
+Builds a loci set from a VCF's variant positions, packs sparse tiles at
+those loci for each BAM, and reads allele counts off the device counting
+kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import numpy as np
+
+from guacamole_tpu.gio.vcf import read_vcf
+from guacamole_tpu.loci.locimap import LociMapBuilder
+from guacamole_tpu.loci.lociset import LociSet
+from guacamole_tpu.ops.kernels import tile_stats
+from guacamole_tpu.pack.tiles import pack_tiles
+from guacamole_tpu.pileup.pileup import Pileup
+from guacamole_tpu.utils import bases as Bases
+
+
+@dataclass(frozen=True)
+class AlleleCount:
+    sample: str
+    contig: str
+    locus: int
+    reference: str
+    alternate: str
+    count: int
+
+    def __str__(self) -> str:
+        return (
+            f"{self.sample}, {self.contig}, {self.locus}, "
+            f"{self.reference}, {self.alternate}, {self.count}"
+        )
+
+
+def loci_from_variants(vcf_path: str) -> LociSet:
+    """Union of [start, end) intervals of the VCF's variants
+    (VariantSupport.scala:84-89)."""
+    builder = LociMapBuilder()
+    for variant in read_vcf(vcf_path):
+        builder.put(variant.contig, variant.start, variant.end, 0)
+    return LociSet(builder.result())
+
+
+def pileup_allele_counts(
+    reads, loci: LociSet, tile_size: int = 4096
+) -> List[AlleleCount]:
+    """Per-(sample, locus, allele) read counts at the given loci."""
+    out: List[AlleleCount] = []
+    sample = reads[0].sample_name if reads else "default"
+    sorted_reads = sorted(reads, key=lambda r: r.start)
+    for contig in loci.contigs:
+        tiles = pack_tiles(
+            sorted_reads, contig, loci.on_contig(contig), tile_size=tile_size
+        )
+        for tile in tiles:
+            stats = tile_stats(
+                tile.allele_id, tile.strand, tile.valid, tile.is_variant, tile.K
+            )
+            counts = np.asarray(stats.counts)
+            for li in range(tile.L):
+                if tile.depth[li] == 0:
+                    continue
+                locus = int(tile.loci[li])
+                if tile.overflow[li]:
+                    pileup = Pileup.from_reads(sorted_reads, contig, locus)
+                    table = {}
+                    for e in pileup.elements:
+                        table[e.allele] = table.get(e.allele, 0) + 1
+                    pairs = sorted(table.items())
+                else:
+                    n = int(tile.num_alleles[li])
+                    pairs = [
+                        (tile.alleles[li][k], int(counts[li, k]))
+                        for k in range(n)
+                    ]
+                for allele, count in pairs:
+                    out.append(
+                        AlleleCount(
+                            sample=sample,
+                            contig=contig,
+                            locus=locus,
+                            reference=Bases.bases_to_string(allele.ref_bases),
+                            alternate=Bases.bases_to_string(allele.alt_bases),
+                            count=count,
+                        )
+                    )
+    return out
+
+
+def main(argv, _add_fns) -> int:
+    import argparse
+
+    from guacamole_tpu.gio.load import load_read_set
+    from guacamole_tpu.reads.read import InputFilters
+    from guacamole_tpu.utils.progress import progress
+
+    p = argparse.ArgumentParser(
+        prog="guacamole variant-support",
+        description="Find number of reads that support each variant across BAMs",
+    )
+    _add_fns["base"](p)
+    _add_fns["distributed"](p)
+    p.add_argument("--input-variant", "-v", required=True, dest="variants")
+    p.add_argument("--output", "-o", required=True)
+    p.add_argument("bams", nargs="+")
+    args = p.parse_args(argv)
+
+    loci = loci_from_variants(args.variants)
+    progress(f"Variant sites cover {loci.count} loci.")
+    lines: List[str] = []
+    for token, bam in enumerate(args.bams):
+        read_set = load_read_set(bam, InputFilters.empty, token=token)
+        counts = pileup_allele_counts(
+            read_set.mapped_reads, loci, tile_size=args.tile_size
+        )
+        lines.extend(str(c) for c in counts)
+    with open(args.output, "w") as out:
+        out.write("\n".join(lines) + ("\n" if lines else ""))
+    progress(f"Wrote {len(lines)} allele counts to {args.output}.")
+    return 0

@@ -138,6 +138,9 @@ def cmd_germline_threshold(argv: List[str]) -> int:
         "--emit-no-call", action="store_true", help="Output no-call calls"
     )
     p.add_argument("--reference-fasta", default=None, help="Reference FASTA")
+    p.add_argument(
+        "--truth", default="", help="Truth VCF to compute concordance against"
+    )
     args = p.parse_args(argv)
 
     from guacamole_tpu.callers.common import (
@@ -183,12 +186,17 @@ def cmd_germline_threshold(argv: List[str]) -> int:
         reference_genome=reference,
     )
     progress("Called %d genotypes." % len(calls))
+    records = [c.to_vcf_record() for c in calls]
     write_variants(
-        [c.to_vcf_record() for c in calls],
+        records,
         args.out,
         contig_lengths=read_set.contig_lengths,
         max_genotypes=args.max_genotypes,
     )
+    if args.truth:
+        from guacamole_tpu.concordance import print_genotype_concordance
+
+        print_genotype_concordance(records, args.truth)
     DelayedMessages.default.print()
     return 0
 

@@ -107,11 +107,13 @@ def read_pileup_events(read: MappedRead) -> ReadEvents:
                 )
                 bases[last] = 0
             elif next_elem is not None and next_elem.op == OP_D:
-                # Deletion anchored at this locus; deleted tail from MD.
-                assert read.mdtag is not None, "Deletion requires an MD tag"
+                # Deletion anchored at this locus; deleted tail from MD
+                # (N placeholders when the read has no MD tag — the
+                # reference would throw here, we degrade gracefully).
                 abs_locus = read.start + last
+                deletions = read.mdtag.deletions if read.mdtag else {}
                 tail = bytes(
-                    read.mdtag.deletions[abs_locus + 1 + t]
+                    deletions.get(abs_locus + 1 + t, ord("N"))
                     for t in range(next_elem.length)
                 )
                 kinds[last] = EventKind.DELETION
@@ -121,11 +123,11 @@ def read_pileup_events(read: MappedRead) -> ReadEvents:
             read_pos += elem.length
             ref_offset += elem.length
         elif op == OP_D:
-            assert read.mdtag is not None, "MidDeletion requires an MD tag"
+            deletions = read.mdtag.deletions if read.mdtag else {}
             for k in range(elem.length):
                 i = ref_offset + k
                 kinds[i] = EventKind.MID_DELETION
-                seqs[i] = bytes([read.mdtag.deletions[read.start + i]])
+                seqs[i] = bytes([deletions.get(read.start + i, ord("N"))])
                 quals[i] = read.alignment_quality
             ref_offset += elem.length
         elif op == OP_N:

@@ -105,10 +105,11 @@ def read_event_arrays(read: MappedRead) -> ReadEventArrays:
                 bases[last] = 0
                 specials[last] = (K_INSERTION, ins, q)
             elif next_elem is not None and next_elem.op == OP_D:
-                assert read.mdtag is not None, "Deletion requires an MD tag"
+                # Deleted tail from MD; N placeholders when no MD tag.
                 abs_locus = read.start + last
+                deletions = read.mdtag.deletions if read.mdtag else {}
                 tail = bytes(
-                    read.mdtag.deletions[abs_locus + 1 + t]
+                    deletions.get(abs_locus + 1 + t, ord("N"))
                     for t in range(next_elem.length)
                 )
                 q = int(read_quals[last_read_pos])
@@ -120,7 +121,7 @@ def read_event_arrays(read: MappedRead) -> ReadEventArrays:
             ref_offset += n
         elif op == OP_D:
             kinds[ref_offset : ref_offset + n] = K_MID_DELETION
-            # md_ref already holds the deleted reference bases here
+            # md_ref holds the deleted reference bases here (N if no MD)
             ref_offset += n
         elif op in (OP_N, OP_P):
             ref_offset += n
