@@ -32,6 +32,74 @@ def resolve_loci_builder(
     return parse_loci(expression)
 
 
+def load_read_source(
+    path: str,
+    filters,
+    contig_lengths_from_dictionary: bool = True,
+    reference_genome=None,
+    recompute_mdtags: bool = False,
+    use_native: bool = True,
+):
+    """Load reads as a ReadSource, preferring the native columnar decoder
+    for BAM inputs. Returns (source, sequence_dictionary).
+
+    Falls back to the object path for SAM inputs, when the native runtime is
+    unavailable, or when MD recomputation from a FASTA is requested.
+    """
+    from guacamole_tpu.callers.source import ReadSource
+    from guacamole_tpu.gio.load import load_read_set
+
+    if (
+        use_native
+        and path.lower().endswith(".bam")
+        and not recompute_mdtags
+    ):
+        from guacamole_tpu.runtime.columnar import (
+            decode_bam_columnar,
+            filter_columnar,
+        )
+
+        cols = decode_bam_columnar(path)
+        if cols is not None:
+            dictionary = cols.contig_lengths
+            loci_set = (
+                filters.overlaps_loci.result(dictionary)
+                if filters.overlaps_loci is not None
+                else None
+            )
+            filtered = filter_columnar(
+                cols,
+                loci_set=loci_set,
+                non_duplicate=filters.non_duplicate,
+                passed_vendor_quality_checks=(
+                    filters.passed_vendor_quality_checks
+                ),
+                has_mdtag=filters.has_mdtag,
+            )
+            if loci_set is None:
+                # callers operate on mapped reads only
+                filtered = filtered.select(filtered.is_mapped_mask)
+            if not contig_lengths_from_dictionary:
+                dictionary = {}
+                for contig_id, contig in enumerate(filtered.ref_names):
+                    m = filtered.ref_id == contig_id
+                    if m.any():
+                        dictionary[contig] = int(filtered.end[m].max())
+            return ReadSource.from_columnar(filtered), dictionary
+
+    read_set = load_read_set(
+        path,
+        filters,
+        contig_lengths_from_dictionary=contig_lengths_from_dictionary,
+        reference_genome=reference_genome,
+        recompute_mdtags=recompute_mdtags,
+    )
+    return (
+        ReadSource.from_reads(read_set.mapped_reads),
+        read_set.contig_lengths,
+    )
+
+
 def record_to_json(rec: VcfRecord) -> dict:
     out = {
         "sampleId": rec.sample_name,

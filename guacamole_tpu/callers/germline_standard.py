@@ -107,7 +107,7 @@ def _candidate_rows(tile: LocusTile, min_alignment_quality: int) -> np.ndarray:
 
 
 def call_variants(
-    reads: Sequence[MappedRead],
+    reads,
     loci_partitions: LociMap,
     min_alignment_quality: int = 0,
     emit_ref: bool = False,
@@ -115,20 +115,24 @@ def call_variants(
     max_alleles: int = 8,
     reference_genome=None,
 ) -> List[CalledAllele]:
-    """Two-phase (device screen -> exact host confirm) over a partitioning."""
-    by_sample: Dict[str, List[MappedRead]] = {}
-    for read in reads:
-        by_sample.setdefault(read.sample_name or "default", []).append(read)
+    """Two-phase (device screen -> exact host confirm) over a partitioning.
 
+    reads: a list of MappedReads or a ReadSource (columnar or object)."""
+    from guacamole_tpu.callers.source import ReadSource
+
+    source = (
+        reads if isinstance(reads, ReadSource) else ReadSource.from_reads(reads)
+    )
     calls: List[CalledAllele] = []
     inverse = loci_partitions.inverse_map()
+    sample_sources = {
+        name: source.for_sample(name) for name in source.sample_names()
+    }
     for task in sorted(inverse):
         task_loci = inverse[task]
-        for sample_name, sample_reads in sorted(by_sample.items()):
-            sample_reads = sorted(sample_reads, key=lambda r: r.start)
+        for sample_name, sample_source in sorted(sample_sources.items()):
             for contig in task_loci.contigs:
-                tiles = pack_tiles(
-                    sample_reads,
+                tiles = sample_source.pack_tiles(
                     contig,
                     task_loci.on_contig(contig),
                     tile_size=tile_size,
@@ -140,14 +144,13 @@ def call_variants(
                         if tile.depth[li] == 0:
                             continue
                         pileup = (
-                            Pileup.from_reads(
-                                sample_reads,
+                            sample_source.pileup_at(
                                 contig,
                                 int(tile.loci[li]),
                                 reference_base=int(tile.ref_base[li]),
                             )
                             if tile.overflow[li]
-                            else _pileup_from_tile_row(tile, li, sample_reads)
+                            else sample_source.pileup_from_tile_row(tile, li)
                         )
                         calls.extend(
                             call_variants_at_locus(
@@ -179,12 +182,12 @@ def main(argv, _add_fns) -> int:
     import argparse
 
     from guacamole_tpu.callers.common import (
+        load_read_source,
         resolve_loci_builder,
         validate_output_path,
         write_variants,
     )
     from guacamole_tpu.gio.fasta import ReferenceGenome
-    from guacamole_tpu.gio.load import load_read_set
     from guacamole_tpu.reads.read import InputFilters
     from guacamole_tpu.utils.progress import progress
 
@@ -223,19 +226,18 @@ def main(argv, _add_fns) -> int:
     filters = InputFilters.create(
         overlaps_loci=loci_builder, non_duplicate=True, has_mdtag=True
     )
-    read_set = load_read_set(
+    source, contig_lengths = load_read_source(
         args.reads,
         filters,
         contig_lengths_from_dictionary=not args.no_sequence_dictionary,
         reference_genome=reference,
         recompute_mdtags=args.recompute_md_tags,
     )
-    reads = read_set.mapped_reads
-    progress("Loaded %d mapped non-duplicate reads." % len(reads))
-    loci_set = loci_builder.result(read_set.contig_lengths)
-    partitions = _add_fns["partition"](args, loci_set, reads)
+    progress("Loaded %d mapped non-duplicate reads." % source.n)
+    loci_set = loci_builder.result(contig_lengths)
+    partitions = _add_fns["partition"](args, loci_set, source)
     calls = call_variants(
-        reads,
+        source,
         partitions,
         min_alignment_quality=args.min_alignment_quality,
         emit_ref=args.emit_ref,
@@ -254,7 +256,7 @@ def main(argv, _add_fns) -> int:
     write_variants(
         records,
         args.out,
-        contig_lengths=read_set.contig_lengths,
+        contig_lengths=contig_lengths,
         max_genotypes=args.max_genotypes,
     )
     if args.truth:

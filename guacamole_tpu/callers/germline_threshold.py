@@ -162,6 +162,7 @@ def call_tile(
     emit_ref: bool,
     emit_no_call: bool,
     sample_reads: Optional[Sequence[MappedRead]] = None,
+    source=None,
 ) -> List[ThresholdCall]:
     """Run the device counting kernel over a tile and classify on host."""
     if tile.L == 0:
@@ -184,10 +185,13 @@ def call_tile(
         locus = int(tile.loci[li])
         if tile.overflow[li]:
             # Exact host fallback for >K-allele or >D-depth loci.
-            assert sample_reads is not None, (
-                "overflow locus requires reads for exact host fallback"
-            )
-            pileup = Pileup.from_reads(sample_reads, tile.contig, locus)
+            if source is not None:
+                pileup = source.pileup_at(tile.contig, locus)
+            else:
+                assert sample_reads is not None, (
+                    "overflow locus requires reads for exact host fallback"
+                )
+                pileup = Pileup.from_reads(sample_reads, tile.contig, locus)
             counts_map: Dict[Allele, int] = {}
             for e in pileup.elements:
                 counts_map[e.allele] = counts_map.get(e.allele, 0) + 1
@@ -217,7 +221,7 @@ def call_tile(
 
 
 def call_variants(
-    reads: Sequence[MappedRead],
+    reads,
     loci_partitions: LociMap,
     threshold_percent: int = 8,
     emit_ref: bool = False,
@@ -226,20 +230,24 @@ def call_variants(
     max_alleles: int = 8,
     reference_genome=None,
 ) -> List[ThresholdCall]:
-    """Call variants over a loci partitioning (shard -> loci)."""
-    by_sample: Dict[str, List[MappedRead]] = {}
-    for read in reads:
-        by_sample.setdefault(read.sample_name or "default", []).append(read)
+    """Call variants over a loci partitioning (shard -> loci).
 
+    reads: a list of MappedReads or a ReadSource (columnar or object)."""
+    from guacamole_tpu.callers.source import ReadSource
+
+    source = (
+        reads if isinstance(reads, ReadSource) else ReadSource.from_reads(reads)
+    )
     calls: List[ThresholdCall] = []
     inverse = loci_partitions.inverse_map()
+    sample_sources = {
+        name: source.for_sample(name) for name in source.sample_names()
+    }
     for task in sorted(inverse):
         task_loci = inverse[task]
-        for sample_name, sample_reads in sorted(by_sample.items()):
-            sample_reads = sorted(sample_reads, key=lambda r: r.start)
+        for sample_name, sample_source in sorted(sample_sources.items()):
             for contig in task_loci.contigs:
-                tiles = pack_tiles(
-                    sample_reads,
+                tiles = sample_source.pack_tiles(
                     contig,
                     task_loci.on_contig(contig),
                     tile_size=tile_size,
@@ -254,7 +262,7 @@ def call_variants(
                             threshold_percent,
                             emit_ref,
                             emit_no_call,
-                            sample_reads=sample_reads,
+                            source=sample_source,
                         )
                     )
     return calls

@@ -137,8 +137,8 @@ def _pileup_from_tile_row(tile, li, reads) -> Pileup:
 
 
 def call_variants(
-    tumor_reads: Sequence[MappedRead],
-    normal_reads: Sequence[MappedRead],
+    tumor_reads,
+    normal_reads,
     loci_partitions: LociMap,
     odds_threshold: int = 20,
     min_alignment_quality: int = 1,
@@ -148,19 +148,25 @@ def call_variants(
     max_alleles: int = 8,
     reference_genome=None,
 ) -> List[CalledSomaticAllele]:
-    tumor_sorted = sorted(
-        (r for r in tumor_reads), key=lambda r: r.start
+    """tumor_reads/normal_reads: MappedRead lists or ReadSources."""
+    from guacamole_tpu.callers.source import ReadSource
+
+    tumor = (
+        tumor_reads
+        if isinstance(tumor_reads, ReadSource)
+        else ReadSource.from_reads(tumor_reads)
     )
-    normal_sorted = sorted(
-        (r for r in normal_reads), key=lambda r: r.start
+    normal = (
+        normal_reads
+        if isinstance(normal_reads, ReadSource)
+        else ReadSource.from_reads(normal_reads)
     )
     calls: List[CalledSomaticAllele] = []
     inverse = loci_partitions.inverse_map()
     for task in sorted(inverse):
         task_loci = inverse[task]
         for contig in task_loci.contigs:
-            tiles = pack_tiles(
-                tumor_sorted,
+            tiles = tumor.pack_tiles(
                 contig,
                 task_loci.on_contig(contig),
                 tile_size=tile_size,
@@ -187,8 +193,7 @@ def call_variants(
                     continue
                 # Sparse normal tile over just the candidate loci (resolves
                 # the normal sample's own reference bases).
-                normal_tile = pack_tile_fast(
-                    normal_sorted,
+                normal_tile = normal.pack_sparse_tile(
                     contig,
                     candidate_loci,
                     max_alleles=max_alleles,
@@ -202,25 +207,21 @@ def call_variants(
                         continue
                     locus = int(tile.loci[li])
                     tumor_pileup = (
-                        Pileup.from_reads(
-                            tumor_sorted,
-                            contig,
-                            locus,
-                            reference_base=int(tile.ref_base[li]),
+                        tumor.pileup_at(
+                            contig, locus, reference_base=int(tile.ref_base[li])
                         )
                         if tile.overflow[li]
-                        else _pileup_from_tile_row(tile, li, tumor_sorted)
+                        else tumor.pileup_from_tile_row(tile, li)
                     )
                     ni = normal_row[locus]
                     normal_pileup = (
-                        Pileup.from_reads(
-                            normal_sorted,
+                        normal.pileup_at(
                             contig,
                             locus,
                             reference_base=int(normal_tile.ref_base[ni]),
                         )
                         if normal_tile.overflow[ni]
-                        else _pileup_from_tile_row(normal_tile, ni, normal_sorted)
+                        else normal.pileup_from_tile_row(normal_tile, ni)
                     )
                     calls.extend(
                         find_potential_variant_at_locus(
@@ -288,6 +289,7 @@ def main(argv, _add_fns) -> int:
     import argparse
 
     from guacamole_tpu.callers.common import (
+        load_read_source,
         resolve_loci_builder,
         validate_output_path,
         write_variants,
@@ -345,33 +347,31 @@ def main(argv, _add_fns) -> int:
         passed_vendor_quality_checks=True,
         has_mdtag=True,
     )
-    tumor_set = load_read_set(
+    tumor_source, tumor_lengths = load_read_source(
         args.tumor_reads,
         filters,
-        token=1,
         contig_lengths_from_dictionary=not args.no_sequence_dictionary,
         reference_genome=reference,
         recompute_mdtags=args.recompute_md_tags,
     )
-    normal_set = load_read_set(
+    normal_source, normal_lengths = load_read_source(
         args.normal_reads,
         filters,
-        token=2,
         contig_lengths_from_dictionary=not args.no_sequence_dictionary,
         reference_genome=reference,
         recompute_mdtags=args.recompute_md_tags,
     )
     progress(
         "Loaded %d tumor, %d normal reads."
-        % (len(tumor_set.mapped_reads), len(normal_set.mapped_reads))
+        % (tumor_source.n, normal_source.n)
     )
-    loci_set = loci_builder.result(normal_set.contig_lengths)
+    loci_set = loci_builder.result(normal_lengths)
     partitions = _add_fns["partition"](
-        args, loci_set, tumor_set.mapped_reads, normal_set.mapped_reads
+        args, loci_set, tumor_source, normal_source
     )
     potential = call_variants(
-        tumor_set.mapped_reads,
-        normal_set.mapped_reads,
+        tumor_source,
+        normal_source,
         partitions,
         odds_threshold=args.odds_threshold,
         min_alignment_quality=args.min_alignment_quality,
@@ -419,7 +419,7 @@ def main(argv, _add_fns) -> int:
     write_variants(
         [called_somatic_allele_to_vcf_record(c) for c in filtered],
         args.out,
-        contig_lengths=normal_set.contig_lengths,
+        contig_lengths=normal_lengths,
         max_genotypes=args.max_genotypes,
     )
     return 0

@@ -144,13 +144,13 @@ def cmd_germline_threshold(argv: List[str]) -> int:
     args = p.parse_args(argv)
 
     from guacamole_tpu.callers.common import (
+        load_read_source,
         resolve_loci_builder,
         validate_output_path,
         write_variants,
     )
     from guacamole_tpu.callers.germline_threshold import call_variants
     from guacamole_tpu.gio.fasta import ReferenceGenome
-    from guacamole_tpu.gio.load import load_read_set
     from guacamole_tpu.reads.read import InputFilters
 
     validate_output_path(args.out)
@@ -163,21 +163,20 @@ def cmd_germline_threshold(argv: List[str]) -> int:
     filters = InputFilters.create(
         overlaps_loci=loci_builder, non_duplicate=True, has_mdtag=True
     )
-    read_set = load_read_set(
+    source, contig_lengths = load_read_source(
         args.reads,
         filters,
         contig_lengths_from_dictionary=not args.no_sequence_dictionary,
         reference_genome=reference,
         recompute_mdtags=args.recompute_md_tags,
     )
-    reads = read_set.mapped_reads
     progress(
-        "Loaded %d mapped non-duplicate MdTag-containing reads." % len(reads)
+        "Loaded %d mapped non-duplicate MdTag-containing reads." % source.n
     )
-    loci_set = loci_builder.result(read_set.contig_lengths)
-    loci_partitions = _partition(args, loci_set, reads)
+    loci_set = loci_builder.result(contig_lengths)
+    loci_partitions = _partition(args, loci_set, source)
     calls = call_variants(
-        reads,
+        source,
         loci_partitions,
         threshold_percent=args.threshold,
         emit_ref=args.emit_ref,
@@ -190,7 +189,7 @@ def cmd_germline_threshold(argv: List[str]) -> int:
     write_variants(
         records,
         args.out,
-        contig_lengths=read_set.contig_lengths,
+        contig_lengths=contig_lengths,
         max_genotypes=args.max_genotypes,
     )
     if args.truth:

@@ -52,6 +52,35 @@ def partition_loci_uniformly(tasks: int, loci: LociSet) -> LociMap:
     return result
 
 
+def _region_arrays_by_contig(regions) -> Dict[str, tuple]:
+    """Extract {contig: (starts, ends)} from region objects, a ReadSource,
+    or columnar reads."""
+    cols = getattr(regions, "_cols", None)
+    if cols is None and hasattr(regions, "ref_names") and hasattr(
+        regions, "ref_id"
+    ):
+        cols = regions
+    if cols is not None:
+        out = {}
+        for contig_id, contig in enumerate(cols.ref_names):
+            mask = cols.ref_id == contig_id
+            if mask.any():
+                out[contig] = (cols.start[mask], cols.end[mask])
+        return out
+    if hasattr(regions, "reads_list"):
+        regions = regions.reads_list()
+    by_contig: Dict[str, List] = {}
+    for region in regions:
+        by_contig.setdefault(region.reference_contig, []).append(region)
+    return {
+        contig: (
+            np.fromiter((r.start for r in rs), dtype=np.int64),
+            np.fromiter((r.end for r in rs), dtype=np.int64),
+        )
+        for contig, rs in by_contig.items()
+    }
+
+
 def count_regions_per_micro_partition(
     micro_partitions: LociMap, region_sets: Sequence, num_micro: int
 ) -> np.ndarray:
@@ -64,17 +93,10 @@ def count_regions_per_micro_partition(
     """
     counts = np.zeros(num_micro, dtype=np.int64)
     for regions in region_sets:
-        by_contig: Dict[str, List] = {}
-        for region in regions:
-            by_contig.setdefault(region.reference_contig, []).append(region)
-        for contig, contig_regions in by_contig.items():
+        for contig, (starts, ends) in _region_arrays_by_contig(regions).items():
             cmap = micro_partitions.on_contig(contig)
             if cmap.is_empty:
                 continue
-            starts = np.fromiter(
-                (r.start for r in contig_regions), dtype=np.int64
-            )
-            ends = np.fromiter((r.end for r in contig_regions), dtype=np.int64)
             # interval index range [lo, hi) overlapping each region
             los = np.searchsorted(cmap.ends, starts, side="right")
             his = np.searchsorted(cmap.starts, ends, side="left")

@@ -1,0 +1,216 @@
+"""Columnar tile packer: ColumnarReads -> LocusTile with zero per-read
+Python work.
+
+The flat element table is built with pure numpy gathers over the decoder's
+event arrays (native C++ or Python fallback), then finished by the shared
+tile-assembly stage. This is the production packing path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from guacamole_tpu.pack.fast import (
+    K_DELETION,
+    K_INSERTION,
+    _empty_tile,
+    _finish_tile,
+)
+from guacamole_tpu.pack.tiles import LocusTile, pad_tile_loci
+from guacamole_tpu.runtime.columnar import ColumnarReads
+
+
+def pack_tile_columnar(
+    cols: ColumnarReads,
+    contig_id: int,
+    contig_name: str,
+    loci: Sequence[int],
+    max_alleles: int = 8,
+    reference_genome=None,
+    depth_pad: Optional[int] = None,
+    sorted_by_start: bool = True,
+) -> LocusTile:
+    """Pack one tile from columnar reads (must be sorted by start)."""
+    loci_arr = np.asarray(loci, dtype=np.int64)
+    L = len(loci_arr)
+    K = max_alleles
+    if L == 0 or cols.n == 0:
+        return _empty_tile(contig_name, loci_arr, K, depth_pad or 8)
+
+    lo_bound = int(loci_arr[0])
+    hi_bound = int(loci_arr[-1])
+
+    on_contig = cols.ref_id == contig_id
+    overlaps = on_contig & (cols.end > lo_bound) & (cols.start <= hi_bound)
+    sel = np.flatnonzero(overlaps)
+    if len(sel) == 0:
+        return _empty_tile(contig_name, loci_arr, K, depth_pad or 8)
+
+    # Within-locus element order must be read-start order (pileup parity);
+    # stable-sort the selection by start (no-op for coordinate-sorted BAMs).
+    sel = sel[np.argsort(cols.start[sel], kind="stable")]
+
+    starts = cols.start[sel]
+    ends = cols.end[sel]
+    row_lo = np.searchsorted(loci_arr, starts, side="left")
+    row_hi = np.searchsorted(loci_arr, ends, side="left")
+    counts = (row_hi - row_lo).astype(np.int64)
+    keep = counts > 0
+    sel, starts, ends, row_lo, counts = (
+        sel[keep], starts[keep], ends[keep], row_lo[keep], counts[keep],
+    )
+    total = int(counts.sum())
+    if total == 0:
+        return _empty_tile(contig_name, loci_arr, K, depth_pad or 8)
+
+    # flat table: one row per (read, covered locus)
+    sel_of_row = np.repeat(np.arange(len(sel), dtype=np.int64), counts)
+    cum = np.zeros(len(sel) + 1, dtype=np.int64)
+    np.cumsum(counts, out=cum[1:])
+    within = np.arange(total, dtype=np.int64) - cum[sel_of_row]
+    locus_row = row_lo[sel_of_row] + within
+    read_of_row = sel[sel_of_row]
+    locus_vals = loci_arr[locus_row]
+    ev_idx = cols.ev_off[read_of_row] + (locus_vals - cols.start[read_of_row])
+
+    kind = cols.ev_kind[ev_idx]
+    base = cols.ev_base[ev_idx]
+    qual = cols.ev_qual[ev_idx].astype(np.int16)
+    mdref = cols.ev_mdref[ev_idx]
+    mapq = cols.mapq[read_of_row].astype(np.int16)
+    strand = cols.is_positive_strand[read_of_row]
+    mismatch = cols.mismatches[read_of_row].astype(np.int16)
+    edge = np.where(
+        strand,
+        cols.end[read_of_row] - locus_vals,
+        locus_vals - cols.start[read_of_row],
+    ).astype(np.int32)
+    readidx = read_of_row.astype(np.int32)
+
+    # specials: map (read, offset) -> flat row via the global event index
+    special_entries: List[Tuple[int, int, bytes, int]] = []
+    if len(cols.sp_read):
+        sp_ev = cols.ev_off[cols.sp_read] + cols.sp_offset
+        order = np.argsort(ev_idx, kind="stable")
+        sorted_ev = ev_idx[order]
+        pos = np.searchsorted(sorted_ev, sp_ev)
+        valid = (pos < total) & (
+            sorted_ev[np.minimum(pos, total - 1)] == sp_ev
+        )
+        for j in np.flatnonzero(valid):
+            flat_row = int(order[pos[j]])
+            payload = bytes(
+                cols.special_payload[
+                    cols.sp_payload_offset[j] : cols.sp_payload_offset[j]
+                    + cols.sp_payload_len[j]
+                ]
+            )
+            skind = (
+                K_INSERTION
+                if cols.sp_kind[j] == K_INSERTION
+                else K_DELETION
+            )
+            special_entries.append(
+                (flat_row, skind, payload, int(cols.sp_qual[j]))
+            )
+
+    return _finish_tile(
+        contig_name,
+        loci_arr,
+        K,
+        depth_pad,
+        reference_genome,
+        locus_row,
+        kind,
+        qual,
+        base,
+        mdref,
+        mapq,
+        strand,
+        mismatch,
+        edge,
+        readidx,
+        special_entries,
+    )
+
+
+def covered_loci(
+    cols: ColumnarReads, contig_id: int, loci_ranges: Sequence[Tuple[int, int]]
+) -> np.ndarray:
+    """Loci from loci_ranges covered by >= 1 read, without materializing
+    uncovered spans (interval intersection)."""
+    mask = cols.ref_id == contig_id
+    if not mask.any():
+        return np.empty(0, dtype=np.int64)
+    starts = cols.start[mask]
+    ends = cols.end[mask]
+    order = np.argsort(starts, kind="stable")
+    starts = starts[order]
+    ends = np.maximum.accumulate(ends[order])
+    covered: List[Tuple[int, int]] = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        if covered and s <= covered[-1][1]:
+            covered[-1] = (covered[-1][0], max(covered[-1][1], e))
+        else:
+            covered.append((s, e))
+    pieces = []
+    ci = 0
+    for s, e in loci_ranges:
+        while ci < len(covered) and covered[ci][1] <= s:
+            ci += 1
+        cj = ci
+        while cj < len(covered) and covered[cj][0] < e:
+            lo = max(s, covered[cj][0])
+            hi = min(e, covered[cj][1])
+            if hi > lo:
+                pieces.append(np.arange(lo, hi, dtype=np.int64))
+            cj += 1
+    return (
+        np.concatenate(pieces) if pieces else np.empty(0, dtype=np.int64)
+    )
+
+
+def pack_tiles_columnar(
+    cols: ColumnarReads,
+    contig_name: str,
+    loci,
+    tile_size: int = 4096,
+    max_alleles: int = 8,
+    reference_genome=None,
+    skip_empty: bool = True,
+    pad_to_tile_size: bool = True,
+) -> List[LocusTile]:
+    """Pack a contig's loci into tiles from columnar reads."""
+    try:
+        contig_id = cols.ref_names.index(contig_name)
+    except ValueError:
+        return []
+    loci_ranges = (
+        loci.ranges if hasattr(loci, "ranges") else [(int(l), int(l) + 1) for l in loci]
+    )
+    if skip_empty:
+        all_loci = covered_loci(cols, contig_id, loci_ranges)
+    else:
+        all_loci = (
+            np.concatenate(
+                [np.arange(s, e, dtype=np.int64) for s, e in loci_ranges]
+            )
+            if loci_ranges
+            else np.empty(0, dtype=np.int64)
+        )
+    tiles = []
+    for i in range(0, len(all_loci), tile_size):
+        tile = pack_tile_columnar(
+            cols,
+            contig_id,
+            contig_name,
+            all_loci[i : i + tile_size],
+            max_alleles=max_alleles,
+            reference_genome=reference_genome,
+        )
+        if pad_to_tile_size and tile.L < tile_size:
+            tile = pad_tile_loci(tile, tile_size)
+        tiles.append(tile)
+    return tiles

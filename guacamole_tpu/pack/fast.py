@@ -229,16 +229,50 @@ def pack_tile_fast(
     if total_rows == 0:
         return _empty_tile(contig, loci_arr, K, depth_pad or 8)
 
-    locus_row = np.concatenate(rows_locus)
-    kind = np.concatenate(rows_kind)
-    qual = np.concatenate(rows_qual)
-    base = np.concatenate(rows_base)
-    mdref = np.concatenate(rows_mdref)
-    mapq = np.concatenate(rows_mapq)
-    strand = np.concatenate(rows_strand)
-    mismatch = np.concatenate(rows_mismatch)
-    edge = np.concatenate(rows_edge)
-    readidx = np.concatenate(rows_readidx)
+    return _finish_tile(
+        contig,
+        loci_arr,
+        K,
+        depth_pad,
+        reference_genome,
+        np.concatenate(rows_locus),
+        np.concatenate(rows_kind),
+        np.concatenate(rows_qual),
+        np.concatenate(rows_base),
+        np.concatenate(rows_mdref),
+        np.concatenate(rows_mapq),
+        np.concatenate(rows_strand),
+        np.concatenate(rows_mismatch),
+        np.concatenate(rows_edge),
+        np.concatenate(rows_readidx),
+        special_entries,
+    )
+
+
+def _finish_tile(
+    contig,
+    loci_arr,
+    K,
+    depth_pad,
+    reference_genome,
+    locus_row,
+    kind,
+    qual,
+    base,
+    mdref,
+    mapq,
+    strand,
+    mismatch,
+    edge,
+    readidx,
+    special_entries,
+):
+    """Shared tile-assembly stage: flat element table -> LocusTile.
+
+    special_entries: (pre-sort flat row index, kind, payload bytes, qual).
+    """
+    L = len(loci_arr)
+    total_rows = len(locus_row)
 
     # Stable sort by locus keeps read order within each locus.
     order = np.argsort(locus_row, kind="stable")

@@ -1,0 +1,397 @@
+"""Columnar read storage: the production host-side representation.
+
+Reads live as parallel numpy arrays (decoded by the native runtime or a
+Python fallback), never as per-read objects on the hot path; object-model
+MappedReads are materialized lazily only for the exact host confirmation at
+candidate loci.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from guacamole_tpu.gio import sam_flags as flags
+from guacamole_tpu.pack.events import EventKind
+from guacamole_tpu.reads.cigar import OPS, Cigar, CigarElement
+from guacamole_tpu.reads.mdtag import MdTag
+from guacamole_tpu.reads.read import MappedRead
+
+
+@dataclass
+class ColumnarReads:
+    """Columnar mapped-read arrays for one BAM (or a filtered slice)."""
+
+    ref_names: List[str]
+    ref_lengths: List[int]
+    samples: List[str]
+    # per-read scalars
+    ref_id: np.ndarray  # int32
+    start: np.ndarray  # int64
+    end: np.ndarray  # int64
+    mapq: np.ndarray  # int32
+    flags_: np.ndarray  # uint16
+    mismatches: np.ndarray  # int32
+    sample_id: np.ndarray  # int32
+    # variable-length
+    seq_off: np.ndarray
+    seq: np.ndarray
+    qual: np.ndarray
+    cigar_off: np.ndarray
+    cigar_len: np.ndarray
+    cigar_op: np.ndarray
+    md_off: np.ndarray
+    md_text: np.ndarray
+    # event arrays
+    ev_off: np.ndarray
+    ev_kind: np.ndarray
+    ev_base: np.ndarray
+    ev_qual: np.ndarray
+    ev_mdref: np.ndarray
+    # specials
+    sp_read: np.ndarray
+    sp_offset: np.ndarray
+    sp_kind: np.ndarray
+    sp_payload_offset: np.ndarray
+    sp_payload_len: np.ndarray
+    sp_qual: np.ndarray
+    special_payload: np.ndarray
+
+    @property
+    def n(self) -> int:
+        return len(self.start)
+
+    @property
+    def contig_lengths(self) -> Dict[str, int]:
+        return dict(zip(self.ref_names, self.ref_lengths))
+
+    @property
+    def is_positive_strand(self) -> np.ndarray:
+        return (self.flags_ & flags.REVERSE) == 0
+
+    @property
+    def is_mapped_mask(self) -> np.ndarray:
+        return ((self.flags_ & flags.UNMAPPED) == 0) & (self.ref_id >= 0)
+
+    def select(self, mask: np.ndarray) -> "ColumnarReads":
+        """Subset reads by boolean mask (event/special tables re-indexed)."""
+        idx = np.flatnonzero(mask)
+        return self.take(idx)
+
+    def take(self, idx: np.ndarray) -> "ColumnarReads":
+        old_to_new = np.full(self.n, -1, dtype=np.int64)
+        old_to_new[idx] = np.arange(len(idx))
+
+        def var_take(off, data):
+            lengths = (off[1:] - off[:-1])[idx]
+            new_off = np.zeros(len(idx) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=new_off[1:])
+            total = int(new_off[-1])
+            if len(data) == 0 or len(idx) == 0 or total == 0:
+                return new_off, data[:0]
+            gather = (
+                np.repeat(off[idx], lengths)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(new_off[:-1], lengths)
+            )
+            return new_off, data[gather]
+
+        seq_off, seq = var_take(self.seq_off, self.seq)
+        _, qual = var_take(self.seq_off, self.qual)
+        cigar_off, cigar_len = var_take(self.cigar_off, self.cigar_len)
+        _, cigar_op = var_take(self.cigar_off, self.cigar_op)
+        md_off, md_text = var_take(self.md_off, self.md_text)
+        ev_off, ev_kind = var_take(self.ev_off, self.ev_kind)
+        _, ev_base = var_take(self.ev_off, self.ev_base)
+        _, ev_qual = var_take(self.ev_off, self.ev_qual)
+        _, ev_mdref = var_take(self.ev_off, self.ev_mdref)
+
+        sp_mask = old_to_new[self.sp_read] >= 0
+        return ColumnarReads(
+            ref_names=self.ref_names,
+            ref_lengths=self.ref_lengths,
+            samples=self.samples,
+            ref_id=self.ref_id[idx],
+            start=self.start[idx],
+            end=self.end[idx],
+            mapq=self.mapq[idx],
+            flags_=self.flags_[idx],
+            mismatches=self.mismatches[idx],
+            sample_id=self.sample_id[idx],
+            seq_off=seq_off,
+            seq=seq,
+            qual=qual,
+            cigar_off=cigar_off,
+            cigar_len=cigar_len,
+            cigar_op=cigar_op,
+            md_off=md_off,
+            md_text=md_text,
+            ev_off=ev_off,
+            ev_kind=ev_kind,
+            ev_base=ev_base,
+            ev_qual=ev_qual,
+            ev_mdref=ev_mdref,
+            sp_read=old_to_new[self.sp_read[sp_mask]],
+            sp_offset=self.sp_offset[sp_mask],
+            sp_kind=self.sp_kind[sp_mask],
+            sp_payload_offset=self.sp_payload_offset[sp_mask],
+            sp_payload_len=self.sp_payload_len[sp_mask],
+            sp_qual=self.sp_qual[sp_mask],
+            special_payload=self.special_payload,
+        )
+
+    def to_mapped_read(self, i: int, token: int = 0) -> MappedRead:
+        """Materialize one read as an object (for exact host paths)."""
+        elements = [
+            CigarElement(int(l), int(o))
+            for l, o in zip(
+                self.cigar_len[self.cigar_off[i] : self.cigar_off[i + 1]],
+                self.cigar_op[self.cigar_off[i] : self.cigar_off[i + 1]],
+            )
+        ]
+        cigar = Cigar(elements)
+        md_slice = self.md_text[self.md_off[i] : self.md_off[i + 1]]
+        mdtag = (
+            MdTag(bytes(md_slice).decode(), int(self.start[i]), cigar)
+            if len(md_slice)
+            else None
+        )
+        f = int(self.flags_[i])
+        return MappedRead(
+            token=token,
+            sequence=bytes(self.seq[self.seq_off[i] : self.seq_off[i + 1]]),
+            base_qualities=bytes(
+                self.qual[self.seq_off[i] : self.seq_off[i + 1]]
+            ),
+            is_duplicate=bool(f & flags.DUPLICATE),
+            sample_name=self.samples[int(self.sample_id[i])],
+            reference_contig=self.ref_names[int(self.ref_id[i])],
+            alignment_quality=int(self.mapq[i]),
+            start=int(self.start[i]),
+            cigar=cigar,
+            mdtag=mdtag,
+            failed_vendor_quality_checks=bool(f & flags.VENDOR_FAILED),
+            is_positive_strand=not (f & flags.REVERSE),
+            is_paired=bool(f & flags.PAIRED),
+        )
+
+
+def filter_columnar(
+    cols: ColumnarReads,
+    loci_set=None,
+    non_duplicate: bool = False,
+    passed_vendor_quality_checks: bool = False,
+    has_mdtag: bool = False,
+) -> ColumnarReads:
+    """Vectorized InputFilters over columnar reads (cf. the object-path
+    filters in gio/load.py)."""
+    mask = np.ones(cols.n, dtype=bool)
+    if loci_set is not None:
+        mask &= cols.is_mapped_mask
+        overlap = np.zeros(cols.n, dtype=bool)
+        for contig_id, contig in enumerate(cols.ref_names):
+            contig_mask = mask & (cols.ref_id == contig_id)
+            if not contig_mask.any():
+                continue
+            contig_loci = loci_set.on_contig(contig)
+            if contig_loci.is_empty:
+                continue
+            idx = np.flatnonzero(contig_mask)
+            starts = cols.start[idx]
+            ends = cols.end[idx]
+            lo = np.searchsorted(contig_loci.ends, starts, side="right")
+            hi = np.searchsorted(contig_loci.starts, ends, side="left")
+            overlap[idx] = (hi > lo) & (ends > starts)
+        mask &= overlap
+    else:
+        mask &= cols.is_mapped_mask
+    if non_duplicate:
+        mask &= (cols.flags_ & flags.DUPLICATE) == 0
+    if passed_vendor_quality_checks:
+        mask &= (cols.flags_ & flags.VENDOR_FAILED) == 0
+    if has_mdtag:
+        mask &= (cols.md_off[1:] - cols.md_off[:-1]) > 0
+    return cols.select(mask)
+
+
+def native_available() -> bool:
+    from guacamole_tpu.runtime.native import load_library
+
+    return load_library() is not None
+
+
+def decode_bam_columnar(path: str, threads: int = 0) -> Optional[ColumnarReads]:
+    """Decode a BAM into ColumnarReads with the native runtime (None if the
+    native library is unavailable)."""
+    from guacamole_tpu.runtime.native import decode_bam_native
+
+    raw = decode_bam_native(path, threads)
+    if raw is None:
+        return None
+    return ColumnarReads(
+        ref_names=raw["ref_names"],
+        ref_lengths=raw["ref_lengths"],
+        samples=raw["samples"] or ["default"],
+        ref_id=raw["ref_id"],
+        start=raw["start"],
+        end=raw["end"],
+        mapq=raw["mapq"],
+        flags_=raw["flags"],
+        mismatches=raw["mismatches"],
+        sample_id=raw["sample_id"],
+        seq_off=raw["seq_off"],
+        seq=raw["seq"],
+        qual=raw["qual"],
+        cigar_off=raw["cigar_off"],
+        cigar_len=raw["cigar_len"],
+        cigar_op=raw["cigar_op"],
+        md_off=raw["md_off"],
+        md_text=raw["md_text"],
+        ev_off=raw["ev_off"],
+        ev_kind=raw["ev_kind"],
+        ev_base=raw["ev_base"],
+        ev_qual=raw["ev_qual"],
+        ev_mdref=raw["ev_mdref"],
+        sp_read=raw["sp_read"],
+        sp_offset=raw["sp_offset"],
+        sp_kind=raw["sp_kind"],
+        sp_payload_offset=raw["sp_payload_offset"],
+        sp_payload_len=raw["sp_payload_len"],
+        sp_qual=raw["sp_qual"],
+        special_payload=raw["special_payload"],
+    )
+
+
+def columnar_from_reads(reads: Sequence[MappedRead]) -> ColumnarReads:
+    """Python fallback: build ColumnarReads from read objects (also the
+    cross-check oracle for the native decoder)."""
+    from guacamole_tpu.pack.fast import read_event_arrays
+
+    ref_names: List[str] = []
+    ref_index: Dict[str, int] = {}
+    samples: List[str] = []
+    sample_index: Dict[str, int] = {}
+
+    n = len(reads)
+    ref_id = np.zeros(n, dtype=np.int32)
+    start = np.zeros(n, dtype=np.int64)
+    end = np.zeros(n, dtype=np.int64)
+    mapq = np.zeros(n, dtype=np.int32)
+    flags_arr = np.zeros(n, dtype=np.uint16)
+    mismatches = np.zeros(n, dtype=np.int32)
+    sample_id = np.zeros(n, dtype=np.int32)
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    cigar_off = np.zeros(n + 1, dtype=np.int64)
+    md_off = np.zeros(n + 1, dtype=np.int64)
+    ev_off = np.zeros(n + 1, dtype=np.int64)
+    seqs, quals, clens, cops, mds = [], [], [], [], []
+    ev_kind, ev_base, ev_qual, ev_mdref = [], [], [], []
+    sp_read, sp_offset, sp_kind, sp_poff, sp_plen, sp_qual = (
+        [], [], [], [], [], [],
+    )
+    payload = bytearray()
+
+    for i, read in enumerate(reads):
+        contig = read.reference_contig
+        if contig not in ref_index:
+            ref_index[contig] = len(ref_names)
+            ref_names.append(contig)
+        sample = read.sample_name or "default"
+        if sample not in sample_index:
+            sample_index[sample] = len(samples)
+            samples.append(sample)
+        ref_id[i] = ref_index[contig]
+        start[i] = read.start
+        end[i] = read.end
+        mapq[i] = read.alignment_quality
+        f = 0
+        if read.is_paired:
+            f |= flags.PAIRED
+        if not read.is_positive_strand:
+            f |= flags.REVERSE
+        if read.is_duplicate:
+            f |= flags.DUPLICATE
+        if read.failed_vendor_quality_checks:
+            f |= flags.VENDOR_FAILED
+        flags_arr[i] = f
+        mismatches[i] = read.mdtag.count_of_mismatches if read.mdtag else 0
+        sample_id[i] = sample_index[sample]
+        seqs.append(np.frombuffer(read.sequence, dtype=np.uint8))
+        quals.append(np.frombuffer(read.base_qualities, dtype=np.uint8))
+        seq_off[i + 1] = seq_off[i] + len(read.sequence)
+        clens.append(
+            np.array([e.length for e in read.cigar], dtype=np.uint32)
+        )
+        cops.append(np.array([e.op for e in read.cigar], dtype=np.uint8))
+        cigar_off[i + 1] = cigar_off[i] + len(read.cigar)
+        md = read.mdtag.tag.encode() if read.mdtag else b""
+        mds.append(np.frombuffer(md, dtype=np.uint8))
+        md_off[i + 1] = md_off[i] + len(md)
+        if read.cigar.read_length == len(read.sequence):
+            ev = read_event_arrays(read)
+            ev_kind.append(ev.kinds)
+            ev_base.append(ev.bases)
+            ev_qual.append(ev.quals.astype(np.uint8))
+            ev_mdref.append(ev.md_ref)
+            for off, (kind, pl, q) in sorted(ev.specials.items()):
+                sp_read.append(i)
+                sp_offset.append(off)
+                sp_kind.append(kind)
+                sp_poff.append(len(payload))
+                sp_plen.append(len(pl))
+                sp_qual.append(q)
+                payload.extend(pl)
+            span = read.end - read.start
+        else:
+            span = read.end - read.start
+            ev_kind.append(
+                np.full(span, int(EventKind.CLIPPED), dtype=np.uint8)
+            )
+            ev_base.append(np.zeros(span, dtype=np.uint8))
+            ev_qual.append(
+                np.full(span, read.alignment_quality, dtype=np.uint8)
+            )
+            ev_mdref.append(np.full(span, ord("N"), dtype=np.uint8))
+        ev_off[i + 1] = ev_off[i] + span
+
+    def cat(parts, dtype):
+        return (
+            np.concatenate(parts).astype(dtype)
+            if parts
+            else np.empty(0, dtype=dtype)
+        )
+
+    return ColumnarReads(
+        ref_names=ref_names,
+        ref_lengths=[0] * len(ref_names),
+        samples=samples or ["default"],
+        ref_id=ref_id,
+        start=start,
+        end=end,
+        mapq=mapq,
+        flags_=flags_arr,
+        mismatches=mismatches,
+        sample_id=sample_id,
+        seq_off=seq_off,
+        seq=cat(seqs, np.uint8),
+        qual=cat(quals, np.uint8),
+        cigar_off=cigar_off,
+        cigar_len=cat(clens, np.uint32),
+        cigar_op=cat(cops, np.uint8),
+        md_off=md_off,
+        md_text=cat(mds, np.uint8),
+        ev_off=ev_off,
+        ev_kind=cat(ev_kind, np.uint8),
+        ev_base=cat(ev_base, np.uint8),
+        ev_qual=cat(ev_qual, np.uint8),
+        ev_mdref=cat(ev_mdref, np.uint8),
+        sp_read=np.array(sp_read, dtype=np.int64),
+        sp_offset=np.array(sp_offset, dtype=np.int64),
+        sp_kind=np.array(sp_kind, dtype=np.int32),
+        sp_payload_offset=np.array(sp_poff, dtype=np.int64),
+        sp_payload_len=np.array(sp_plen, dtype=np.int64),
+        sp_qual=np.array(sp_qual, dtype=np.int32),
+        special_payload=np.frombuffer(bytes(payload), dtype=np.uint8),
+    )

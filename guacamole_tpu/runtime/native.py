@@ -1,0 +1,174 @@
+"""ctypes bindings for the native host runtime (native/guac_runtime.cpp).
+
+The shared library performs BGZF inflation (multithreaded), BAM record
+parsing, MD expansion, and pileup event-array construction; this module
+copies its buffers into numpy arrays and frees the handle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libguac_runtime.so")
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def _try_build() -> bool:
+    """Build the shared library from source if a toolchain is available."""
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native"
+    )
+    makefile = os.path.join(native_dir, "Makefile")
+    if not os.path.exists(makefile):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", native_dir],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not os.path.exists(_LIB_PATH) and not _try_build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    lib.guac_decode_bam.restype = ctypes.c_void_p
+    lib.guac_decode_bam.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.guac_free_reads.argtypes = [ctypes.c_void_p]
+    for name in ("guac_num_reads", "guac_num_refs", "guac_num_samples",
+                 "guac_num_specials"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
+    lib.guac_ref_name.restype = ctypes.c_char_p
+    lib.guac_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.guac_ref_length.restype = ctypes.c_int64
+    lib.guac_ref_length.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.guac_sample_name.restype = ctypes.c_char_p
+    lib.guac_sample_name.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.guac_header_text.restype = ctypes.c_char_p
+    lib.guac_header_text.argtypes = [ctypes.c_void_p]
+    lib.guac_specials.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+
+    _lib = lib
+    return _lib
+
+
+_ACCESSORS = {
+    "ref_id": np.int32,
+    "start": np.int64,
+    "end": np.int64,
+    "mapq": np.int32,
+    "flags": np.uint16,
+    "mate_ref_id": np.int32,
+    "mate_start": np.int64,
+    "tlen": np.int32,
+    "mismatches": np.int32,
+    "sample_id": np.int32,
+    "seq_off": np.int64,
+    "seq": np.uint8,
+    "qual": np.uint8,
+    "cigar_off": np.int64,
+    "cigar_len": np.uint32,
+    "cigar_op": np.uint8,
+    "md_off": np.int64,
+    "md_text": np.uint8,
+    "ev_off": np.int64,
+    "ev_kind": np.uint8,
+    "ev_base": np.uint8,
+    "ev_qual": np.uint8,
+    "ev_mdref": np.uint8,
+    "special_payload": np.uint8,
+}
+
+
+def _fetch_array(lib, handle, name: str, dtype) -> np.ndarray:
+    fn = getattr(lib, f"guac_{name}")
+    fn.restype = ctypes.c_void_p
+    fn.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    n = ctypes.c_int64()
+    ptr = fn(handle, ctypes.byref(n))
+    if not ptr or n.value == 0:
+        return np.empty(0, dtype=dtype)
+    itemsize = np.dtype(dtype).itemsize
+    buf = ctypes.cast(
+        ptr, ctypes.POINTER(ctypes.c_char * (n.value * itemsize))
+    ).contents
+    return np.frombuffer(buf, dtype=dtype).copy()
+
+
+def decode_bam_native(path: str, threads: int = 0):
+    """Decode a BAM with the native runtime. Returns a dict of numpy arrays
+    + metadata, or None if the library is unavailable or decoding failed."""
+    lib = load_library()
+    if lib is None:
+        return None
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    handle = lib.guac_decode_bam(path.encode(), threads)
+    if not handle:
+        return None
+    try:
+        out = {
+            name: _fetch_array(lib, handle, name, dtype)
+            for name, dtype in _ACCESSORS.items()
+        }
+        n_refs = lib.guac_num_refs(handle)
+        out["ref_names"] = [
+            lib.guac_ref_name(handle, i).decode() for i in range(n_refs)
+        ]
+        out["ref_lengths"] = [
+            lib.guac_ref_length(handle, i) for i in range(n_refs)
+        ]
+        out["samples"] = [
+            lib.guac_sample_name(handle, i).decode()
+            for i in range(lib.guac_num_samples(handle))
+        ]
+        out["header_text"] = lib.guac_header_text(handle).decode(
+            errors="replace"
+        )
+        n_specials = lib.guac_num_specials(handle)
+        sp_read = np.zeros(n_specials, dtype=np.int64)
+        sp_off = np.zeros(n_specials, dtype=np.int64)
+        sp_kind = np.zeros(n_specials, dtype=np.int32)
+        sp_poff = np.zeros(n_specials, dtype=np.int64)
+        sp_plen = np.zeros(n_specials, dtype=np.int64)
+        sp_qual = np.zeros(n_specials, dtype=np.int32)
+        if n_specials:
+            lib.guac_specials(
+                handle,
+                sp_read.ctypes.data_as(ctypes.c_void_p),
+                sp_off.ctypes.data_as(ctypes.c_void_p),
+                sp_kind.ctypes.data_as(ctypes.c_void_p),
+                sp_poff.ctypes.data_as(ctypes.c_void_p),
+                sp_plen.ctypes.data_as(ctypes.c_void_p),
+                sp_qual.ctypes.data_as(ctypes.c_void_p),
+            )
+        out["sp_read"] = sp_read
+        out["sp_offset"] = sp_off
+        out["sp_kind"] = sp_kind
+        out["sp_payload_offset"] = sp_poff
+        out["sp_payload_len"] = sp_plen
+        out["sp_qual"] = sp_qual
+        return out
+    finally:
+        lib.guac_free_reads(handle)

@@ -1,0 +1,726 @@
+// guac_runtime: native host runtime for guacamole_tpu.
+//
+// Performs the host-side hot path of the TPU variant-calling pipeline:
+//   1. BGZF block decompression (multithreaded, zlib)
+//   2. BAM record parsing into columnar arrays
+//   3. MD-tag expansion into per-read reference bases
+//   4. Per-locus pileup event-array construction (the input to the
+//      vectorized tile packer)
+//
+// Exposed through a plain C ABI consumed via ctypes (no pybind11 in this
+// build environment). All output buffers are malloc'd here and released
+// with guac_free_reads().
+//
+// Behavioral contract matches the Python reference implementations in
+// guacamole_tpu/gio/bam.py and guacamole_tpu/pack/events.py (cross-checked
+// in tests/test_runtime.py); the event classification rules mirror the
+// original pileup semantics (cf. /root/reference
+// .../pileup/PileupElement.scala:68-135).
+
+#include <zlib.h>
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <map>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- utilities
+
+struct Buffer {
+  std::vector<uint8_t> data;
+};
+
+static bool read_file(const char* path, std::vector<uint8_t>* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  out->resize(size);
+  size_t got = fread(out->data(), 1, size, f);
+  fclose(f);
+  return got == static_cast<size_t>(size);
+}
+
+// ------------------------------------------------------------- BGZF inflate
+
+struct BgzfBlock {
+  size_t coffset;    // compressed offset of block start
+  size_t bsize;      // compressed block size
+  size_t uoffset;    // output offset of uncompressed data
+  size_t usize;      // uncompressed size
+};
+
+// Scan block headers; returns false on malformed input.
+static bool scan_bgzf_blocks(const std::vector<uint8_t>& data,
+                             std::vector<BgzfBlock>* blocks,
+                             size_t* total_usize) {
+  size_t offset = 0;
+  size_t uoffset = 0;
+  const size_t n = data.size();
+  while (offset + 28 <= n) {
+    if (data[offset] != 0x1f || data[offset + 1] != 0x8b) return false;
+    if (!(data[offset + 3] & 0x04)) return false;
+    uint16_t xlen;
+    memcpy(&xlen, &data[offset + 10], 2);
+    size_t pos = offset + 12, end = pos + xlen;
+    size_t bsize = 0;
+    while (pos + 4 <= end) {
+      uint8_t si1 = data[pos], si2 = data[pos + 1];
+      uint16_t slen;
+      memcpy(&slen, &data[pos + 2], 2);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, &data[pos + 4], 2);
+        bsize = static_cast<size_t>(bs) + 1;
+      }
+      pos += 4 + slen;
+    }
+    if (bsize == 0 || offset + bsize > n) return false;
+    uint32_t isize;
+    memcpy(&isize, &data[offset + bsize - 4], 4);
+    blocks->push_back({offset, bsize, uoffset, isize});
+    uoffset += isize;
+    offset += bsize;
+  }
+  *total_usize = uoffset;
+  return offset == n;
+}
+
+static bool inflate_block(const std::vector<uint8_t>& data,
+                          const BgzfBlock& block, uint8_t* out) {
+  if (block.usize == 0) return true;
+  uint16_t xlen;
+  memcpy(&xlen, &data[block.coffset + 10], 2);
+  const uint8_t* cdata = &data[block.coffset + 12 + xlen];
+  size_t csize = block.bsize - 12 - xlen - 8;
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = const_cast<uint8_t*>(cdata);
+  zs.avail_in = csize;
+  zs.next_out = out;
+  zs.avail_out = block.usize;
+  int rc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END && zs.total_out == block.usize;
+}
+
+// Decompress a whole BGZF file with a thread pool.
+static bool bgzf_decompress(const std::vector<uint8_t>& data,
+                            std::vector<uint8_t>* out, int threads) {
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  if (!scan_bgzf_blocks(data, &blocks, &total)) return false;
+  out->resize(total);
+  if (blocks.empty()) return true;
+  if (threads < 1) threads = 1;
+  std::atomic<size_t> next(0);
+  std::atomic<bool> ok(true);
+  auto worker = [&]() {
+    while (true) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size() || !ok.load()) break;
+      if (!inflate_block(data, blocks[i], out->data() + blocks[i].uoffset))
+        ok.store(false);
+    }
+  };
+  std::vector<std::thread> pool;
+  int nthreads = std::min<size_t>(threads, blocks.size());
+  for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return ok.load();
+}
+
+// ----------------------------------------------------------------- BAM spec
+
+static const char SEQ_CODES[17] = "=ACMGRSVTWYHKDBN";
+// cigar op properties, op order MIDNSHP=X
+static const bool OP_CONSUMES_READ[9] = {true, true,  false, false, true,
+                                         false, false, true,  true};
+static const bool OP_CONSUMES_REF[9] = {true,  false, true, true, false,
+                                        false, false, true, true};
+enum { OP_M = 0, OP_I, OP_D, OP_N, OP_S, OP_H, OP_P, OP_EQ, OP_X };
+
+// event kinds (must match guacamole_tpu.pack.events.EventKind)
+enum { EV_BASE = 0, EV_INSERTION, EV_DELETION, EV_MID_DELETION, EV_CLIPPED };
+
+struct Special {
+  int64_t read_index;
+  int64_t offset;   // offset within the read's reference span
+  int32_t kind;     // EV_INSERTION or EV_DELETION
+  int64_t payload_offset;
+  int64_t payload_len;
+  int32_t qual;
+};
+
+// Decoded, columnar output. Grows while parsing; exported as raw buffers.
+struct Reads {
+  // header
+  std::string header_text;
+  std::vector<std::string> ref_names;
+  std::vector<int64_t> ref_lengths;
+  // per read scalars
+  std::vector<int32_t> ref_id;
+  std::vector<int64_t> start;
+  std::vector<int64_t> end;  // start + padded reference length
+  std::vector<int32_t> mapq;
+  std::vector<uint16_t> flags;
+  std::vector<int32_t> mate_ref_id;
+  std::vector<int64_t> mate_start;
+  std::vector<int32_t> tlen;
+  std::vector<int32_t> mismatches;  // MD mismatch count (-1 = no MD)
+  std::vector<int32_t> sample_id;
+  // variable-length per read
+  std::vector<int64_t> seq_off;    // n+1
+  std::vector<uint8_t> seq;        // ASCII bases
+  std::vector<uint8_t> qual;       // parallel to seq
+  std::vector<int64_t> cigar_off;  // n+1
+  std::vector<uint32_t> cigar_len;
+  std::vector<uint8_t> cigar_op;
+  std::vector<int64_t> md_off;     // n+1 offsets into md_text
+  std::vector<uint8_t> md_text;    // raw MD strings
+  // event arrays (length = reference span per read)
+  std::vector<int64_t> ev_off;     // n+1
+  std::vector<uint8_t> ev_kind;
+  std::vector<uint8_t> ev_base;
+  std::vector<uint8_t> ev_qual;
+  std::vector<uint8_t> ev_mdref;   // MD-expanded reference bases (N if none)
+  std::vector<Special> specials;
+  std::vector<uint8_t> special_payload;
+  std::vector<std::string> samples;  // sample names, indexed by sample_id
+  std::string error;
+};
+
+// Parse @RG header lines: read-group id -> sample index.
+static void parse_read_groups(const std::string& text,
+                              std::map<std::string, int>* rg_to_sample,
+                              std::vector<std::string>* samples) {
+  size_t pos = 0;
+  std::map<std::string, int> sample_ids;
+  while (pos < text.size()) {
+    size_t eol = text.find('\n', pos);
+    if (eol == std::string::npos) eol = text.size();
+    if (text.compare(pos, 4, "@RG\t") == 0) {
+      std::string id, sm;
+      size_t fpos = pos;
+      while (fpos < eol) {
+        size_t fend = text.find('\t', fpos);
+        if (fend == std::string::npos || fend > eol) fend = eol;
+        if (text.compare(fpos, 3, "ID:") == 0)
+          id = text.substr(fpos + 3, fend - fpos - 3);
+        else if (text.compare(fpos, 3, "SM:") == 0)
+          sm = text.substr(fpos + 3, fend - fpos - 3);
+        fpos = fend + 1;
+      }
+      if (!id.empty() && !sm.empty()) {
+        auto it = sample_ids.find(sm);
+        int sid;
+        if (it == sample_ids.end()) {
+          sid = samples->size();
+          samples->push_back(sm);
+          sample_ids[sm] = sid;
+        } else {
+          sid = it->second;
+        }
+        (*rg_to_sample)[id] = sid;
+      }
+    }
+    pos = eol + 1;
+  }
+}
+
+// Expand MD tag + cigar + seq into reference bases and events for one read.
+// Returns false on malformed MD (caller falls back to N reference).
+static bool expand_md(const char* md, size_t md_len, const uint32_t* cigar,
+                      size_t n_cigar, const uint8_t* seq, uint8_t* md_ref,
+                      size_t span, int32_t* mismatch_count) {
+  size_t mi = 0;   // index into md string
+  long run = 0;    // remaining matched bases
+  bool have_run = false;
+  int32_t mismatches = 0;
+  size_t ref_pos = 0;  // offset into md_ref
+  size_t read_pos = 0;
+
+  auto next_token_run = [&]() -> bool {
+    if (mi < md_len && md[mi] >= '0' && md[mi] <= '9') {
+      run = 0;
+      while (mi < md_len && md[mi] >= '0' && md[mi] <= '9')
+        run = run * 10 + (md[mi++] - '0');
+      have_run = true;
+      return true;
+    }
+    return false;
+  };
+  next_token_run();
+
+  for (size_t c = 0; c < n_cigar; c++) {
+    uint32_t len = cigar[c] >> 4;
+    uint32_t op = cigar[c] & 0xf;
+    if (op == OP_M || op == OP_EQ || op == OP_X) {
+      uint32_t remaining = len;
+      while (remaining > 0) {
+        if (have_run && run > 0) {
+          uint32_t step = (run < remaining) ? run : remaining;
+          memcpy(md_ref + ref_pos, seq + read_pos, step);
+          run -= step;
+          remaining -= step;
+          ref_pos += step;
+          read_pos += step;
+        } else {
+          if (mi >= md_len) return false;
+          char ch = md[mi];
+          if (ch >= '0' && ch <= '9') {
+            next_token_run();
+          } else if (ch == '^') {
+            return false;  // deletion token inside match run
+          } else {
+            md_ref[ref_pos++] = toupper(ch);
+            mismatches++;
+            read_pos++;
+            remaining--;
+            mi++;
+            have_run = false;
+            next_token_run();
+          }
+        }
+      }
+    } else if (op == OP_D) {
+      // consume zero-length runs, then the ^-prefixed deletion
+      while (have_run && run == 0 && mi < md_len && md[mi] == '^') break;
+      if (have_run && run > 0) return false;
+      if (mi >= md_len || md[mi] != '^') return false;
+      mi++;
+      for (uint32_t k = 0; k < len; k++) {
+        if (mi >= md_len || !isalpha(md[mi])) return false;
+        md_ref[ref_pos++] = toupper(md[mi++]);
+      }
+      have_run = false;
+      next_token_run();
+    } else if (op == OP_N) {
+      memset(md_ref + ref_pos, 'N', len);
+      ref_pos += len;
+    } else if (op == OP_P) {
+      memset(md_ref + ref_pos, 'N', len);
+      ref_pos += len;
+    } else if (OP_CONSUMES_READ[op]) {
+      read_pos += len;
+    }
+  }
+  *mismatch_count = mismatches;
+  return true;
+}
+
+// Build the per-locus event arrays for one read (mirrors
+// pack/events.py read_pileup_events).
+static void build_events(Reads* r, int64_t read_index, int64_t start,
+                         const uint32_t* cigar, size_t n_cigar,
+                         const uint8_t* seq, const uint8_t* qual,
+                         size_t seq_len, int32_t mapq, bool has_md,
+                         size_t span) {
+  size_t base = r->ev_kind.size();
+  r->ev_kind.resize(base + span, EV_CLIPPED);
+  r->ev_base.resize(base + span, 0);
+  r->ev_qual.resize(base + span, (uint8_t)(mapq < 0 ? 0 : mapq));
+  uint8_t* kinds = r->ev_kind.data() + base;
+  uint8_t* bases = r->ev_base.data() + base;
+  uint8_t* quals = r->ev_qual.data() + base;
+  const uint8_t* md_ref = r->ev_mdref.data() + base;
+
+  size_t ref_offset = 0;
+  size_t read_pos = 0;
+  bool have_contig_start_insertion = false;
+  size_t csi_payload_off = 0, csi_payload_len = 0;
+  int csi_qual = 0;
+
+  for (size_t c = 0; c < n_cigar; c++) {
+    uint32_t len = cigar[c] >> 4;
+    uint32_t op = cigar[c] & 0xf;
+    uint32_t next_op = (c + 1 < n_cigar) ? (cigar[c + 1] & 0xf) : 0xff;
+    uint32_t next_len = (c + 1 < n_cigar) ? (cigar[c + 1] >> 4) : 0;
+    if (op == OP_M || op == OP_EQ || op == OP_X) {
+      for (uint32_t k = 0; k < len; k++) {
+        kinds[ref_offset + k] = EV_BASE;
+        bases[ref_offset + k] = seq[read_pos + k];
+        quals[ref_offset + k] = qual[read_pos + k];
+      }
+      size_t last = ref_offset + len - 1;
+      size_t last_read = read_pos + len - 1;
+      if (next_op == OP_I && op != OP_X) {
+        // insertion anchored at this locus
+        size_t m = next_len;
+        size_t avail = seq_len - last_read;
+        size_t take = (m + 1 < avail) ? m + 1 : avail;
+        int minq = 255;
+        for (size_t t = 0; t < take; t++)
+          if (qual[last_read + t] < minq) minq = qual[last_read + t];
+        kinds[last] = EV_INSERTION;
+        quals[last] = (uint8_t)minq;
+        bases[last] = 0;
+        Special sp;
+        sp.read_index = read_index;
+        sp.offset = last;
+        sp.kind = EV_INSERTION;
+        sp.payload_offset = r->special_payload.size();
+        sp.payload_len = take;
+        sp.qual = minq;
+        r->special_payload.insert(r->special_payload.end(), seq + last_read,
+                                  seq + last_read + take);
+        r->specials.push_back(sp);
+      } else if (next_op == OP_D) {
+        // deletion anchored at this locus; tail from expanded md_ref
+        kinds[last] = EV_DELETION;
+        quals[last] = qual[last_read];
+        bases[last] = 0;
+        Special sp;
+        sp.read_index = read_index;
+        sp.offset = last;
+        sp.kind = EV_DELETION;
+        sp.payload_offset = r->special_payload.size();
+        sp.payload_len = next_len;
+        sp.qual = qual[last_read];
+        // deleted bases live at md_ref[last+1 .. last+next_len]
+        r->special_payload.insert(r->special_payload.end(),
+                                  md_ref + last + 1,
+                                  md_ref + last + 1 + next_len);
+        r->specials.push_back(sp);
+      }
+      read_pos += len;
+      ref_offset += len;
+    } else if (op == OP_D) {
+      for (uint32_t k = 0; k < len; k++)
+        kinds[ref_offset + k] = EV_MID_DELETION;
+      ref_offset += len;
+    } else if (op == OP_N || op == OP_P) {
+      ref_offset += len;
+    } else if (op == OP_I) {
+      if (start + (int64_t)ref_offset == 0 && c + 1 < n_cigar && span > 0) {
+        size_t avail = seq_len - read_pos;
+        size_t take = (len + 1 < avail) ? len + 1 : avail;
+        int minq = 255;
+        for (size_t t = 0; t < take; t++)
+          if (qual[read_pos + t] < minq) minq = qual[read_pos + t];
+        have_contig_start_insertion = true;
+        csi_payload_off = r->special_payload.size();
+        csi_payload_len = take;
+        csi_qual = minq;
+        r->special_payload.insert(r->special_payload.end(), seq + read_pos,
+                                  seq + read_pos + take);
+      }
+      read_pos += len;
+    } else if (op == OP_S) {
+      read_pos += len;
+    }
+  }
+
+  if (have_contig_start_insertion) {
+    kinds[0] = EV_INSERTION;
+    bases[0] = 0;
+    quals[0] = (uint8_t)csi_qual;
+    Special sp;
+    sp.read_index = read_index;
+    sp.offset = 0;
+    sp.kind = EV_INSERTION;
+    sp.payload_offset = csi_payload_off;
+    sp.payload_len = csi_payload_len;
+    sp.qual = csi_qual;
+    r->specials.push_back(sp);
+  }
+}
+
+static bool parse_bam(const std::vector<uint8_t>& u, Reads* r) {
+  if (u.size() < 12 || memcmp(u.data(), "BAM\x01", 4) != 0) {
+    r->error = "not a BAM file";
+    return false;
+  }
+  int32_t l_text;
+  memcpy(&l_text, &u[4], 4);
+  size_t pos = 8;
+  r->header_text.assign(reinterpret_cast<const char*>(&u[pos]), l_text);
+  pos += l_text;
+  int32_t n_ref;
+  memcpy(&n_ref, &u[pos], 4);
+  pos += 4;
+  for (int i = 0; i < n_ref; i++) {
+    int32_t l_name;
+    memcpy(&l_name, &u[pos], 4);
+    pos += 4;
+    r->ref_names.emplace_back(reinterpret_cast<const char*>(&u[pos]),
+                              l_name - 1);
+    pos += l_name;
+    int32_t l_ref;
+    memcpy(&l_ref, &u[pos], 4);
+    pos += 4;
+    r->ref_lengths.push_back(l_ref);
+  }
+
+  std::map<std::string, int> rg_to_sample;
+  parse_read_groups(r->header_text, &rg_to_sample, &r->samples);
+  int default_sample = -1;  // created lazily
+
+  r->seq_off.push_back(0);
+  r->cigar_off.push_back(0);
+  r->md_off.push_back(0);
+  r->ev_off.push_back(0);
+
+  while (pos + 4 <= u.size()) {
+    int32_t block_size;
+    memcpy(&block_size, &u[pos], 4);
+    if (block_size <= 0 || pos + 4 + block_size > u.size()) break;
+    const uint8_t* rec = &u[pos + 4];
+    pos += 4 + block_size;
+
+    int32_t ref_id, pos0, l_read_name_etc, flag_nc, l_seq, next_ref, next_pos,
+        tlen;
+    memcpy(&ref_id, rec + 0, 4);
+    memcpy(&pos0, rec + 4, 4);
+    memcpy(&l_read_name_etc, rec + 8, 4);
+    memcpy(&flag_nc, rec + 12, 4);
+    memcpy(&l_seq, rec + 16, 4);
+    memcpy(&next_ref, rec + 20, 4);
+    memcpy(&next_pos, rec + 24, 4);
+    memcpy(&tlen, rec + 28, 4);
+    uint8_t l_read_name = l_read_name_etc & 0xff;
+    uint8_t mapq = (l_read_name_etc >> 8) & 0xff;
+    uint16_t n_cigar = flag_nc & 0xffff;
+    uint16_t flag = (flag_nc >> 16) & 0xffff;
+
+    size_t p = 32 + l_read_name;
+    const uint32_t* cigar = reinterpret_cast<const uint32_t*>(rec + p);
+    p += 4 * n_cigar;
+    // decode seq
+    size_t seq_start = r->seq.size();
+    r->seq.resize(seq_start + l_seq);
+    for (int32_t i = 0; i < l_seq; i++) {
+      uint8_t code = (rec[p + i / 2] >> ((i % 2) ? 0 : 4)) & 0xf;
+      r->seq[seq_start + i] = SEQ_CODES[code];
+    }
+    p += (l_seq + 1) / 2;
+    size_t qual_start = r->qual.size();
+    r->qual.resize(qual_start + l_seq);
+    if (l_seq > 0 && rec[p] == 0xff) {
+      memset(&r->qual[qual_start], 0, l_seq);
+    } else if (l_seq > 0) {
+      memcpy(&r->qual[qual_start], rec + p, l_seq);
+    }
+    p += l_seq;
+
+    // tag scan: MD (Z) and RG (Z)
+    const char* md = nullptr;
+    size_t md_len = 0;
+    int sample = -1;
+    {
+      size_t tp = p;
+      size_t rec_len = block_size;
+      while (tp + 3 <= rec_len) {
+        char t0 = rec[tp], t1 = rec[tp + 1];
+        char typ = rec[tp + 2];
+        tp += 3;
+        size_t size = 0;
+        switch (typ) {
+          case 'A': case 'c': case 'C': size = 1; break;
+          case 's': case 'S': size = 2; break;
+          case 'i': case 'I': case 'f': size = 4; break;
+          case 'Z': case 'H': {
+            size_t z = tp;
+            while (z < rec_len && rec[z] != 0) z++;
+            if (t0 == 'M' && t1 == 'D' && typ == 'Z') {
+              md = reinterpret_cast<const char*>(rec + tp);
+              md_len = z - tp;
+            } else if (t0 == 'R' && t1 == 'G' && typ == 'Z') {
+              std::string rg(reinterpret_cast<const char*>(rec + tp), z - tp);
+              auto it = rg_to_sample.find(rg);
+              if (it != rg_to_sample.end()) sample = it->second;
+            }
+            tp = z + 1;
+            continue;
+          }
+          case 'B': {
+            uint8_t sub = rec[tp];
+            uint32_t count;
+            memcpy(&count, rec + tp + 1, 4);
+            size_t esize = (sub == 'c' || sub == 'C') ? 1
+                           : (sub == 's' || sub == 'S') ? 2 : 4;
+            tp += 5 + count * esize;
+            continue;
+          }
+          default:
+            tp = rec_len;  // unknown tag type: stop scanning
+            continue;
+        }
+        tp += size;
+      }
+    }
+    if (sample < 0) {
+      if (default_sample < 0) {
+        default_sample = r->samples.size();
+        r->samples.push_back("default");
+      }
+      sample = default_sample;
+    }
+
+    // reference span (padded: M/D/N/=/X/P)
+    int64_t span = 0;
+    for (int i = 0; i < n_cigar; i++) {
+      uint32_t op = cigar[i] & 0xf;
+      if (OP_CONSUMES_REF[op] || op == OP_P) span += cigar[i] >> 4;
+    }
+
+    int64_t read_index = r->start.size();
+    r->ref_id.push_back(ref_id);
+    r->start.push_back(pos0);
+    r->end.push_back(pos0 + span);
+    r->mapq.push_back(mapq);
+    r->flags.push_back(flag);
+    r->mate_ref_id.push_back(next_ref);
+    r->mate_start.push_back(next_pos);
+    r->tlen.push_back(tlen);
+    r->sample_id.push_back(sample);
+    r->seq_off.push_back(r->seq.size());
+    for (int i = 0; i < n_cigar; i++) {
+      r->cigar_len.push_back(cigar[i] >> 4);
+      r->cigar_op.push_back(cigar[i] & 0xf);
+    }
+    r->cigar_off.push_back(r->cigar_len.size());
+    if (md) {
+      r->md_text.insert(r->md_text.end(), md, md + md_len);
+    }
+    r->md_off.push_back(r->md_text.size());
+
+    // md_ref expansion + events (only sensible for mapped reads with a
+    // structurally consistent cigar)
+    size_t ev_base_off = r->ev_mdref.size();
+    r->ev_mdref.resize(ev_base_off + span, 'N');
+    int64_t read_len_from_cigar = 0;
+    for (int i = 0; i < n_cigar; i++)
+      if (OP_CONSUMES_READ[cigar[i] & 0xf]) read_len_from_cigar += cigar[i] >> 4;
+    bool consistent = (read_len_from_cigar == l_seq);
+    int32_t mm = -1;
+    if (md && consistent) {
+      if (!expand_md(md, md_len, cigar, n_cigar,
+                     &r->seq[seq_start], &r->ev_mdref[ev_base_off], span,
+                     &mm)) {
+        // malformed MD: leave N reference, no mismatch count
+        memset(&r->ev_mdref[ev_base_off], 'N', span);
+        mm = -1;
+      }
+    }
+    r->mismatches.push_back(mm < 0 ? 0 : mm);
+    if (consistent && span > 0) {
+      build_events(r, read_index, pos0, cigar, n_cigar, &r->seq[seq_start],
+                   &r->qual[qual_start], l_seq, mapq, md != nullptr, span);
+    } else {
+      // keep arrays aligned: emit empty/clipped events of length span
+      size_t base = r->ev_kind.size();
+      r->ev_kind.resize(base + span, EV_CLIPPED);
+      r->ev_base.resize(base + span, 0);
+      r->ev_qual.resize(base + span, mapq);
+    }
+    r->ev_off.push_back(r->ev_kind.size());
+  }
+  return true;
+}
+
+}  // namespace
+
+// ------------------------------------------------------------------- C API
+
+extern "C" {
+
+// Opaque handle
+void* guac_decode_bam(const char* path, int threads) {
+  std::vector<uint8_t> raw;
+  if (!read_file(path, &raw)) return nullptr;
+  std::vector<uint8_t> uncompressed;
+  if (!bgzf_decompress(raw, &uncompressed, threads)) return nullptr;
+  Reads* r = new Reads();
+  if (!parse_bam(uncompressed, r)) {
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+void guac_free_reads(void* handle) { delete static_cast<Reads*>(handle); }
+
+int64_t guac_num_reads(void* h) {
+  return static_cast<Reads*>(h)->start.size();
+}
+int64_t guac_num_refs(void* h) {
+  return static_cast<Reads*>(h)->ref_names.size();
+}
+const char* guac_ref_name(void* h, int64_t i) {
+  return static_cast<Reads*>(h)->ref_names[i].c_str();
+}
+int64_t guac_ref_length(void* h, int64_t i) {
+  return static_cast<Reads*>(h)->ref_lengths[i];
+}
+int64_t guac_num_samples(void* h) {
+  return static_cast<Reads*>(h)->samples.size();
+}
+const char* guac_sample_name(void* h, int64_t i) {
+  return static_cast<Reads*>(h)->samples[i].c_str();
+}
+const char* guac_header_text(void* h) {
+  return static_cast<Reads*>(h)->header_text.c_str();
+}
+
+// Buffer accessors: return pointer + element count via out-param.
+#define ACCESSOR(name, field, ctype)                         \
+  const ctype* guac_##name(void* h, int64_t* n) {            \
+    Reads* r = static_cast<Reads*>(h);                       \
+    *n = (int64_t)r->field.size();                           \
+    return r->field.data();                                  \
+  }
+
+ACCESSOR(ref_id, ref_id, int32_t)
+ACCESSOR(start, start, int64_t)
+ACCESSOR(end, end, int64_t)
+ACCESSOR(mapq, mapq, int32_t)
+ACCESSOR(flags, flags, uint16_t)
+ACCESSOR(mate_ref_id, mate_ref_id, int32_t)
+ACCESSOR(mate_start, mate_start, int64_t)
+ACCESSOR(tlen, tlen, int32_t)
+ACCESSOR(mismatches, mismatches, int32_t)
+ACCESSOR(sample_id, sample_id, int32_t)
+ACCESSOR(seq_off, seq_off, int64_t)
+ACCESSOR(seq, seq, uint8_t)
+ACCESSOR(qual, qual, uint8_t)
+ACCESSOR(cigar_off, cigar_off, int64_t)
+ACCESSOR(cigar_len, cigar_len, uint32_t)
+ACCESSOR(cigar_op, cigar_op, uint8_t)
+ACCESSOR(md_off, md_off, int64_t)
+ACCESSOR(md_text, md_text, uint8_t)
+ACCESSOR(ev_off, ev_off, int64_t)
+ACCESSOR(ev_kind, ev_kind, uint8_t)
+ACCESSOR(ev_base, ev_base, uint8_t)
+ACCESSOR(ev_qual, ev_qual, uint8_t)
+ACCESSOR(ev_mdref, ev_mdref, uint8_t)
+ACCESSOR(special_payload, special_payload, uint8_t)
+
+int64_t guac_num_specials(void* h) {
+  return static_cast<Reads*>(h)->specials.size();
+}
+// Fill caller-allocated arrays describing specials.
+void guac_specials(void* h, int64_t* read_index, int64_t* offset,
+                   int32_t* kind, int64_t* payload_offset,
+                   int64_t* payload_len, int32_t* qual) {
+  Reads* r = static_cast<Reads*>(h);
+  for (size_t i = 0; i < r->specials.size(); i++) {
+    read_index[i] = r->specials[i].read_index;
+    offset[i] = r->specials[i].offset;
+    kind[i] = r->specials[i].kind;
+    payload_offset[i] = r->specials[i].payload_offset;
+    payload_len[i] = r->specials[i].payload_len;
+    qual[i] = r->specials[i].qual;
+  }
+}
+
+}  // extern "C"
