@@ -28,7 +28,7 @@ from guacamole_tpu.likelihood import (
     likelihoods_of_all_possible_genotypes_from_pileup,
 )
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.ops.kernels import tile_stats
+from guacamole_tpu.ops.dispatch import screen_tile
 from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
 from guacamole_tpu.pileup.element import PileupElement
 from guacamole_tpu.pileup.pileup import Pileup
@@ -99,11 +99,11 @@ def _pileup_from_tile_row(
 def _candidate_rows(tile: LocusTile, min_alignment_quality: int) -> np.ndarray:
     """Loci with >= 1 variant-allele element among MAPQ-passing elements."""
     valid = tile.valid & (tile.mapq >= min_alignment_quality)
-    stats = tile_stats(
-        tile.allele_id, tile.strand, valid, tile.is_variant, tile.K
+    stats = screen_tile(
+        tile.allele_id, tile.qual, tile.mapq, tile.strand, valid,
+        tile.is_variant, tile.K,
     )
-    candidates = np.asarray(stats.variant_evidence)
-    return np.flatnonzero(candidates | tile.overflow)
+    return np.flatnonzero(stats.candidates | tile.overflow)
 
 
 def call_variants(

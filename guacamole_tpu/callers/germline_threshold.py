@@ -28,7 +28,7 @@ import numpy as np
 from guacamole_tpu.gio.vcf import VcfRecord
 from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.loci.lociset import LociSet
-from guacamole_tpu.ops.kernels import tile_stats
+from guacamole_tpu.ops.dispatch import screen_tile
 from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
 from guacamole_tpu.pileup.pileup import Pileup
 from guacamole_tpu.reads.read import MappedRead
@@ -167,11 +167,12 @@ def call_tile(
     """Run the device counting kernel over a tile and classify on host."""
     if tile.L == 0:
         return []
-    stats = tile_stats(
-        tile.allele_id, tile.strand, tile.valid, tile.is_variant, tile.K
+    stats = screen_tile(
+        tile.allele_id, tile.qual, tile.mapq, tile.strand, tile.valid,
+        tile.is_variant, tile.K,
     )
-    counts = np.asarray(stats.counts)
-    variant_evidence = np.asarray(stats.variant_evidence)
+    counts = stats.counts
+    variant_evidence = stats.candidates
     calls: List[ThresholdCall] = []
     for li in range(tile.L):
         total = int(tile.depth[li])

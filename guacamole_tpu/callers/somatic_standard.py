@@ -33,7 +33,7 @@ from guacamole_tpu.likelihood import (
     probability_correct_including_alignment,
 )
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.ops.kernels import tile_stats
+from guacamole_tpu.ops.dispatch import screen_tile
 from guacamole_tpu.pack.fast import pack_tile_fast
 from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
 from guacamole_tpu.pileup.element import PileupElement
@@ -178,12 +178,11 @@ def call_variants(
                 valid = np.asarray(tile.valid) & (
                     np.asarray(tile.mapq) >= min_alignment_quality
                 )
-                stats = tile_stats(
-                    tile.allele_id, tile.strand, valid, tile.is_variant, tile.K
+                stats = screen_tile(
+                    tile.allele_id, tile.qual, tile.mapq, tile.strand, valid,
+                    tile.is_variant, tile.K,
                 )
-                candidates = np.flatnonzero(
-                    np.asarray(stats.variant_evidence) | tile.overflow
-                )
+                candidates = np.flatnonzero(stats.candidates | tile.overflow)
                 if len(candidates) == 0:
                     continue
                 candidate_loci = [

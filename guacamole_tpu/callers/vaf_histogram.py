@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.ops.kernels import tile_stats
+from guacamole_tpu.ops.dispatch import screen_tile
 from guacamole_tpu.pack.tiles import pack_tiles
 from guacamole_tpu.utils.progress import progress
 from guacamole_tpu.variants.allele import Allele
@@ -53,14 +53,11 @@ def variant_loci_from_reads(
                 tile_size=tile_size,
             )
             for tile in tiles:
-                stats = tile_stats(
-                    tile.allele_id,
-                    tile.strand,
-                    tile.valid,
-                    tile.is_variant,
-                    tile.K,
+                stats = screen_tile(
+                    tile.allele_id, tile.qual, tile.mapq, tile.strand,
+                    tile.valid, tile.is_variant, tile.K,
                 )
-                counts = np.asarray(stats.counts)
+                counts = stats.counts
                 for li in range(tile.L):
                     depth = int(tile.depth[li])
                     if depth == 0:

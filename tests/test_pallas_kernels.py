@@ -1,0 +1,77 @@
+"""Pallas kernel equivalence: the fused tile-stats/likelihood kernel must
+match the XLA reference kernels (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from guacamole_tpu.ops.kernels import (
+    genotype_log_likelihoods,
+    probability_correct,
+    tile_stats,
+)
+from guacamole_tpu.ops.pallas_kernels import tile_stats_ll
+
+
+def random_tile(L=64, D=16, K=8, seed=0):
+    rng = np.random.RandomState(seed)
+    depth = rng.randint(0, D + 1, size=L)
+    valid = np.arange(D)[None, :] < depth[:, None]
+    allele_id = np.where(
+        valid, rng.randint(0, K, size=(L, D)), -1
+    ).astype(np.int16)
+    qual = np.where(valid, rng.randint(2, 45, size=(L, D)), 0).astype(np.int16)
+    mapq = np.where(valid, rng.randint(0, 70, size=(L, D)), 0).astype(np.int16)
+    strand = valid & (rng.rand(L, D) < 0.5)
+    is_variant = rng.rand(L, K) < 0.4
+    return allele_id, qual, mapq, strand, valid, is_variant
+
+
+@pytest.mark.parametrize("include_alignment", [False, True])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_kernel_matches_reference(seed, include_alignment):
+    K = 8
+    aid, qual, mapq, strand, valid, is_variant = random_tile(seed=seed, K=K)
+    fused = tile_stats_ll(
+        aid, qual, mapq, strand, valid, is_variant, K,
+        include_alignment=include_alignment,
+    )
+    ref_stats = tile_stats(aid, strand, valid, is_variant, K)
+    np.testing.assert_array_equal(fused.counts, ref_stats.counts)
+    np.testing.assert_array_equal(
+        fused.forward_counts, ref_stats.forward_counts
+    )
+    np.testing.assert_array_equal(fused.depth, ref_stats.depth)
+    np.testing.assert_array_equal(
+        fused.candidates, ref_stats.variant_evidence
+    )
+    pc = probability_correct(
+        qual, mapq, valid, include_alignment=include_alignment
+    )
+    ref_ll = genotype_log_likelihoods(aid, pc, valid, K)
+    np.testing.assert_allclose(
+        fused.log_likelihoods, ref_ll, rtol=2e-5, atol=2e-5
+    )
+
+
+def test_fused_kernel_uneven_block():
+    K = 4
+    aid, qual, mapq, strand, valid, is_variant = random_tile(
+        L=48, D=8, K=K, seed=3
+    )
+    fused = tile_stats_ll(aid, qual, mapq, strand, valid, is_variant, K)
+    ref = tile_stats(aid, strand, valid, is_variant, K)
+    np.testing.assert_array_equal(fused.counts, ref.counts)
+
+
+def test_fused_kernel_empty_loci():
+    K = 8
+    aid = np.full((16, 8), -1, dtype=np.int16)
+    qual = np.zeros((16, 8), dtype=np.int16)
+    mapq = np.zeros((16, 8), dtype=np.int16)
+    strand = np.zeros((16, 8), dtype=bool)
+    valid = np.zeros((16, 8), dtype=bool)
+    is_variant = np.zeros((16, K), dtype=bool)
+    fused = tile_stats_ll(aid, qual, mapq, strand, valid, is_variant, K)
+    assert (np.asarray(fused.depth) == 0).all()
+    assert not np.asarray(fused.candidates).any()
+    np.testing.assert_allclose(fused.log_likelihoods, 0.0, atol=1e-6)
