@@ -232,6 +232,7 @@ def main(argv, _add_fns) -> int:
         contig_lengths_from_dictionary=not args.no_sequence_dictionary,
         reference_genome=reference,
         recompute_mdtags=args.recompute_md_tags,
+        use_native=args.bam_reader_api in ("best", "native"),
     )
     progress("Loaded %d mapped non-duplicate reads." % source.n)
     loci_set = loci_builder.result(contig_lengths)

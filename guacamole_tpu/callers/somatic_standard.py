@@ -352,6 +352,7 @@ def main(argv, _add_fns) -> int:
         contig_lengths_from_dictionary=not args.no_sequence_dictionary,
         reference_genome=reference,
         recompute_mdtags=args.recompute_md_tags,
+        use_native=args.bam_reader_api in ("best", "native"),
     )
     normal_source, normal_lengths = load_read_source(
         args.normal_reads,
@@ -359,6 +360,7 @@ def main(argv, _add_fns) -> int:
         contig_lengths_from_dictionary=not args.no_sequence_dictionary,
         reference_genome=reference,
         recompute_mdtags=args.recompute_md_tags,
+        use_native=args.bam_reader_api in ("best", "native"),
     )
     progress(
         "Loaded %d tumor, %d normal reads."

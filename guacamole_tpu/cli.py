@@ -51,6 +51,15 @@ def _add_read_loading_args(p: argparse.ArgumentParser) -> None:
         help="Get contigs and lengths from reads, not the sequence dictionary",
     )
     p.add_argument(
+        "--bam-reader-api",
+        default="best",
+        choices=["best", "native", "samtools", "hadoopbam", "python"],
+        help="BAM decoding backend: 'best'/'native' use the multithreaded "
+        "C++ runtime when available; 'samtools'/'hadoopbam'/'python' use "
+        "the pure-Python decoder (the reference's API names are accepted "
+        "for compatibility)",
+    )
+    p.add_argument(
         "--recompute-md-tags",
         action="store_true",
         help="Recompute MD tags from the reference fasta",
@@ -169,6 +178,7 @@ def cmd_germline_threshold(argv: List[str]) -> int:
         contig_lengths_from_dictionary=not args.no_sequence_dictionary,
         reference_genome=reference,
         recompute_mdtags=args.recompute_md_tags,
+        use_native=args.bam_reader_api in ("best", "native"),
     )
     progress(
         "Loaded %d mapped non-duplicate MdTag-containing reads." % source.n

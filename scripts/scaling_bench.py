@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Scaling benchmark: loci-sharded calling step across an N-device mesh.
+
+Measures the sharded device step (counting + screening + likelihoods with
+psum-merged counters) at 1, 2, 4, 8 shards and reports scaling efficiency.
+On this development host the mesh is 8 virtual CPU devices
+(xla_force_host_platform_device_count); on a pod the same code spans real
+chips (and hosts, with each host packing only its loci shard's reads).
+
+Usage: python scripts/scaling_bench.py [--devices 8] [--tile-l 2048]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--devices", type=int, default=8)
+    parser.add_argument("--tile-l", type=int, default=2048)
+    parser.add_argument("--depth", type=int, default=128)
+    parser.add_argument("--iters", type=int, default=20)
+    args = parser.parse_args()
+
+    # Force the virtual CPU mesh (this is a sharding-efficiency harness;
+    # the ambient environment may pin JAX to a single TPU chip).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
+
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    import numpy as np
+
+    from guacamole_tpu.parallel.mesh import (
+        ShardedBatch,
+        loci_mesh,
+        make_sharded_call_step,
+    )
+
+    devices = jax.devices()
+    K = 8
+    L, D = args.tile_l, args.depth
+    rng = np.random.RandomState(0)
+
+    def tile(seed):
+        r = np.random.RandomState(seed)
+        depth = r.randint(1, D, size=L)
+        valid = np.arange(D)[None, :] < depth[:, None]
+        return (
+            np.where(valid, r.randint(0, 4, size=(L, D)), -1).astype(np.int16),
+            np.where(valid, r.randint(2, 42, size=(L, D)), 0).astype(np.int16),
+            np.where(valid, r.randint(20, 60, size=(L, D)), 0).astype(np.int16),
+            valid & (r.rand(L, D) < 0.5),
+            valid,
+            r.rand(L, K) < 0.3,
+        )
+
+    results = {}
+    n = 1
+    while n <= len(devices):
+        mesh = loci_mesh(devices[:n])
+        step = make_sharded_call_step(mesh, K)
+        tiles = [tile(i) for i in range(n)]
+        batch = ShardedBatch(
+            allele_id=np.stack([t[0] for t in tiles]),
+            qual=np.stack([t[1] for t in tiles]),
+            mapq=np.stack([t[2] for t in tiles]),
+            strand=np.stack([t[3] for t in tiles]),
+            valid=np.stack([t[4] for t in tiles]),
+            is_variant=np.stack([t[5] for t in tiles]),
+        )
+        out = step(batch)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = step(batch)
+        jax.block_until_ready(out)
+        wall = (time.time() - t0) / args.iters
+        elements = int(batch.valid.sum())
+        results[n] = {
+            "wall_ms": round(wall * 1000, 3),
+            "elements_per_s": round(elements / wall),
+        }
+        n *= 2
+
+    base = results[1]["elements_per_s"]
+    for n, r in results.items():
+        r["speedup"] = round(r["elements_per_s"] / base, 2)
+        r["efficiency"] = round(r["elements_per_s"] / base / n, 2)
+    report = {
+        "note": (
+            "virtual CPU mesh: all shards share this host's physical cores, "
+            "so efficiency here reflects host oversubscription, not ICI "
+            "scaling; on a pod each shard is a dedicated chip"
+        ),
+        "physical_cores": os.cpu_count(),
+        "shards": results,
+    }
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
