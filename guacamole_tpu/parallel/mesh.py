@@ -24,7 +24,7 @@ from typing import List, NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from guacamole_tpu.ops.kernels import genotype_log_likelihoods, probability_correct
