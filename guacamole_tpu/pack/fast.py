@@ -45,6 +45,75 @@ K_MID_DELETION = int(EventKind.MID_DELETION)
 K_CLIPPED = int(EventKind.CLIPPED)
 
 
+class LazyAlleleTables:
+    """Per-locus sorted allele dictionaries, materialized per locus on
+    demand (most loci are never inspected — only call candidates are)."""
+
+    __slots__ = ("key_alleles", "uniq_key", "first_of_locus")
+
+    def __init__(self, key_alleles, uniq_key, first_of_locus):
+        self.key_alleles = key_alleles  # global sorted Allele list
+        self.uniq_key = uniq_key  # [n_unique] key index per (locus, rank)
+        self.first_of_locus = first_of_locus  # [L+1] offsets
+
+    def __len__(self) -> int:
+        return len(self.first_of_locus) - 1
+
+    def __getitem__(self, li):
+        if isinstance(li, slice):
+            return [self[i] for i in range(*li.indices(len(self)))]
+        lo = int(self.first_of_locus[li])
+        hi = int(self.first_of_locus[li + 1])
+        return [self.key_alleles[int(k)] for k in self.uniq_key[lo:hi]]
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __add__(self, other):
+        return _ConcatTables(self, other)
+
+    def __eq__(self, other) -> bool:
+        if len(self) != len(other):
+            return False
+        return all(self[i] == other[i] for i in range(len(self)))
+
+
+class _ConcatTables:
+    """Lazy concatenation of two per-locus table sequences (used when
+    padding tiles: the pad side is a short list of empty tables)."""
+
+    __slots__ = ("first", "second")
+
+    def __init__(self, first, second):
+        self.first = first
+        self.second = second
+
+    def __len__(self) -> int:
+        return len(self.first) + len(self.second)
+
+    def __getitem__(self, li):
+        if isinstance(li, slice):
+            return [self[i] for i in range(*li.indices(len(self)))]
+        if li < 0:
+            li += len(self)
+        if li < len(self.first):
+            return self.first[li]
+        return self.second[li - len(self.first)]
+
+    def __iter__(self):
+        yield from self.first
+        yield from self.second
+
+    def __add__(self, other):
+        return _ConcatTables(self, other)
+
+    def __eq__(self, other) -> bool:
+        if len(self) != len(other):
+            return False
+        return all(self[i] == other[i] for i in range(len(self)))
+
+
 class ReadEventArrays:
     """Numpy form of a read's per-locus pileup events (see pack.events)."""
 
@@ -434,21 +503,16 @@ def _finish_tile(
         edge_a[li[~capped], si[~capped]] = 0
         readidx_a[li[~capped], si[~capped]] = -1
 
-    # ---- per-locus allele tables ----
-    alleles: List[List[Allele]] = []
+    # ---- per-locus allele tables (lazy) + vectorized variant flags ----
+    alleles = LazyAlleleTables(key_alleles, uniq_key, first_uniq_of_locus)
+    capped_ranks = allele_rank_within_locus < K
+    iv_locus = uniq_locus[capped_ranks]
+    iv_rank = allele_rank_within_locus[capped_ranks]
+    iv_key = uniq_key[capped_ranks]
     is_variant = np.zeros((L, K), dtype=bool)
     is_standard_alt = np.zeros((L, K), dtype=bool)
-    for locus_i in range(L):
-        lo_u = int(first_uniq_of_locus[locus_i])
-        hi_u = int(first_uniq_of_locus[locus_i + 1])
-        keys_here = uniq_key[lo_u:hi_u]
-        table = [key_alleles[int(k)] for k in keys_here]
-        if len(table) > K and not overflow[locus_i]:
-            overflow[locus_i] = True
-        alleles.append(table)
-        kk = keys_here[:K]
-        is_variant[locus_i, : len(kk)] = key_is_variant[kk]
-        is_standard_alt[locus_i, : len(kk)] = key_is_standard_alt[kk]
+    is_variant[iv_locus, iv_rank] = key_is_variant[iv_key]
+    is_standard_alt[iv_locus, iv_rank] = key_is_standard_alt[iv_key]
 
     return LocusTile(
         contig=contig,
