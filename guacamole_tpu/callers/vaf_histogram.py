@@ -38,16 +38,22 @@ def variant_loci_from_reads(
 ) -> List[VariantLocus]:
     """All loci with non-reference evidence and their VAFs
     (VAFHistogram.scala:208-255). referenceDepth counts Match elements:
-    elements whose allele equals (ref_base, ref_base)."""
-    sorted_reads = sorted(reads, key=lambda r: r.start)
-    sample_name = reads[0].sample_name if reads else "default"
+    elements whose allele equals (ref_base, ref_base).
+
+    reads: a list of MappedReads or a ReadSource."""
+    from guacamole_tpu.callers.source import ReadSource
+
+    source = (
+        reads if isinstance(reads, ReadSource) else ReadSource.from_reads(reads)
+    )
+    names = source.sample_names()
+    sample_name = names[0] if names else "default"
     out: List[VariantLocus] = []
     inverse = loci_partitions.inverse_map()
     for task in sorted(inverse):
         task_loci = inverse[task]
         for contig in task_loci.contigs:
-            tiles = pack_tiles(
-                sorted_reads,
+            tiles = source.pack_tiles(
                 contig,
                 task_loci.on_contig(contig),
                 tile_size=tile_size,
@@ -71,11 +77,7 @@ def variant_loci_from_reads(
                         ref_id = -1
                     if tile.overflow[li]:
                         # exact host fallback
-                        from guacamole_tpu.pileup.pileup import Pileup
-
-                        pileup = Pileup.from_reads(
-                            sorted_reads, contig, int(tile.loci[li])
-                        )
+                        pileup = source.pileup_at(contig, int(tile.loci[li]))
                         depth = pileup.depth
                         ref_depth = pileup.reference_depth
                     else:
@@ -195,8 +197,10 @@ def build_mixture_model(
 def main(argv, _add_fns) -> int:
     import argparse
 
-    from guacamole_tpu.callers.common import resolve_loci_builder
-    from guacamole_tpu.gio.load import load_read_set
+    from guacamole_tpu.callers.common import (
+        load_read_source,
+        resolve_loci_builder,
+    )
     from guacamole_tpu.loci.partition import partition_loci_from_args
     from guacamole_tpu.reads.read import InputFilters
 
@@ -226,21 +230,21 @@ def main(argv, _add_fns) -> int:
         passed_vendor_quality_checks=True,
         has_mdtag=True,
     )
-    read_sets = [
-        load_read_set(bam, InputFilters.empty, token=i)
-        for i, bam in enumerate(args.bams)
+    sources = [
+        load_read_source(bam, InputFilters.empty)
+        for bam in args.bams
     ]
-    loci_set = loci_builder.result(read_sets[0].contig_lengths)
+    loci_set = loci_builder.result(sources[0][1])
     partitions = partition_loci_from_args(
         args.parallelism,
         args.partition_accuracy,
         loci_set,
-        read_sets[0].mapped_reads,
+        sources[0][0],
         default_parallelism=_add_fns["default_parallelism"](),
     )
     all_variant_loci = [
         variant_loci_from_reads(
-            rs.mapped_reads,
+            src,
             partitions,
             min_read_depth=args.min_read_depth,
             min_variant_allele_frequency=args.min_vaf,
@@ -248,14 +252,13 @@ def main(argv, _add_fns) -> int:
             sample_percent=args.sample_percent,
             tile_size=args.tile_size,
         )
-        for rs in read_sets
+        for src, _ in sources
     ]
     bin_size = 100 // args.bins
     lines: List[str] = []
-    for bam, rs, variant_loci in zip(args.bams, read_sets, all_variant_loci):
-        sample = (
-            rs.mapped_reads[0].sample_name if rs.mapped_reads else "default"
-        )
+    for bam, (src, _), variant_loci in zip(args.bams, sources, all_variant_loci):
+        names = src.sample_names()
+        sample = names[0] if names else "default"
         histogram = generate_vaf_histogram(variant_loci, args.bins)
         for bin_start in sorted(histogram):
             lines.append(

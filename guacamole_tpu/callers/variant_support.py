@@ -50,13 +50,20 @@ def loci_from_variants(vcf_path: str) -> LociSet:
 def pileup_allele_counts(
     reads, loci: LociSet, tile_size: int = 4096
 ) -> List[AlleleCount]:
-    """Per-(sample, locus, allele) read counts at the given loci."""
+    """Per-(sample, locus, allele) read counts at the given loci.
+
+    reads: a list of MappedReads or a ReadSource."""
+    from guacamole_tpu.callers.source import ReadSource
+
+    source = (
+        reads if isinstance(reads, ReadSource) else ReadSource.from_reads(reads)
+    )
     out: List[AlleleCount] = []
-    sample = reads[0].sample_name if reads else "default"
-    sorted_reads = sorted(reads, key=lambda r: r.start)
+    names = source.sample_names()
+    sample = names[0] if names else "default"
     for contig in loci.contigs:
-        tiles = pack_tiles(
-            sorted_reads, contig, loci.on_contig(contig), tile_size=tile_size
+        tiles = source.pack_tiles(
+            contig, loci.on_contig(contig), tile_size=tile_size
         )
         for tile in tiles:
             stats = screen_tile(
@@ -69,7 +76,7 @@ def pileup_allele_counts(
                     continue
                 locus = int(tile.loci[li])
                 if tile.overflow[li]:
-                    pileup = Pileup.from_reads(sorted_reads, contig, locus)
+                    pileup = source.pileup_at(contig, locus)
                     table = {}
                     for e in pileup.elements:
                         table[e.allele] = table.get(e.allele, 0) + 1
@@ -97,7 +104,7 @@ def pileup_allele_counts(
 def main(argv, _add_fns) -> int:
     import argparse
 
-    from guacamole_tpu.gio.load import load_read_set
+    from guacamole_tpu.callers.common import load_read_source
     from guacamole_tpu.reads.read import InputFilters
     from guacamole_tpu.utils.progress import progress
 
@@ -116,9 +123,9 @@ def main(argv, _add_fns) -> int:
     progress(f"Variant sites cover {loci.count} loci.")
     lines: List[str] = []
     for token, bam in enumerate(args.bams):
-        read_set = load_read_set(bam, InputFilters.empty, token=token)
+        source, _ = load_read_source(bam, InputFilters.empty)
         counts = pileup_allele_counts(
-            read_set.mapped_reads, loci, tile_size=args.tile_size
+            source, loci, tile_size=args.tile_size
         )
         lines.extend(str(c) for c in counts)
     with open(args.output, "w") as out:

@@ -280,10 +280,30 @@ COMMANDS = {
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    import os
+
     from guacamole_tpu.platform import configure_platform
 
     configure_platform()
     argv = list(sys.argv[1:] if argv is None else argv)
+
+    # Device-level tracing (the XLA-profiler analog of the reference's
+    # progress/YourKit instrumentation): set GUAC_PROFILE_DIR to capture a
+    # jax profiler trace of the whole command.
+    profile_dir = os.environ.get("GUAC_PROFILE_DIR")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+        try:
+            return _dispatch(argv)
+        finally:
+            jax.profiler.stop_trace()
+            progress(f"Wrote device profile trace to {profile_dir}")
+    return _dispatch(argv)
+
+
+def _dispatch(argv: List[str]) -> int:
     if not argv or argv[0] in ("-h", "--help"):
         print(f"guacamole-tpu {__version__}: TPU-native variant caller.")
         print("Usage: guacamole <command> [args]\n\nCommands:")
