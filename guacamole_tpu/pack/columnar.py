@@ -31,8 +31,20 @@ def pack_tile_columnar(
     reference_genome=None,
     depth_pad: Optional[int] = None,
     sorted_by_start: bool = True,
+    use_native: bool = True,
 ) -> LocusTile:
-    """Pack one tile from columnar reads (must be sorted by start)."""
+    """Pack one tile from columnar reads (must be sorted by start).
+
+    Uses the C++ packer when available (identical output, cross-checked in
+    tests); falls back to the numpy implementation below.
+    """
+    if use_native:
+        tile = _pack_tile_native(
+            cols, contig_id, contig_name, loci, max_alleles,
+            reference_genome, depth_pad,
+        )
+        if tile is not None:
+            return tile
     loci_arr = np.asarray(loci, dtype=np.int64)
     L = len(loci_arr)
     K = max_alleles
@@ -133,6 +145,62 @@ def pack_tile_columnar(
         edge,
         readidx,
         special_entries,
+    )
+
+
+def _pack_tile_native(
+    cols, contig_id, contig_name, loci, max_alleles, reference_genome,
+    depth_pad,
+) -> Optional[LocusTile]:
+    from guacamole_tpu.pack.fast import LazyAlleleTables
+    from guacamole_tpu.runtime.native import pack_tile_native
+    from guacamole_tpu.variants.allele import Allele
+
+    ref_contig = (
+        reference_genome.get_contig(contig_name)
+        if reference_genome is not None
+        else None
+    )
+    loci_arr = np.asarray(loci, dtype=np.int64)
+    out = pack_tile_native(
+        cols,
+        contig_id,
+        loci_arr,
+        max_alleles,
+        depth_pad=depth_pad or 0,
+        ref_contig=ref_contig,
+    )
+    if out is None:
+        return None
+    L, D, K = int(out["L"]), int(out["D"]), max_alleles
+    blob = bytes(out["key_blob"])
+    ref_off = out["key_ref_off"]
+    alt_off = out["key_alt_off"]
+    key_alleles = [
+        Allele(blob[ref_off[i] : alt_off[i]], blob[alt_off[i] : ref_off[i + 1]])
+        for i in range(len(alt_off))
+    ]
+    alleles = LazyAlleleTables(
+        key_alleles, out["uniq_key"], out["uniq_off"]
+    )
+    return LocusTile(
+        contig=contig_name,
+        loci=loci_arr,
+        ref_base=out["ref_base"],
+        depth=out["depth"],
+        allele_id=out["allele_id"].reshape(L, D),
+        qual=out["qual"].reshape(L, D),
+        mapq=out["mapq"].reshape(L, D),
+        strand=out["strand"].reshape(L, D).astype(bool),
+        mismatches=out["mismatches"].reshape(L, D),
+        edge_distance=out["edge"].reshape(L, D),
+        read_index=out["read_index"].reshape(L, D),
+        valid=out["valid"].reshape(L, D).astype(bool),
+        alleles=alleles,
+        is_variant=out["is_variant"].reshape(L, K).astype(bool),
+        is_standard_alt=out["is_standard_alt"].reshape(L, K).astype(bool),
+        num_alleles=out["num_alleles"],
+        overflow=out["overflow"].astype(bool),
     )
 
 

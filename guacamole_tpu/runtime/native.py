@@ -69,8 +69,139 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.guac_header_text.argtypes = [ctypes.c_void_p]
     lib.guac_specials.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
 
+    # tile packer (absent in older builds of the shared library)
+    if not hasattr(lib, "guac_pack_tile"):
+        _lib = lib
+        return _lib
+    lib.guac_pack_tile.restype = ctypes.c_void_p
+    lib.guac_pack_tile.argtypes = (
+        [ctypes.c_int64]  # n_reads
+        + [ctypes.c_void_p] * 6  # read columns
+        + [ctypes.c_void_p] * 5  # event arrays
+        + [ctypes.c_int64]  # n_specials
+        + [ctypes.c_void_p] * 7  # specials + payload
+        + [ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p]  # contig, loci
+        + [ctypes.c_int64, ctypes.c_int64]  # K, depth_pad
+        + [ctypes.c_void_p, ctypes.c_int64]  # ref contig
+    )
+    lib.guac_free_tile.argtypes = [ctypes.c_void_p]
+    lib.guac_tile_L.restype = ctypes.c_int64
+    lib.guac_tile_L.argtypes = [ctypes.c_void_p]
+    lib.guac_tile_D.restype = ctypes.c_int64
+    lib.guac_tile_D.argtypes = [ctypes.c_void_p]
+
     _lib = lib
     return _lib
+
+
+_TILE_ACCESSORS = {
+    "ref_base": np.uint8,
+    "depth": np.int32,
+    "num_alleles": np.int16,
+    "overflow": np.uint8,
+    "allele_id": np.int16,
+    "qual": np.int16,
+    "mapq": np.int16,
+    "strand": np.uint8,
+    "mismatches": np.int16,
+    "edge": np.int32,
+    "read_index": np.int32,
+    "valid": np.uint8,
+    "is_variant": np.uint8,
+    "is_standard_alt": np.uint8,
+    "key_blob": np.uint8,
+    "key_ref_off": np.int64,
+    "key_alt_off": np.int64,
+    "uniq_key": np.int32,
+    "uniq_off": np.int64,
+}
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def pack_tile_native(
+    cols,
+    contig_id: int,
+    loci: np.ndarray,
+    max_alleles: int,
+    depth_pad: int = 0,
+    ref_contig: Optional[bytes] = None,
+):
+    """Run the C++ tile packer over columnar reads. Returns a dict of numpy
+    arrays (LocusTile fields + allele key tables), or None if unavailable."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "guac_pack_tile"):
+        return None
+    loci = np.ascontiguousarray(loci, dtype=np.int64)
+    arrays = {
+        name: np.ascontiguousarray(getattr(cols, attr))
+        for name, attr in (
+            ("ref_id", "ref_id"),
+            ("start", "start"),
+            ("end", "end"),
+            ("mapq", "mapq"),
+            ("flags", "flags_"),
+            ("mismatches", "mismatches"),
+            ("ev_off", "ev_off"),
+            ("ev_kind", "ev_kind"),
+            ("ev_base", "ev_base"),
+            ("ev_qual", "ev_qual"),
+            ("ev_mdref", "ev_mdref"),
+            ("sp_read", "sp_read"),
+            ("sp_offset", "sp_offset"),
+            ("sp_kind", "sp_kind"),
+            ("sp_payload_offset", "sp_payload_offset"),
+            ("sp_payload_len", "sp_payload_len"),
+            ("sp_qual", "sp_qual"),
+            ("special_payload", "special_payload"),
+        )
+    }
+    ref_arr = (
+        np.frombuffer(ref_contig, dtype=np.uint8) if ref_contig else None
+    )
+    handle = lib.guac_pack_tile(
+        cols.n,
+        _ptr(arrays["ref_id"]),
+        _ptr(arrays["start"]),
+        _ptr(arrays["end"]),
+        _ptr(arrays["mapq"]),
+        _ptr(arrays["flags"]),
+        _ptr(arrays["mismatches"]),
+        _ptr(arrays["ev_off"]),
+        _ptr(arrays["ev_kind"]),
+        _ptr(arrays["ev_base"]),
+        _ptr(arrays["ev_qual"]),
+        _ptr(arrays["ev_mdref"]),
+        len(arrays["sp_read"]),
+        _ptr(arrays["sp_read"]),
+        _ptr(arrays["sp_offset"]),
+        _ptr(arrays["sp_kind"]),
+        _ptr(arrays["sp_payload_offset"]),
+        _ptr(arrays["sp_payload_len"]),
+        _ptr(arrays["sp_qual"]),
+        _ptr(arrays["special_payload"]),
+        contig_id,
+        len(loci),
+        _ptr(loci),
+        max_alleles,
+        depth_pad,
+        _ptr(ref_arr) if ref_arr is not None else None,
+        len(ref_arr) if ref_arr is not None else 0,
+    )
+    if not handle:
+        return None
+    try:
+        out = {
+            name: _fetch_array(lib, handle, f"tile_{name}", dtype)
+            for name, dtype in _TILE_ACCESSORS.items()
+        }
+        out["L"] = lib.guac_tile_L(handle)
+        out["D"] = lib.guac_tile_D(handle)
+        return out
+    finally:
+        lib.guac_free_tile(handle)
 
 
 _ACCESSORS = {

@@ -1,0 +1,390 @@
+// guac_pack: native tile packer.
+//
+// Takes the (filtered) columnar read arrays plus a tile's loci and emits
+// the dense [L, D] pileup tensors (the LocusTile fields) in one pass —
+// the C++ counterpart of guacamole_tpu/pack/columnar.py + the shared
+// tile-assembly stage in pack/fast.py (cross-checked in
+// tests/test_native_pack.py).
+//
+// Compiled into libguac_runtime.so together with guac_runtime.cpp.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <string>
+#include <unordered_map>
+#include <utility>
+#include <vector>
+
+namespace {
+
+enum { EV_BASE = 0, EV_INSERTION, EV_DELETION, EV_MID_DELETION, EV_CLIPPED };
+
+struct AlleleKey {
+  std::string ref;
+  std::string alt;
+  bool operator<(const AlleleKey& o) const {
+    if (ref != o.ref) return ref < o.ref;
+    return alt < o.alt;
+  }
+  bool operator==(const AlleleKey& o) const {
+    return ref == o.ref && alt == o.alt;
+  }
+};
+
+struct PackedTile {
+  int64_t L = 0, D = 0, K = 0;
+  // [L]
+  std::vector<uint8_t> ref_base;
+  std::vector<int32_t> depth;
+  std::vector<int16_t> num_alleles;
+  std::vector<uint8_t> overflow;
+  // [L, D]
+  std::vector<int16_t> allele_id;
+  std::vector<int16_t> qual;
+  std::vector<int16_t> mapq;
+  std::vector<uint8_t> strand;
+  std::vector<int16_t> mismatches;
+  std::vector<int32_t> edge;
+  std::vector<int32_t> read_index;
+  std::vector<uint8_t> valid;
+  // [L, K]
+  std::vector<uint8_t> is_variant;
+  std::vector<uint8_t> is_standard_alt;
+  // allele key table: global sorted keys + per-locus key index lists
+  std::vector<uint8_t> key_blob;     // concatenated ref+alt bytes
+  std::vector<int64_t> key_ref_off;  // n_keys+1 (start of ref of key i)
+  std::vector<int64_t> key_alt_off;  // n_keys (split point within key i)
+  std::vector<int32_t> uniq_key;     // per (locus, rank): global key index
+  std::vector<int64_t> uniq_off;     // L+1 offsets into uniq_key
+};
+
+inline bool is_standard(uint8_t b) {
+  return b == 'A' || b == 'C' || b == 'G' || b == 'T';
+}
+
+static int64_t pad_depth(int64_t depth) {
+  int64_t d = 8;
+  while (d < depth) d *= 4;
+  return d;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pack one tile. All input pointers reference caller-owned numpy buffers.
+// loci must be sorted ascending. Reads must be sorted by start (within the
+// contig selection). Returns an opaque PackedTile handle.
+void* guac_pack_tile(
+    // per-read columns (n_reads entries)
+    int64_t n_reads, const int32_t* ref_id, const int64_t* start,
+    const int64_t* end, const int32_t* mapq, const uint16_t* flags,
+    const int32_t* mismatches,
+    // event arrays
+    const int64_t* ev_off, const uint8_t* ev_kind, const uint8_t* ev_base,
+    const uint8_t* ev_qual, const uint8_t* ev_mdref,
+    // specials
+    int64_t n_specials, const int64_t* sp_read, const int64_t* sp_offset,
+    const int32_t* sp_kind, const int64_t* sp_payload_offset,
+    const int64_t* sp_payload_len, const int32_t* sp_qual,
+    const uint8_t* special_payload,
+    // tile spec
+    int32_t contig_id, int64_t n_loci, const int64_t* loci, int64_t K,
+    int64_t depth_pad /* 0 = auto */,
+    // optional reference contig bytes (null = resolve from reads)
+    const uint8_t* ref_contig, int64_t ref_contig_len) {
+  PackedTile* t = new PackedTile();
+  t->L = n_loci;
+  t->K = K;
+  if (n_loci == 0) {
+    t->D = depth_pad > 0 ? depth_pad : 8;
+    t->uniq_off.assign(1, 0);
+    t->key_ref_off.assign(1, 0);
+    return t;
+  }
+  int64_t lo_bound = loci[0];
+  int64_t hi_bound = loci[n_loci - 1];
+
+  // Select overlapping reads (columns already sorted by start per contig).
+  std::vector<int64_t> sel;
+  sel.reserve(1024);
+  for (int64_t r = 0; r < n_reads; r++) {
+    if (ref_id[r] != contig_id) continue;
+    if (end[r] <= lo_bound || start[r] > hi_bound) continue;
+    sel.push_back(r);
+  }
+  std::stable_sort(sel.begin(), sel.end(), [&](int64_t a, int64_t b) {
+    return start[a] < start[b];
+  });
+
+  // Row range per read via binary search into loci.
+  auto row_lo = [&](int64_t s) {
+    return std::lower_bound(loci, loci + n_loci, s) - loci;
+  };
+
+  // Pass 1: depth per locus.
+  t->depth.assign(n_loci, 0);
+  std::vector<std::pair<int64_t, int64_t>> read_rows(sel.size());
+  for (size_t i = 0; i < sel.size(); i++) {
+    int64_t r = sel[i];
+    int64_t lo = row_lo(start[r]);
+    int64_t hi = row_lo(end[r]);
+    read_rows[i] = {lo, hi};
+    for (int64_t row = lo; row < hi; row++) t->depth[row]++;
+  }
+  int64_t max_depth = 0;
+  for (int64_t i = 0; i < n_loci; i++)
+    max_depth = std::max<int64_t>(max_depth, t->depth[i]);
+  int64_t D = depth_pad > 0 ? depth_pad : pad_depth(std::max<int64_t>(max_depth, 1));
+  t->D = D;
+
+  // Pass 2: reference base per locus.
+  t->ref_base.assign(n_loci, 'N');
+  if (ref_contig != nullptr) {
+    for (int64_t i = 0; i < n_loci; i++)
+      if (loci[i] >= 0 && loci[i] < ref_contig_len)
+        t->ref_base[i] = ref_contig[loci[i]];
+  } else {
+    for (size_t i = 0; i < sel.size(); i++) {
+      int64_t r = sel[i];
+      auto [lo, hi] = read_rows[i];
+      const uint8_t* mdr = ev_mdref + ev_off[r];
+      for (int64_t row = lo; row < hi; row++) {
+        if (t->ref_base[row] == 'N') {
+          uint8_t b = mdr[loci[row] - start[r]];
+          if (is_standard(b)) t->ref_base[row] = b;
+        }
+      }
+    }
+  }
+
+  // Specials lookup: read -> (offset -> special index).
+  std::unordered_map<int64_t, std::unordered_map<int64_t, int64_t>> special_by_read;
+  for (int64_t s = 0; s < n_specials; s++)
+    special_by_read[sp_read[s]][sp_offset[s]] = s;
+
+  // Pass 3: fill [L, D] arrays + per-element allele keys.
+  t->allele_id.assign(n_loci * D, -1);
+  t->qual.assign(n_loci * D, 0);
+  t->mapq.assign(n_loci * D, 0);
+  t->strand.assign(n_loci * D, 0);
+  t->mismatches.assign(n_loci * D, 0);
+  t->edge.assign(n_loci * D, 0);
+  t->read_index.assign(n_loci * D, -1);
+  t->valid.assign(n_loci * D, 0);
+  t->overflow.assign(n_loci, 0);
+
+  // Per-element allele keys: most are 2-byte (ref, alt); store compactly as
+  // int32 codes; special/long keys in a side map.
+  // Code scheme: BASE/MATCH: 0x10000 | ref<<8 | alt ; MID_DEL: 0x20000|ref ;
+  // CLIPPED: 0x30000 ; long keys: 0x40000 + index into long_keys.
+  std::vector<AlleleKey> long_keys;
+  std::map<AlleleKey, int32_t> long_key_ids;
+  std::vector<int32_t> elem_code(n_loci * D, -1);
+  std::vector<int32_t> fill(n_loci, 0);
+
+  for (size_t i = 0; i < sel.size(); i++) {
+    int64_t r = sel[i];
+    auto [lo, hi] = read_rows[i];
+    const uint8_t* kinds = ev_kind + ev_off[r];
+    const uint8_t* bases = ev_base + ev_off[r];
+    const uint8_t* quals = ev_qual + ev_off[r];
+    const uint8_t* mdr = ev_mdref + ev_off[r];
+    bool positive = (flags[r] & 0x10) == 0;
+    auto sp_it = special_by_read.find(r);
+    for (int64_t row = lo; row < hi; row++) {
+      int32_t slot = fill[row]++;
+      if (slot >= D) {
+        t->overflow[row] = 1;
+        continue;
+      }
+      int64_t off = loci[row] - start[r];
+      int64_t cell = row * D + slot;
+      uint8_t kind = kinds[off];
+      int32_t code;
+      uint8_t rb = t->ref_base[row];
+      switch (kind) {
+        case EV_BASE:
+          code = 0x10000 | ((int32_t)rb << 8) | bases[off];
+          break;
+        case EV_MID_DELETION:
+          code = 0x20000 | mdr[off];
+          break;
+        case EV_CLIPPED:
+          code = 0x30000;
+          break;
+        default: {  // INSERTION or DELETION anchor
+          AlleleKey key;
+          if (sp_it != special_by_read.end()) {
+            auto it = sp_it->second.find(off);
+            if (it != sp_it->second.end()) {
+              int64_t s = it->second;
+              std::string payload(
+                  reinterpret_cast<const char*>(special_payload +
+                                                sp_payload_offset[s]),
+                  sp_payload_len[s]);
+              if (sp_kind[s] == EV_INSERTION) {
+                key.ref = payload.substr(0, 1);
+                key.alt = payload;
+              } else {
+                key.ref = std::string(1, (char)rb) + payload;
+                key.alt = key.ref.substr(0, 1);
+              }
+            }
+          }
+          auto found = long_key_ids.find(key);
+          int32_t id;
+          if (found == long_key_ids.end()) {
+            id = (int32_t)long_keys.size();
+            long_keys.push_back(key);
+            long_key_ids[key] = id;
+          } else {
+            id = found->second;
+          }
+          code = 0x40000 + id;
+          break;
+        }
+      }
+      elem_code[cell] = code;
+      t->qual[cell] = quals[off];
+      t->mapq[cell] = (int16_t)mapq[r];
+      t->strand[cell] = positive ? 1 : 0;
+      t->mismatches[cell] = (int16_t)mismatches[r];
+      t->edge[cell] =
+          positive ? (int32_t)(end[r] - loci[row]) : (int32_t)(loci[row] - start[r]);
+      t->read_index[cell] = (int32_t)r;
+      t->valid[cell] = 1;
+    }
+  }
+
+  // Global key table: decode every distinct code to its byte-pair key and
+  // sort (rank order == Allele ordering).
+  auto decode = [&](int32_t code) -> AlleleKey {
+    AlleleKey k;
+    if ((code & 0x70000) == 0x10000) {
+      k.ref = std::string(1, (char)((code >> 8) & 0xff));
+      k.alt = std::string(1, (char)(code & 0xff));
+    } else if ((code & 0x70000) == 0x20000) {
+      k.ref = std::string(1, (char)(code & 0xff));
+      k.alt = "";
+    } else if ((code & 0x70000) == 0x30000) {
+      k.ref = "";
+      k.alt = "";
+    } else {
+      k = long_keys[code - 0x40000];
+    }
+    return k;
+  };
+
+  std::map<int32_t, int32_t> code_to_rank_builder;
+  for (int64_t cell = 0; cell < n_loci * D; cell++)
+    if (elem_code[cell] >= 0) code_to_rank_builder[elem_code[cell]] = 0;
+  std::vector<std::pair<AlleleKey, int32_t>> keyed;
+  keyed.reserve(code_to_rank_builder.size());
+  for (auto& kv : code_to_rank_builder)
+    keyed.push_back({decode(kv.first), kv.first});
+  std::sort(keyed.begin(), keyed.end(),
+            [](const auto& a, const auto& b) { return a.first < b.first; });
+  std::unordered_map<int32_t, int32_t> code_to_rank;
+  t->key_ref_off.push_back(0);
+  for (size_t i = 0; i < keyed.size(); i++) {
+    code_to_rank[keyed[i].second] = (int32_t)i;
+    const AlleleKey& k = keyed[i].first;
+    t->key_blob.insert(t->key_blob.end(), k.ref.begin(), k.ref.end());
+    t->key_alt_off.push_back((int64_t)t->key_blob.size());
+    t->key_blob.insert(t->key_blob.end(), k.alt.begin(), k.alt.end());
+    t->key_ref_off.push_back((int64_t)t->key_blob.size());
+  }
+
+  // Per-locus dense allele ids + uniq table + variant flags.
+  t->num_alleles.assign(n_loci, 0);
+  t->is_variant.assign(n_loci * K, 0);
+  t->is_standard_alt.assign(n_loci * K, 0);
+  t->uniq_off.assign(n_loci + 1, 0);
+  std::vector<int32_t> locus_ranks;
+  for (int64_t row = 0; row < n_loci; row++) {
+    locus_ranks.clear();
+    int32_t dn = (int32_t)std::min<int64_t>(t->depth[row], D);
+    for (int32_t slot = 0; slot < dn; slot++) {
+      int32_t code = elem_code[row * D + slot];
+      if (code >= 0) locus_ranks.push_back(code_to_rank[code]);
+    }
+    std::sort(locus_ranks.begin(), locus_ranks.end());
+    locus_ranks.erase(std::unique(locus_ranks.begin(), locus_ranks.end()),
+                      locus_ranks.end());
+    int64_t n_distinct = (int64_t)locus_ranks.size();
+    if (n_distinct > K) t->overflow[row] = 1;
+    t->num_alleles[row] = (int16_t)std::min<int64_t>(n_distinct, K);
+    for (int64_t u = 0; u < n_distinct; u++) {
+      t->uniq_key.push_back(locus_ranks[u]);
+      if (u < K) {
+        const AlleleKey& k = keyed[locus_ranks[u]].first;
+        t->is_variant[row * K + u] = (k.ref != k.alt) ? 1 : 0;
+        bool std_alt = true;
+        for (char c : k.alt)
+          if (!is_standard((uint8_t)c)) std_alt = false;
+        t->is_standard_alt[row * K + u] = std_alt ? 1 : 0;
+      }
+    }
+    t->uniq_off[row + 1] = (int64_t)t->uniq_key.size();
+    // assign dense allele ids to the elements of this locus
+    for (int32_t slot = 0; slot < dn; slot++) {
+      int64_t cell = row * D + slot;
+      int32_t code = elem_code[cell];
+      if (code < 0) continue;
+      int32_t rank = code_to_rank[code];
+      auto pos = std::lower_bound(locus_ranks.begin(), locus_ranks.end(), rank);
+      int64_t id = pos - locus_ranks.begin();
+      if (id < K) {
+        t->allele_id[cell] = (int16_t)id;
+      } else {
+        // beyond the cap: invalidate the slot (matches the Python packers)
+        t->valid[cell] = 0;
+        t->qual[cell] = 0;
+        t->mapq[cell] = 0;
+        t->strand[cell] = 0;
+        t->mismatches[cell] = 0;
+        t->edge[cell] = 0;
+        t->read_index[cell] = -1;
+      }
+    }
+  }
+
+  return t;
+}
+
+void guac_free_tile(void* handle) { delete static_cast<PackedTile*>(handle); }
+
+int64_t guac_tile_L(void* h) { return static_cast<PackedTile*>(h)->L; }
+int64_t guac_tile_D(void* h) { return static_cast<PackedTile*>(h)->D; }
+
+#define TILE_ACCESSOR(name, field, ctype)                  \
+  const ctype* guac_tile_##name(void* h, int64_t* n) {     \
+    PackedTile* t = static_cast<PackedTile*>(h);           \
+    *n = (int64_t)t->field.size();                         \
+    return t->field.data();                                \
+  }
+
+TILE_ACCESSOR(ref_base, ref_base, uint8_t)
+TILE_ACCESSOR(depth, depth, int32_t)
+TILE_ACCESSOR(num_alleles, num_alleles, int16_t)
+TILE_ACCESSOR(overflow, overflow, uint8_t)
+TILE_ACCESSOR(allele_id, allele_id, int16_t)
+TILE_ACCESSOR(qual, qual, int16_t)
+TILE_ACCESSOR(mapq, mapq, int16_t)
+TILE_ACCESSOR(strand, strand, uint8_t)
+TILE_ACCESSOR(mismatches, mismatches, int16_t)
+TILE_ACCESSOR(edge, edge, int32_t)
+TILE_ACCESSOR(read_index, read_index, int32_t)
+TILE_ACCESSOR(valid, valid, uint8_t)
+TILE_ACCESSOR(is_variant, is_variant, uint8_t)
+TILE_ACCESSOR(is_standard_alt, is_standard_alt, uint8_t)
+TILE_ACCESSOR(key_blob, key_blob, uint8_t)
+TILE_ACCESSOR(key_ref_off, key_ref_off, int64_t)
+TILE_ACCESSOR(key_alt_off, key_alt_off, int64_t)
+TILE_ACCESSOR(uniq_key, uniq_key, int32_t)
+TILE_ACCESSOR(uniq_off, uniq_off, int64_t)
+
+}  // extern "C"

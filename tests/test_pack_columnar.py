@@ -30,10 +30,17 @@ def check_columnar(reads, contig, loci, **kw):
     )
     cols = columnar_from_reads(reads)
     contig_id = cols.ref_names.index(contig)
-    got = pack_tile_columnar(cols, contig_id, contig, sorted(loci), **kw)
     want = pack_tile_fast(reads, contig, loci, **kw)
-    # read_index in the columnar tile indexes cols (same order as reads here)
-    assert_tiles_equal(got, want)
+    # numpy columnar path and C++ native packer must both equal the
+    # object-path packer
+    got_numpy = pack_tile_columnar(
+        cols, contig_id, contig, sorted(loci), use_native=False, **kw
+    )
+    assert_tiles_equal(got_numpy, want)
+    got_native = pack_tile_columnar(
+        cols, contig_id, contig, sorted(loci), use_native=True, **kw
+    )
+    assert_tiles_equal(got_native, want)
 
 
 def test_columnar_synthetic():
