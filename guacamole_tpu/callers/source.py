@@ -72,7 +72,10 @@ class ReadSource:
     def for_sample(self, sample_name: str) -> "ReadSource":
         if self._cols is not None:
             sid = self._cols.samples.index(sample_name)
-            return ReadSource(cols=self._cols.select(self._cols.sample_id == sid))
+            mask = self._cols.sample_id == sid
+            if mask.all():
+                return self  # single-sample input: no copy
+            return ReadSource(cols=self._cols.select(mask))
         return ReadSource(
             reads=[
                 r
