@@ -154,7 +154,12 @@ def write_variants(
         progress(f"Writing genotypes to VCF file: {out_path}.")
         write_vcf(records, out_path, contig_lengths)
     else:
-        raise ValueError(f"Unsupported output format: {out_path}")
+        # Any other path gets ADAM-Genotype Parquet, matching the
+        # reference's adamParquetSave fallthrough (Common.scala:295-303).
+        progress(f"Writing genotypes to: {out_path}.")
+        from guacamole_tpu.gio.adam import write_genotypes_parquet
+
+        write_genotypes_parquet(records, out_path)
 
 
 def validate_output_path(out_path: str) -> None:

@@ -75,7 +75,10 @@ def load_reads(
             path, filters, token, reference_genome, recompute_mdtags,
             require_mdtags_on_mapped_reads,
         )
-    raise ValueError(f"Unsupported reads format (expected .bam or .sam): {path}")
+    # Anything else is treated as ADAM Parquet, the way the reference
+    # falls through to loadReadRDDAndSequenceDictionaryFromADAM
+    # (Read.scala:352-365).
+    return _load_adam(path, filters, token, reference_genome, recompute_mdtags)
 
 
 def _resolve_loci(filters: InputFilters, contig_lengths):
@@ -145,6 +148,22 @@ def _load_sam(
         if _post_filter(read, filters, loci):
             out.append(read)
     return out, dictionary
+
+
+def _load_adam(path, filters, token, reference_genome, recompute_mdtags):
+    """ADAM Parquet input (cf. Read.scala:454-475)."""
+    if recompute_mdtags:
+        raise ValueError(
+            "Recomputing md tags currently not implemented for ADAM files."
+        )
+    from guacamole_tpu.gio.adam import read_adam
+
+    all_reads, dictionary = read_adam(
+        path, token=token, reference_genome=reference_genome
+    )
+    loci = _resolve_loci(filters, dictionary)
+    reads = [r for r in all_reads if _post_filter(r, filters, loci)]
+    return reads, dictionary
 
 
 def _load_bam(
