@@ -20,6 +20,7 @@ Per-locus classification parity notes:
 from __future__ import annotations
 
 import logging
+from collections import deque
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -28,7 +29,7 @@ import numpy as np
 from guacamole_tpu.gio.vcf import VcfRecord
 from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.loci.lociset import LociSet
-from guacamole_tpu.ops.dispatch import screen_tile
+from guacamole_tpu.ops.dispatch import screen_tile, screen_tile_launch
 from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
 from guacamole_tpu.pileup.pileup import Pileup
 from guacamole_tpu.reads.read import MappedRead
@@ -163,26 +164,37 @@ def call_tile(
     emit_no_call: bool,
     sample_reads: Optional[Sequence[MappedRead]] = None,
     source=None,
+    pending=None,
 ) -> List[ThresholdCall]:
-    """Run the device counting kernel over a tile and classify on host."""
+    """Run the device counting kernel over a tile and classify on host.
+
+    pending: an already-launched PendingScreen for this tile (pipelined
+    path); when absent the kernel is dispatched synchronously here.
+    """
     if tile.L == 0:
         return []
-    stats = screen_tile(
-        tile.allele_id, tile.qual, tile.mapq, tile.strand, tile.valid,
-        tile.is_variant, tile.K,
-    )
+    if pending is not None:
+        stats = pending.result()
+    else:
+        stats = screen_tile(
+            tile.allele_id, tile.qual, tile.mapq, tile.strand, tile.valid,
+            tile.is_variant, tile.K,
+            threshold_percent=threshold_percent,
+        )
     counts = stats.counts
     variant_evidence = stats.candidates
     calls: List[ThresholdCall] = []
-    for li in range(tile.L):
-        total = int(tile.depth[li])
-        if total == 0:
-            continue
-        # Fast path: skip loci with no variant evidence unless we must emit
-        # hom-ref or no-call records there.
-        if not (emit_ref or emit_no_call) and not variant_evidence[li]:
-            if not tile.overflow[li]:
-                continue
+    # Only loci flagged by the device screen (exact thresholded passing
+    # rule) or needing the exact host fallback can produce output; with
+    # emit flags set every covered locus can.
+    depth_arr = np.asarray(tile.depth)[: tile.L]
+    overflow_arr = np.asarray(tile.overflow).astype(bool)[: tile.L]
+    active = depth_arr > 0
+    if not (emit_ref or emit_no_call):
+        evidence = np.asarray(variant_evidence).astype(bool)[: tile.L]
+        active &= evidence | overflow_arr
+    for li in np.nonzero(active)[0]:
+        total = int(depth_arr[li])
         locus = int(tile.loci[li])
         if tile.overflow[li]:
             # Exact host fallback for >K-allele or >D-depth loci.
@@ -244,6 +256,29 @@ def call_variants(
     sample_sources = {
         name: source.for_sample(name) for name in source.sample_names()
     }
+
+    # Pipelined execution: launch the screen kernel for each packed tile
+    # immediately (JAX dispatch is async), classify once a bounded window
+    # of tiles is in flight, so host packing/classification overlaps the
+    # device kernels and the tunnel's device->host latency.
+    max_in_flight = 8
+    in_flight = deque()
+
+    def drain(limit: int) -> None:
+        while len(in_flight) > limit:
+            tile, name, src, pending = in_flight.popleft()
+            calls.extend(
+                call_tile(
+                    tile,
+                    name,
+                    threshold_percent,
+                    emit_ref,
+                    emit_no_call,
+                    source=src,
+                    pending=pending,
+                )
+            )
+
     for task in sorted(inverse):
         task_loci = inverse[task]
         for sample_name, sample_source in sorted(sample_sources.items()):
@@ -256,14 +291,16 @@ def call_variants(
                     reference_genome=reference_genome,
                 )
                 for tile in tiles:
-                    calls.extend(
-                        call_tile(
-                            tile,
-                            sample_name,
-                            threshold_percent,
-                            emit_ref,
-                            emit_no_call,
-                            source=sample_source,
+                    pending = None
+                    if tile.L:
+                        pending = screen_tile_launch(
+                            tile.allele_id, tile.qual, tile.mapq,
+                            tile.strand, tile.valid, tile.is_variant, tile.K,
+                            threshold_percent=threshold_percent,
                         )
+                    in_flight.append(
+                        (tile, sample_name, sample_source, pending)
                     )
+                    drain(max_in_flight)
+    drain(0)
     return calls

@@ -36,6 +36,22 @@ def use_pallas() -> bool:
     return setting == "1" and on_tpu()
 
 
+def fetch_arrays(*arrays):
+    """Device->host transfer of several arrays with overlapped RTTs.
+
+    A plain np.asarray per output serializes one tunnel round-trip per
+    array (~40 ms each on the remote TPU); starting all host copies
+    asynchronously first makes the latencies overlap.
+    """
+    for arr in arrays:
+        if isinstance(arr, jax.Array):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+    return tuple(np.asarray(arr) for arr in arrays)
+
+
 class ScreenResult(NamedTuple):
     counts: np.ndarray  # [L, K]
     forward_counts: np.ndarray
@@ -43,10 +59,30 @@ class ScreenResult(NamedTuple):
     candidates: np.ndarray  # [L] bool
 
 
-def screen_tile(
-    allele_id, qual, mapq, strand, valid, is_variant, max_alleles: int
-) -> ScreenResult:
-    """Per-locus counts + variant-evidence screening for one tile."""
+class PendingScreen(NamedTuple):
+    """Dispatched-but-unfetched screen kernel outputs (device arrays).
+
+    JAX dispatch is asynchronous: callers can launch the kernels for many
+    tiles, letting the device work and the host->device/device->host
+    traffic overlap host-side packing/classification, then resolve each
+    with result().
+    """
+
+    counts: object
+    forward_counts: object
+    depth: object
+    candidates: object
+
+    def result(self) -> ScreenResult:
+        return ScreenResult(*fetch_arrays(*self))
+
+
+def screen_tile_launch(
+    allele_id, qual, mapq, strand, valid, is_variant, max_alleles: int,
+    threshold_percent=None,
+) -> PendingScreen:
+    """Dispatch per-locus counts + variant-evidence screening for one tile
+    without blocking on the device->host transfer."""
     if use_pallas():
         from guacamole_tpu.ops.pallas_kernels import fused_tile_stats_ll
 
@@ -60,19 +96,41 @@ def screen_tile(
             jnp.asarray(valid),
             jnp.asarray(is_variant),
             max_alleles,
+            threshold_percent=threshold_percent,
         )
-        return ScreenResult(
-            counts=np.asarray(out.counts),
-            forward_counts=np.asarray(out.forward_counts),
-            depth=np.asarray(out.depth),
-            candidates=np.asarray(out.candidates),
+        pending = PendingScreen(
+            out.counts, out.forward_counts, out.depth, out.candidates
         )
-    from guacamole_tpu.ops.kernels import tile_stats
+    else:
+        from guacamole_tpu.ops.kernels import tile_stats
 
-    stats = tile_stats(allele_id, strand, valid, is_variant, max_alleles)
-    return ScreenResult(
-        counts=np.asarray(stats.counts),
-        forward_counts=np.asarray(stats.forward_counts),
-        depth=np.asarray(stats.depth),
-        candidates=np.asarray(stats.variant_evidence),
-    )
+        stats = tile_stats(
+            allele_id, strand, valid, is_variant, max_alleles,
+            threshold_percent=threshold_percent,
+        )
+        pending = PendingScreen(
+            stats.counts,
+            stats.forward_counts,
+            stats.depth,
+            stats.variant_evidence,
+        )
+    # Queue the host copies right behind the kernels so the transfer is
+    # already in flight when result() is called.
+    for arr in pending:
+        if isinstance(arr, jax.Array):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+    return pending
+
+
+def screen_tile(
+    allele_id, qual, mapq, strand, valid, is_variant, max_alleles: int,
+    threshold_percent=None,
+) -> ScreenResult:
+    """Per-locus counts + variant-evidence screening for one tile."""
+    return screen_tile_launch(
+        allele_id, qual, mapq, strand, valid, is_variant, max_alleles,
+        threshold_percent=threshold_percent,
+    ).result()

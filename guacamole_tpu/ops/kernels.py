@@ -110,17 +110,37 @@ class TileStats(NamedTuple):
     variant_evidence: jnp.ndarray  # [L] bool: any variant-allele element
 
 
-@functools.partial(jax.jit, static_argnames=("max_alleles",))
+@functools.partial(
+    jax.jit, static_argnames=("max_alleles", "threshold_percent")
+)
 def tile_stats(
     allele_id: jnp.ndarray,
     strand: jnp.ndarray,
     valid: jnp.ndarray,
     is_variant: jnp.ndarray,  # [L, K] bool
     max_alleles: int,
+    threshold_percent=None,
 ) -> TileStats:
-    """Fused counting + candidate screening for one tile."""
+    """Fused counting + candidate screening for one tile.
+
+    Without a threshold, a locus is a candidate if any variant allele has
+    evidence. With threshold_percent, the screen applies the exact
+    germline-threshold passing rule (count * 100 // depth > threshold,
+    rewritten division-free as count * 100 >= depth * (threshold + 1) for
+    positive counts): candidates are loci where a variant allele passes —
+    or where two reference alleles pass (the mixed-N corner that
+    classify_locus must still see, GermlineThresholdCaller.scala:155-175).
+    """
     counts, fwd = allele_counts(allele_id, strand, valid, max_alleles)
     depth = jnp.sum(valid, axis=1, dtype=jnp.int32)
     forward_depth = jnp.sum(valid & strand, axis=1, dtype=jnp.int32)
-    variant_evidence = jnp.any((counts > 0) & is_variant, axis=1)
+    if threshold_percent is None:
+        variant_evidence = jnp.any((counts > 0) & is_variant, axis=1)
+    else:
+        passing = (counts > 0) & (
+            counts * 100 >= depth[:, None] * (threshold_percent + 1)
+        )
+        variant_evidence = jnp.any(passing & is_variant, axis=1) | (
+            jnp.sum(passing & ~is_variant, axis=1) >= 2
+        )
     return TileStats(counts, fwd, depth, forward_depth, variant_evidence)

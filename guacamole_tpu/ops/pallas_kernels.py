@@ -43,6 +43,7 @@ def _stats_ll_kernel(
     *,
     max_alleles: int,
     include_alignment: bool,
+    threshold_percent=None,
 ):
     aid = aid_ref[:]
     valid = valid_ref[:]
@@ -74,10 +75,30 @@ def _stats_ll_kernel(
     counts_ref[:] = counts
     fwd_ref[:] = jnp.stack(fwd_cols, axis=1)
 
-    variant_evidence = jnp.sum(
-        (counts > 0).astype(jnp.float32) * variant_ref[:], axis=1, keepdims=True
-    )
-    cand_ref[:] = (variant_evidence > 0).astype(jnp.int32)
+    if threshold_percent is None:
+        variant_evidence = jnp.sum(
+            (counts > 0).astype(jnp.float32) * variant_ref[:],
+            axis=1,
+            keepdims=True,
+        )
+        cand_ref[:] = (variant_evidence > 0).astype(jnp.int32)
+    else:
+        # Exact passing rule, division-free (see kernels.tile_stats); all
+        # quantities < 2^24 so the f32 compare is exact.
+        counts_f = counts.astype(jnp.float32)
+        passing = (counts_f > 0) & (
+            counts_f * 100.0 >= depth * float(threshold_percent + 1)
+        )
+        variant = variant_ref[:] > 0
+        passing_variant = jnp.sum(
+            (passing & variant).astype(jnp.float32), axis=1, keepdims=True
+        )
+        passing_ref = jnp.sum(
+            (passing & ~variant).astype(jnp.float32), axis=1, keepdims=True
+        )
+        cand_ref[:] = ((passing_variant > 0) | (passing_ref >= 2)).astype(
+            jnp.int32
+        )
 
     # genotype log-likelihoods, P pairs unrolled
     neg_depth_log2 = depth * (-LOG2)  # [TL, 1]
@@ -105,7 +126,13 @@ def _is_tpu() -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_alleles", "include_alignment", "interpret", "block_l"),
+    static_argnames=(
+        "max_alleles",
+        "include_alignment",
+        "interpret",
+        "block_l",
+        "threshold_percent",
+    ),
 )
 def fused_tile_stats_ll(
     allele_id: jnp.ndarray,  # [L, D] any int
@@ -118,6 +145,7 @@ def fused_tile_stats_ll(
     include_alignment: bool = False,
     interpret: bool = False,
     block_l: int = 256,
+    threshold_percent=None,
 ) -> PallasTileStats:
     """Run the fused kernel over a whole tile (grid over L blocks)."""
     from jax.experimental import pallas as pl
@@ -162,6 +190,7 @@ def fused_tile_stats_ll(
         _stats_ll_kernel,
         max_alleles=max_alleles,
         include_alignment=include_alignment,
+        threshold_percent=threshold_percent,
     )
     counts, fwd, depth, cand, ll = pl.pallas_call(
         kernel,

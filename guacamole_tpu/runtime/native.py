@@ -2,7 +2,8 @@
 
 The shared library performs BGZF inflation (multithreaded), BAM record
 parsing, MD expansion, and pileup event-array construction; this module
-copies its buffers into numpy arrays and frees the handle.
+exposes its buffers as zero-copy numpy views that free the native handle
+when the last view is garbage-collected.
 """
 
 from __future__ import annotations
@@ -192,16 +193,14 @@ def pack_tile_native(
     )
     if not handle:
         return None
-    try:
-        out = {
-            name: _fetch_array(lib, handle, f"tile_{name}", dtype)
-            for name, dtype in _TILE_ACCESSORS.items()
-        }
-        out["L"] = lib.guac_tile_L(handle)
-        out["D"] = lib.guac_tile_D(handle)
-        return out
-    finally:
-        lib.guac_free_tile(handle)
+    owner = _NativeOwner(lib.guac_free_tile, handle)
+    out = {
+        name: _fetch_array(lib, handle, f"tile_{name}", dtype, owner=owner)
+        for name, dtype in _TILE_ACCESSORS.items()
+    }
+    out["L"] = lib.guac_tile_L(handle)
+    out["D"] = lib.guac_tile_D(handle)
+    return out
 
 
 _ACCESSORS = {
@@ -232,7 +231,46 @@ _ACCESSORS = {
 }
 
 
-def _fetch_array(lib, handle, name: str, dtype) -> np.ndarray:
+class _NativeOwner:
+    """Keeps a native handle alive while zero-copy numpy views reference
+    its buffers; frees it when the last view is garbage-collected."""
+
+    __slots__ = ("_free", "_handle")
+
+    def __init__(self, free_fn, handle):
+        self._free = free_fn
+        self._handle = handle
+
+    def __del__(self):
+        try:
+            self._free(self._handle)
+        except Exception:
+            pass
+
+
+class _CBuffer:
+    """numpy array-interface shim over a raw C pointer, pinning the owner
+    (so views created from it keep the native allocation alive)."""
+
+    __slots__ = ("_owner", "__array_interface__")
+
+    def __init__(self, ptr: int, nbytes: int, owner):
+        self._owner = owner
+        self.__array_interface__ = {
+            "data": (ptr, False),
+            "shape": (nbytes,),
+            "typestr": "|u1",
+            "version": 3,
+        }
+
+
+def _fetch_array(lib, handle, name: str, dtype, owner=None) -> np.ndarray:
+    """View a native buffer as a numpy array.
+
+    With an owner, the view is zero-copy and the owner (which frees the
+    handle on GC) is pinned via the array base; without one the data is
+    copied so the caller may free the handle immediately.
+    """
     fn = getattr(lib, f"guac_{name}")
     fn.restype = ctypes.c_void_p
     fn.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
@@ -241,6 +279,8 @@ def _fetch_array(lib, handle, name: str, dtype) -> np.ndarray:
     if not ptr or n.value == 0:
         return np.empty(0, dtype=dtype)
     itemsize = np.dtype(dtype).itemsize
+    if owner is not None:
+        return np.asarray(_CBuffer(ptr, n.value * itemsize, owner)).view(dtype)
     buf = ctypes.cast(
         ptr, ctypes.POINTER(ctypes.c_char * (n.value * itemsize))
     ).contents
@@ -258,48 +298,46 @@ def decode_bam_native(path: str, threads: int = 0):
     handle = lib.guac_decode_bam(path.encode(), threads)
     if not handle:
         return None
-    try:
-        out = {
-            name: _fetch_array(lib, handle, name, dtype)
-            for name, dtype in _ACCESSORS.items()
-        }
-        n_refs = lib.guac_num_refs(handle)
-        out["ref_names"] = [
-            lib.guac_ref_name(handle, i).decode() for i in range(n_refs)
-        ]
-        out["ref_lengths"] = [
-            lib.guac_ref_length(handle, i) for i in range(n_refs)
-        ]
-        out["samples"] = [
-            lib.guac_sample_name(handle, i).decode()
-            for i in range(lib.guac_num_samples(handle))
-        ]
-        out["header_text"] = lib.guac_header_text(handle).decode(
-            errors="replace"
+    owner = _NativeOwner(lib.guac_free_reads, handle)
+    out = {
+        name: _fetch_array(lib, handle, name, dtype, owner=owner)
+        for name, dtype in _ACCESSORS.items()
+    }
+    n_refs = lib.guac_num_refs(handle)
+    out["ref_names"] = [
+        lib.guac_ref_name(handle, i).decode() for i in range(n_refs)
+    ]
+    out["ref_lengths"] = [
+        lib.guac_ref_length(handle, i) for i in range(n_refs)
+    ]
+    out["samples"] = [
+        lib.guac_sample_name(handle, i).decode()
+        for i in range(lib.guac_num_samples(handle))
+    ]
+    out["header_text"] = lib.guac_header_text(handle).decode(
+        errors="replace"
+    )
+    n_specials = lib.guac_num_specials(handle)
+    sp_read = np.zeros(n_specials, dtype=np.int64)
+    sp_off = np.zeros(n_specials, dtype=np.int64)
+    sp_kind = np.zeros(n_specials, dtype=np.int32)
+    sp_poff = np.zeros(n_specials, dtype=np.int64)
+    sp_plen = np.zeros(n_specials, dtype=np.int64)
+    sp_qual = np.zeros(n_specials, dtype=np.int32)
+    if n_specials:
+        lib.guac_specials(
+            handle,
+            sp_read.ctypes.data_as(ctypes.c_void_p),
+            sp_off.ctypes.data_as(ctypes.c_void_p),
+            sp_kind.ctypes.data_as(ctypes.c_void_p),
+            sp_poff.ctypes.data_as(ctypes.c_void_p),
+            sp_plen.ctypes.data_as(ctypes.c_void_p),
+            sp_qual.ctypes.data_as(ctypes.c_void_p),
         )
-        n_specials = lib.guac_num_specials(handle)
-        sp_read = np.zeros(n_specials, dtype=np.int64)
-        sp_off = np.zeros(n_specials, dtype=np.int64)
-        sp_kind = np.zeros(n_specials, dtype=np.int32)
-        sp_poff = np.zeros(n_specials, dtype=np.int64)
-        sp_plen = np.zeros(n_specials, dtype=np.int64)
-        sp_qual = np.zeros(n_specials, dtype=np.int32)
-        if n_specials:
-            lib.guac_specials(
-                handle,
-                sp_read.ctypes.data_as(ctypes.c_void_p),
-                sp_off.ctypes.data_as(ctypes.c_void_p),
-                sp_kind.ctypes.data_as(ctypes.c_void_p),
-                sp_poff.ctypes.data_as(ctypes.c_void_p),
-                sp_plen.ctypes.data_as(ctypes.c_void_p),
-                sp_qual.ctypes.data_as(ctypes.c_void_p),
-            )
-        out["sp_read"] = sp_read
-        out["sp_offset"] = sp_off
-        out["sp_kind"] = sp_kind
-        out["sp_payload_offset"] = sp_poff
-        out["sp_payload_len"] = sp_plen
-        out["sp_qual"] = sp_qual
-        return out
-    finally:
-        lib.guac_free_reads(handle)
+    out["sp_read"] = sp_read
+    out["sp_offset"] = sp_off
+    out["sp_kind"] = sp_kind
+    out["sp_payload_offset"] = sp_poff
+    out["sp_payload_len"] = sp_plen
+    out["sp_qual"] = sp_qual
+    return out
