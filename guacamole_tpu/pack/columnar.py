@@ -32,16 +32,19 @@ def pack_tile_columnar(
     depth_pad: Optional[int] = None,
     sorted_by_start: bool = True,
     use_native: bool = True,
+    l_pad: int = 0,
 ) -> LocusTile:
     """Pack one tile from columnar reads (must be sorted by start).
 
     Uses the C++ packer when available (identical output, cross-checked in
-    tests); falls back to the numpy implementation below.
+    tests); falls back to the numpy implementation below. l_pad > L pads the
+    locus axis with sentinel rows in the native packer itself (equivalent to
+    pad_tile_loci, without the Python-side copy).
     """
     if use_native:
         tile = _pack_tile_native(
             cols, contig_id, contig_name, loci, max_alleles,
-            reference_genome, depth_pad,
+            reference_genome, depth_pad, l_pad,
         )
         if tile is not None:
             return tile
@@ -150,7 +153,7 @@ def pack_tile_columnar(
 
 def _pack_tile_native(
     cols, contig_id, contig_name, loci, max_alleles, reference_genome,
-    depth_pad,
+    depth_pad, l_pad=0,
 ) -> Optional[LocusTile]:
     from guacamole_tpu.pack.fast import LazyAlleleTables
     from guacamole_tpu.runtime.native import pack_tile_native
@@ -168,11 +171,16 @@ def _pack_tile_native(
         loci_arr,
         max_alleles,
         depth_pad=depth_pad or 0,
+        l_pad=l_pad,
         ref_contig=ref_contig,
     )
     if out is None:
         return None
     L, D, K = int(out["L"]), int(out["D"]), max_alleles
+    if L > len(loci_arr):
+        loci_arr = np.concatenate(
+            [loci_arr, np.full(L - len(loci_arr), -1, dtype=np.int64)]
+        )
     blob = bytes(out["key_blob"])
     ref_off = out["key_ref_off"]
     alt_off = out["key_alt_off"]
@@ -277,6 +285,7 @@ def pack_tiles_columnar(
             all_loci[i : i + tile_size],
             max_alleles=max_alleles,
             reference_genome=reference_genome,
+            l_pad=tile_size if pad_to_tile_size else 0,
         )
         if pad_to_tile_size and tile.L < tile_size:
             tile = pad_tile_loci(tile, tile_size)

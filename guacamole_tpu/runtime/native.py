@@ -82,7 +82,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         + [ctypes.c_int64]  # n_specials
         + [ctypes.c_void_p] * 7  # specials + payload
         + [ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p]  # contig, loci
-        + [ctypes.c_int64, ctypes.c_int64]  # K, depth_pad
+        + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]  # K, depth_pad, l_pad
         + [ctypes.c_void_p, ctypes.c_int64]  # ref contig
     )
     lib.guac_free_tile.argtypes = [ctypes.c_void_p]
@@ -128,6 +128,7 @@ def pack_tile_native(
     loci: np.ndarray,
     max_alleles: int,
     depth_pad: int = 0,
+    l_pad: int = 0,
     ref_contig: Optional[bytes] = None,
 ):
     """Run the C++ tile packer over columnar reads. Returns a dict of numpy
@@ -188,6 +189,7 @@ def pack_tile_native(
         _ptr(loci),
         max_alleles,
         depth_pad,
+        l_pad,
         _ptr(ref_arr) if ref_arr is not None else None,
         len(ref_arr) if ref_arr is not None else 0,
     )

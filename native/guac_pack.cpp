@@ -4,15 +4,24 @@
 // the dense [L, D] pileup tensors (the LocusTile fields) in one pass —
 // the C++ counterpart of guacamole_tpu/pack/columnar.py + the shared
 // tile-assembly stage in pack/fast.py (cross-checked in
-// tests/test_native_pack.py).
+// tests/test_pack_columnar.py / test_runtime.py).
+//
+// The locus axis is processed in contiguous blocks by a small thread pool:
+// each block owns its rows, so the [L, D] fills and the per-locus allele
+// tables race-free-parallelize; only the rare long-allele-key interning
+// (indels) takes a mutex. The tile can also be L-padded here (l_pad) so
+// callers get fixed-shape tensors without a post-hoc Python copy.
 //
 // Compiled into libguac_runtime.so together with guac_runtime.cpp.
 
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <map>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <utility>
 #include <vector>
@@ -70,13 +79,34 @@ static int64_t pad_depth(int64_t depth) {
   return d;
 }
 
+// Run fn(block_index) over nblocks blocks on up to max_threads threads.
+static void parallel_blocks(int64_t nblocks, int max_threads,
+                            const std::function<void(int64_t)>& fn) {
+  if (nblocks <= 0) return;
+  int nthreads = (int)std::min<int64_t>(std::max(max_threads, 1), nblocks);
+  if (nthreads <= 1) {
+    for (int64_t b = 0; b < nblocks; b++) fn(b);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nthreads);
+  for (int t = 0; t < nthreads; t++) {
+    pool.emplace_back([&, t]() {
+      for (int64_t b = t; b < nblocks; b += nthreads) fn(b);
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
 }  // namespace
 
 extern "C" {
 
 // Pack one tile. All input pointers reference caller-owned numpy buffers.
 // loci must be sorted ascending. Reads must be sorted by start (within the
-// contig selection). Returns an opaque PackedTile handle.
+// contig selection). l_pad > n_loci allocates sentinel rows (depth 0,
+// allele_id -1) so every tile in a run shares the same [L, D] shape.
+// Returns an opaque PackedTile handle.
 void* guac_pack_tile(
     // per-read columns (n_reads entries)
     int64_t n_reads, const int32_t* ref_id, const int64_t* start,
@@ -92,20 +122,42 @@ void* guac_pack_tile(
     const uint8_t* special_payload,
     // tile spec
     int32_t contig_id, int64_t n_loci, const int64_t* loci, int64_t K,
-    int64_t depth_pad /* 0 = auto */,
+    int64_t depth_pad /* 0 = auto */, int64_t l_pad /* 0 = no padding */,
     // optional reference contig bytes (null = resolve from reads)
     const uint8_t* ref_contig, int64_t ref_contig_len) {
   PackedTile* t = new PackedTile();
-  t->L = n_loci;
+  int64_t L_out = std::max(l_pad, n_loci);
+  t->L = L_out;
   t->K = K;
   if (n_loci == 0) {
     t->D = depth_pad > 0 ? depth_pad : 8;
-    t->uniq_off.assign(1, 0);
+    if (L_out > 0) {
+      // Sentinel rows use ref_base 0, matching pad_tile_loci's zero fill.
+      t->ref_base.assign(L_out, 0);
+      t->depth.assign(L_out, 0);
+      t->num_alleles.assign(L_out, 0);
+      t->overflow.assign(L_out, 0);
+      t->allele_id.assign(L_out * t->D, -1);
+      t->qual.assign(L_out * t->D, 0);
+      t->mapq.assign(L_out * t->D, 0);
+      t->strand.assign(L_out * t->D, 0);
+      t->mismatches.assign(L_out * t->D, 0);
+      t->edge.assign(L_out * t->D, 0);
+      t->read_index.assign(L_out * t->D, -1);
+      t->valid.assign(L_out * t->D, 0);
+      t->is_variant.assign(L_out * K, 0);
+      t->is_standard_alt.assign(L_out * K, 0);
+    }
+    t->uniq_off.assign(L_out + 1, 0);
     t->key_ref_off.assign(1, 0);
     return t;
   }
   int64_t lo_bound = loci[0];
   int64_t hi_bound = loci[n_loci - 1];
+
+  int max_threads =
+      (int)std::min<unsigned>(std::thread::hardware_concurrency(), 16);
+  if (max_threads < 1) max_threads = 1;
 
   // Select overlapping reads (columns already sorted by start per contig).
   std::vector<int64_t> sel;
@@ -123,58 +175,88 @@ void* guac_pack_tile(
   auto row_lo = [&](int64_t s) {
     return std::lower_bound(loci, loci + n_loci, s) - loci;
   };
-
-  // Pass 1: depth per locus.
-  t->depth.assign(n_loci, 0);
   std::vector<std::pair<int64_t, int64_t>> read_rows(sel.size());
   for (size_t i = 0; i < sel.size(); i++) {
     int64_t r = sel[i];
-    int64_t lo = row_lo(start[r]);
-    int64_t hi = row_lo(end[r]);
-    read_rows[i] = {lo, hi};
-    for (int64_t row = lo; row < hi; row++) t->depth[row]++;
+    read_rows[i] = {row_lo(start[r]), row_lo(end[r])};
   }
+
+  // Block decomposition of the locus axis: each block owns its rows, so
+  // every per-row fill below is race-free. Reads are bucketed into every
+  // block they overlap, preserving sel (start-sorted) order per block so
+  // slot assignment matches the sequential packers.
+  int64_t block_size =
+      std::max<int64_t>(256, (n_loci + max_threads - 1) / max_threads);
+  int64_t nblocks = (n_loci + block_size - 1) / block_size;
+  std::vector<std::vector<int64_t>> block_members((size_t)nblocks);
+  for (size_t i = 0; i < sel.size(); i++) {
+    auto [lo, hi] = read_rows[i];
+    if (hi <= lo) continue;
+    for (int64_t b = lo / block_size; b <= (hi - 1) / block_size; b++)
+      block_members[(size_t)b].push_back((int64_t)i);
+  }
+
+  // Pass 1: depth per locus (parallel over blocks).
+  t->depth.assign(L_out, 0);
+  parallel_blocks(nblocks, max_threads, [&](int64_t b) {
+    int64_t bs = b * block_size;
+    int64_t be = std::min(bs + block_size, n_loci);
+    for (int64_t i : block_members[(size_t)b]) {
+      auto [lo, hi] = read_rows[(size_t)i];
+      for (int64_t row = std::max(lo, bs); row < std::min(hi, be); row++)
+        t->depth[row]++;
+    }
+  });
   int64_t max_depth = 0;
   for (int64_t i = 0; i < n_loci; i++)
     max_depth = std::max<int64_t>(max_depth, t->depth[i]);
-  int64_t D = depth_pad > 0 ? depth_pad : pad_depth(std::max<int64_t>(max_depth, 1));
+  int64_t D =
+      depth_pad > 0 ? depth_pad : pad_depth(std::max<int64_t>(max_depth, 1));
   t->D = D;
 
-  // Pass 2: reference base per locus.
-  t->ref_base.assign(n_loci, 'N');
+  // Pass 2: reference base per locus. Sentinel rows (>= n_loci) stay 0 to
+  // match pad_tile_loci's zero fill.
+  t->ref_base.assign(L_out, 0);
+  std::fill(t->ref_base.begin(), t->ref_base.begin() + n_loci, 'N');
   if (ref_contig != nullptr) {
     for (int64_t i = 0; i < n_loci; i++)
       if (loci[i] >= 0 && loci[i] < ref_contig_len)
         t->ref_base[i] = ref_contig[loci[i]];
   } else {
-    for (size_t i = 0; i < sel.size(); i++) {
-      int64_t r = sel[i];
-      auto [lo, hi] = read_rows[i];
-      const uint8_t* mdr = ev_mdref + ev_off[r];
-      for (int64_t row = lo; row < hi; row++) {
-        if (t->ref_base[row] == 'N') {
-          uint8_t b = mdr[loci[row] - start[r]];
-          if (is_standard(b)) t->ref_base[row] = b;
+    parallel_blocks(nblocks, max_threads, [&](int64_t b) {
+      int64_t bs = b * block_size;
+      int64_t be = std::min(bs + block_size, n_loci);
+      for (int64_t i : block_members[(size_t)b]) {
+        int64_t r = sel[(size_t)i];
+        auto [lo, hi] = read_rows[(size_t)i];
+        const uint8_t* mdr = ev_mdref + ev_off[r];
+        for (int64_t row = std::max(lo, bs); row < std::min(hi, be); row++) {
+          if (t->ref_base[row] == 'N') {
+            uint8_t bch = mdr[loci[row] - start[r]];
+            if (is_standard(bch)) t->ref_base[row] = bch;
+          }
         }
       }
-    }
+    });
   }
 
   // Specials lookup: read -> (offset -> special index).
-  std::unordered_map<int64_t, std::unordered_map<int64_t, int64_t>> special_by_read;
+  std::unordered_map<int64_t, std::unordered_map<int64_t, int64_t>>
+      special_by_read;
   for (int64_t s = 0; s < n_specials; s++)
     special_by_read[sp_read[s]][sp_offset[s]] = s;
 
-  // Pass 3: fill [L, D] arrays + per-element allele keys.
-  t->allele_id.assign(n_loci * D, -1);
-  t->qual.assign(n_loci * D, 0);
-  t->mapq.assign(n_loci * D, 0);
-  t->strand.assign(n_loci * D, 0);
-  t->mismatches.assign(n_loci * D, 0);
-  t->edge.assign(n_loci * D, 0);
-  t->read_index.assign(n_loci * D, -1);
-  t->valid.assign(n_loci * D, 0);
-  t->overflow.assign(n_loci, 0);
+  // Pass 3: fill [L, D] arrays + per-element allele keys (parallel over
+  // blocks; only long-key interning is shared, behind a mutex).
+  t->allele_id.assign(L_out * D, -1);
+  t->qual.assign(L_out * D, 0);
+  t->mapq.assign(L_out * D, 0);
+  t->strand.assign(L_out * D, 0);
+  t->mismatches.assign(L_out * D, 0);
+  t->edge.assign(L_out * D, 0);
+  t->read_index.assign(L_out * D, -1);
+  t->valid.assign(L_out * D, 0);
+  t->overflow.assign(L_out, 0);
 
   // Per-element allele keys: most are 2-byte (ref, alt); store compactly as
   // int32 codes; special/long keys in a side map.
@@ -182,82 +264,90 @@ void* guac_pack_tile(
   // CLIPPED: 0x30000 ; long keys: 0x40000 + index into long_keys.
   std::vector<AlleleKey> long_keys;
   std::map<AlleleKey, int32_t> long_key_ids;
+  std::mutex long_key_mu;
   std::vector<int32_t> elem_code(n_loci * D, -1);
   std::vector<int32_t> fill(n_loci, 0);
 
-  for (size_t i = 0; i < sel.size(); i++) {
-    int64_t r = sel[i];
-    auto [lo, hi] = read_rows[i];
-    const uint8_t* kinds = ev_kind + ev_off[r];
-    const uint8_t* bases = ev_base + ev_off[r];
-    const uint8_t* quals = ev_qual + ev_off[r];
-    const uint8_t* mdr = ev_mdref + ev_off[r];
-    bool positive = (flags[r] & 0x10) == 0;
-    auto sp_it = special_by_read.find(r);
-    for (int64_t row = lo; row < hi; row++) {
-      int32_t slot = fill[row]++;
-      if (slot >= D) {
-        t->overflow[row] = 1;
-        continue;
-      }
-      int64_t off = loci[row] - start[r];
-      int64_t cell = row * D + slot;
-      uint8_t kind = kinds[off];
-      int32_t code;
-      uint8_t rb = t->ref_base[row];
-      switch (kind) {
-        case EV_BASE:
-          code = 0x10000 | ((int32_t)rb << 8) | bases[off];
-          break;
-        case EV_MID_DELETION:
-          code = 0x20000 | mdr[off];
-          break;
-        case EV_CLIPPED:
-          code = 0x30000;
-          break;
-        default: {  // INSERTION or DELETION anchor
-          AlleleKey key;
-          if (sp_it != special_by_read.end()) {
-            auto it = sp_it->second.find(off);
-            if (it != sp_it->second.end()) {
-              int64_t s = it->second;
-              std::string payload(
-                  reinterpret_cast<const char*>(special_payload +
-                                                sp_payload_offset[s]),
-                  sp_payload_len[s]);
-              if (sp_kind[s] == EV_INSERTION) {
-                key.ref = payload.substr(0, 1);
-                key.alt = payload;
-              } else {
-                key.ref = std::string(1, (char)rb) + payload;
-                key.alt = key.ref.substr(0, 1);
+  parallel_blocks(nblocks, max_threads, [&](int64_t blk) {
+    int64_t bs = blk * block_size;
+    int64_t be = std::min(bs + block_size, n_loci);
+    for (int64_t i : block_members[(size_t)blk]) {
+      int64_t r = sel[(size_t)i];
+      auto [lo, hi] = read_rows[(size_t)i];
+      const uint8_t* kinds = ev_kind + ev_off[r];
+      const uint8_t* bases = ev_base + ev_off[r];
+      const uint8_t* quals = ev_qual + ev_off[r];
+      const uint8_t* mdr = ev_mdref + ev_off[r];
+      bool positive = (flags[r] & 0x10) == 0;
+      auto sp_it = special_by_read.find(r);
+      for (int64_t row = std::max(lo, bs); row < std::min(hi, be); row++) {
+        int32_t slot = fill[row]++;
+        if (slot >= D) {
+          t->overflow[row] = 1;
+          continue;
+        }
+        int64_t off = loci[row] - start[r];
+        int64_t cell = row * D + slot;
+        uint8_t kind = kinds[off];
+        int32_t code;
+        uint8_t rb = t->ref_base[row];
+        switch (kind) {
+          case EV_BASE:
+            code = 0x10000 | ((int32_t)rb << 8) | bases[off];
+            break;
+          case EV_MID_DELETION:
+            code = 0x20000 | mdr[off];
+            break;
+          case EV_CLIPPED:
+            code = 0x30000;
+            break;
+          default: {  // INSERTION or DELETION anchor
+            AlleleKey key;
+            if (sp_it != special_by_read.end()) {
+              auto it = sp_it->second.find(off);
+              if (it != sp_it->second.end()) {
+                int64_t s = it->second;
+                std::string payload(
+                    reinterpret_cast<const char*>(special_payload +
+                                                  sp_payload_offset[s]),
+                    sp_payload_len[s]);
+                if (sp_kind[s] == EV_INSERTION) {
+                  key.ref = payload.substr(0, 1);
+                  key.alt = payload;
+                } else {
+                  key.ref = std::string(1, (char)rb) + payload;
+                  key.alt = key.ref.substr(0, 1);
+                }
               }
             }
+            int32_t id;
+            {
+              std::lock_guard<std::mutex> lock(long_key_mu);
+              auto found = long_key_ids.find(key);
+              if (found == long_key_ids.end()) {
+                id = (int32_t)long_keys.size();
+                long_keys.push_back(key);
+                long_key_ids[key] = id;
+              } else {
+                id = found->second;
+              }
+            }
+            code = 0x40000 + id;
+            break;
           }
-          auto found = long_key_ids.find(key);
-          int32_t id;
-          if (found == long_key_ids.end()) {
-            id = (int32_t)long_keys.size();
-            long_keys.push_back(key);
-            long_key_ids[key] = id;
-          } else {
-            id = found->second;
-          }
-          code = 0x40000 + id;
-          break;
         }
+        elem_code[cell] = code;
+        t->qual[cell] = quals[off];
+        t->mapq[cell] = (int16_t)mapq[r];
+        t->strand[cell] = positive ? 1 : 0;
+        t->mismatches[cell] = (int16_t)mismatches[r];
+        t->edge[cell] = positive ? (int32_t)(end[r] - loci[row])
+                                 : (int32_t)(loci[row] - start[r]);
+        t->read_index[cell] = (int32_t)r;
+        t->valid[cell] = 1;
       }
-      elem_code[cell] = code;
-      t->qual[cell] = quals[off];
-      t->mapq[cell] = (int16_t)mapq[r];
-      t->strand[cell] = positive ? 1 : 0;
-      t->mismatches[cell] = (int16_t)mismatches[r];
-      t->edge[cell] =
-          positive ? (int32_t)(end[r] - loci[row]) : (int32_t)(loci[row] - start[r]);
-      t->read_index[cell] = (int32_t)r;
-      t->valid[cell] = 1;
     }
-  }
+  });
 
   // Global key table: decode every distinct code to its byte-pair key and
   // sort (rank order == Allele ordering).
@@ -298,59 +388,86 @@ void* guac_pack_tile(
     t->key_ref_off.push_back((int64_t)t->key_blob.size());
   }
 
-  // Per-locus dense allele ids + uniq table + variant flags.
-  t->num_alleles.assign(n_loci, 0);
-  t->is_variant.assign(n_loci * K, 0);
-  t->is_standard_alt.assign(n_loci * K, 0);
-  t->uniq_off.assign(n_loci + 1, 0);
-  std::vector<int32_t> locus_ranks;
-  for (int64_t row = 0; row < n_loci; row++) {
-    locus_ranks.clear();
-    int32_t dn = (int32_t)std::min<int64_t>(t->depth[row], D);
-    for (int32_t slot = 0; slot < dn; slot++) {
-      int32_t code = elem_code[row * D + slot];
-      if (code >= 0) locus_ranks.push_back(code_to_rank[code]);
-    }
-    std::sort(locus_ranks.begin(), locus_ranks.end());
-    locus_ranks.erase(std::unique(locus_ranks.begin(), locus_ranks.end()),
-                      locus_ranks.end());
-    int64_t n_distinct = (int64_t)locus_ranks.size();
-    if (n_distinct > K) t->overflow[row] = 1;
-    t->num_alleles[row] = (int16_t)std::min<int64_t>(n_distinct, K);
-    for (int64_t u = 0; u < n_distinct; u++) {
-      t->uniq_key.push_back(locus_ranks[u]);
-      if (u < K) {
-        const AlleleKey& k = keyed[locus_ranks[u]].first;
-        t->is_variant[row * K + u] = (k.ref != k.alt) ? 1 : 0;
-        bool std_alt = true;
-        for (char c : k.alt)
-          if (!is_standard((uint8_t)c)) std_alt = false;
-        t->is_standard_alt[row * K + u] = std_alt ? 1 : 0;
+  // Pass 4: per-locus dense allele ids + uniq table + variant flags
+  // (parallel over blocks with per-block uniq buffers, stitched serially).
+  t->num_alleles.assign(L_out, 0);
+  t->is_variant.assign(L_out * K, 0);
+  t->is_standard_alt.assign(L_out * K, 0);
+  t->uniq_off.assign(L_out + 1, 0);
+  std::vector<std::vector<int32_t>> block_uniq((size_t)nblocks);
+  std::vector<std::vector<int64_t>> block_counts((size_t)nblocks);
+  parallel_blocks(nblocks, max_threads, [&](int64_t blk) {
+    int64_t bs = blk * block_size;
+    int64_t be = std::min(bs + block_size, n_loci);
+    auto& uniq = block_uniq[(size_t)blk];
+    auto& cnts = block_counts[(size_t)blk];
+    cnts.reserve((size_t)(be - bs));
+    std::vector<int32_t> locus_ranks;
+    for (int64_t row = bs; row < be; row++) {
+      locus_ranks.clear();
+      int32_t dn = (int32_t)std::min<int64_t>(t->depth[row], D);
+      for (int32_t slot = 0; slot < dn; slot++) {
+        int32_t code = elem_code[row * D + slot];
+        if (code >= 0) locus_ranks.push_back(code_to_rank[code]);
+      }
+      std::sort(locus_ranks.begin(), locus_ranks.end());
+      locus_ranks.erase(std::unique(locus_ranks.begin(), locus_ranks.end()),
+                        locus_ranks.end());
+      int64_t n_distinct = (int64_t)locus_ranks.size();
+      if (n_distinct > K) t->overflow[row] = 1;
+      t->num_alleles[row] = (int16_t)std::min<int64_t>(n_distinct, K);
+      for (int64_t u = 0; u < n_distinct; u++) {
+        uniq.push_back(locus_ranks[u]);
+        if (u < K) {
+          const AlleleKey& k = keyed[locus_ranks[u]].first;
+          t->is_variant[row * K + u] = (k.ref != k.alt) ? 1 : 0;
+          bool std_alt = true;
+          for (char c : k.alt)
+            if (!is_standard((uint8_t)c)) std_alt = false;
+          t->is_standard_alt[row * K + u] = std_alt ? 1 : 0;
+        }
+      }
+      cnts.push_back(n_distinct);
+      // assign dense allele ids to the elements of this locus
+      for (int32_t slot = 0; slot < dn; slot++) {
+        int64_t cell = row * D + slot;
+        int32_t code = elem_code[cell];
+        if (code < 0) continue;
+        int32_t rank = code_to_rank[code];
+        auto pos =
+            std::lower_bound(locus_ranks.begin(), locus_ranks.end(), rank);
+        int64_t id = pos - locus_ranks.begin();
+        if (id < K) {
+          t->allele_id[cell] = (int16_t)id;
+        } else {
+          // beyond the cap: invalidate the slot (matches the Python packers)
+          t->valid[cell] = 0;
+          t->qual[cell] = 0;
+          t->mapq[cell] = 0;
+          t->strand[cell] = 0;
+          t->mismatches[cell] = 0;
+          t->edge[cell] = 0;
+          t->read_index[cell] = -1;
+        }
       }
     }
-    t->uniq_off[row + 1] = (int64_t)t->uniq_key.size();
-    // assign dense allele ids to the elements of this locus
-    for (int32_t slot = 0; slot < dn; slot++) {
-      int64_t cell = row * D + slot;
-      int32_t code = elem_code[cell];
-      if (code < 0) continue;
-      int32_t rank = code_to_rank[code];
-      auto pos = std::lower_bound(locus_ranks.begin(), locus_ranks.end(), rank);
-      int64_t id = pos - locus_ranks.begin();
-      if (id < K) {
-        t->allele_id[cell] = (int16_t)id;
-      } else {
-        // beyond the cap: invalidate the slot (matches the Python packers)
-        t->valid[cell] = 0;
-        t->qual[cell] = 0;
-        t->mapq[cell] = 0;
-        t->strand[cell] = 0;
-        t->mismatches[cell] = 0;
-        t->edge[cell] = 0;
-        t->read_index[cell] = -1;
-      }
+  });
+  // Stitch per-block uniq tables into the global offsets/values.
+  int64_t total_uniq = 0;
+  for (auto& u : block_uniq) total_uniq += (int64_t)u.size();
+  t->uniq_key.reserve((size_t)total_uniq);
+  int64_t row_cursor = 0;
+  for (int64_t blk = 0; blk < nblocks; blk++) {
+    for (int64_t c : block_counts[(size_t)blk]) {
+      t->uniq_off[row_cursor + 1] = t->uniq_off[row_cursor] + c;
+      row_cursor++;
     }
+    t->uniq_key.insert(t->uniq_key.end(), block_uniq[(size_t)blk].begin(),
+                       block_uniq[(size_t)blk].end());
   }
+  // Sentinel rows (L padding) keep the last offset.
+  for (int64_t row = row_cursor; row < L_out; row++)
+    t->uniq_off[row + 1] = t->uniq_off[row];
 
   return t;
 }
