@@ -225,12 +225,14 @@ def covered_loci(
     order = np.argsort(starts, kind="stable")
     starts = starts[order]
     ends = np.maximum.accumulate(ends[order])
-    covered: List[Tuple[int, int]] = []
-    for s, e in zip(starts.tolist(), ends.tolist()):
-        if covered and s <= covered[-1][1]:
-            covered[-1] = (covered[-1][0], max(covered[-1][1], e))
-        else:
-            covered.append((s, e))
+    # Vectorized interval merge: a new merged interval begins wherever a
+    # read starts past the running max end of everything before it.
+    is_new = np.empty(len(starts), dtype=bool)
+    is_new[0] = True
+    np.greater(starts[1:], ends[:-1], out=is_new[1:])
+    first = np.flatnonzero(is_new)
+    last = np.r_[first[1:] - 1, len(starts) - 1]
+    covered = list(zip(starts[first].tolist(), ends[last].tolist()))
     pieces = []
     ci = 0
     for s, e in loci_ranges:

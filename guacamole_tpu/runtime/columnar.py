@@ -58,10 +58,29 @@ class ColumnarReads:
     sp_payload_len: np.ndarray
     sp_qual: np.ndarray
     special_payload: np.ndarray
+    # Filtered slices: the ragged data arrays above are SHARED with the
+    # parent and each *_off becomes a length-n array of per-read start
+    # offsets, with the matching end offsets here. None = unfiltered
+    # (cumulative length-n+1 *_off).
+    seq_end: Optional[np.ndarray] = None
+    cigar_end: Optional[np.ndarray] = None
+    md_end: Optional[np.ndarray] = None
+    ev_end: Optional[np.ndarray] = None
 
     @property
     def n(self) -> int:
         return len(self.start)
+
+    def _span(self, off: np.ndarray, end_arr: Optional[np.ndarray], i: int):
+        if end_arr is not None:
+            return int(off[i]), int(end_arr[i])
+        return int(off[i]), int(off[i + 1])
+
+    @property
+    def md_lengths(self) -> np.ndarray:
+        if self.md_end is not None:
+            return self.md_end - self.md_off
+        return self.md_off[1:] - self.md_off[:-1]
 
     @property
     def contig_lengths(self) -> Dict[str, int]:
@@ -81,32 +100,21 @@ class ColumnarReads:
         return self.take(idx)
 
     def take(self, idx: np.ndarray) -> "ColumnarReads":
+        """Subset reads by index WITHOUT copying the ragged data: the data
+        arrays are shared and only the per-read offset bounds are indexed
+        (the packers address ragged sections by start offset only)."""
         old_to_new = np.full(self.n, -1, dtype=np.int64)
         old_to_new[idx] = np.arange(len(idx))
 
-        def var_take(off, data):
-            lengths = (off[1:] - off[:-1])[idx]
-            new_off = np.zeros(len(idx) + 1, dtype=np.int64)
-            np.cumsum(lengths, out=new_off[1:])
-            total = int(new_off[-1])
-            if len(data) == 0 or len(idx) == 0 or total == 0:
-                return new_off, data[:0]
-            gather = (
-                np.repeat(off[idx], lengths)
-                + np.arange(total, dtype=np.int64)
-                - np.repeat(new_off[:-1], lengths)
-            )
-            return new_off, data[gather]
+        def bounds_take(off, end_arr):
+            if end_arr is not None:
+                return off[idx], end_arr[idx]
+            return off[:-1][idx], off[1:][idx]
 
-        seq_off, seq = var_take(self.seq_off, self.seq)
-        _, qual = var_take(self.seq_off, self.qual)
-        cigar_off, cigar_len = var_take(self.cigar_off, self.cigar_len)
-        _, cigar_op = var_take(self.cigar_off, self.cigar_op)
-        md_off, md_text = var_take(self.md_off, self.md_text)
-        ev_off, ev_kind = var_take(self.ev_off, self.ev_kind)
-        _, ev_base = var_take(self.ev_off, self.ev_base)
-        _, ev_qual = var_take(self.ev_off, self.ev_qual)
-        _, ev_mdref = var_take(self.ev_off, self.ev_mdref)
+        seq_s, seq_e = bounds_take(self.seq_off, self.seq_end)
+        cig_s, cig_e = bounds_take(self.cigar_off, self.cigar_end)
+        md_s, md_e = bounds_take(self.md_off, self.md_end)
+        ev_s, ev_e = bounds_take(self.ev_off, self.ev_end)
 
         sp_mask = old_to_new[self.sp_read] >= 0
         return ColumnarReads(
@@ -120,19 +128,19 @@ class ColumnarReads:
             flags_=self.flags_[idx],
             mismatches=self.mismatches[idx],
             sample_id=self.sample_id[idx],
-            seq_off=seq_off,
-            seq=seq,
-            qual=qual,
-            cigar_off=cigar_off,
-            cigar_len=cigar_len,
-            cigar_op=cigar_op,
-            md_off=md_off,
-            md_text=md_text,
-            ev_off=ev_off,
-            ev_kind=ev_kind,
-            ev_base=ev_base,
-            ev_qual=ev_qual,
-            ev_mdref=ev_mdref,
+            seq_off=seq_s,
+            seq=self.seq,
+            qual=self.qual,
+            cigar_off=cig_s,
+            cigar_len=self.cigar_len,
+            cigar_op=self.cigar_op,
+            md_off=md_s,
+            md_text=self.md_text,
+            ev_off=ev_s,
+            ev_kind=self.ev_kind,
+            ev_base=self.ev_base,
+            ev_qual=self.ev_qual,
+            ev_mdref=self.ev_mdref,
             sp_read=old_to_new[self.sp_read[sp_mask]],
             sp_offset=self.sp_offset[sp_mask],
             sp_kind=self.sp_kind[sp_mask],
@@ -140,31 +148,79 @@ class ColumnarReads:
             sp_payload_len=self.sp_payload_len[sp_mask],
             sp_qual=self.sp_qual[sp_mask],
             special_payload=self.special_payload,
+            seq_end=seq_e,
+            cigar_end=cig_e,
+            md_end=md_e,
+            ev_end=ev_e,
+        )
+
+    def compact(self) -> "ColumnarReads":
+        """Materialize a self-contained copy: cumulative offsets with the
+        ragged data trimmed to this slice. Use before pickling/shipping a
+        filtered view (which otherwise shares the parent's full arrays)."""
+        if self.seq_end is None:
+            return self
+
+        def gather(s, e, *datas):
+            lengths = (e - s).astype(np.int64)
+            off = np.zeros(self.n + 1, dtype=np.int64)
+            np.cumsum(lengths, out=off[1:])
+            total = int(off[-1])
+            if total == 0:
+                return (off,) + tuple(d[:0] for d in datas)
+            gidx = (
+                np.repeat(s, lengths)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(off[:-1], lengths)
+            )
+            return (off,) + tuple(d[gidx] for d in datas)
+
+        seq_off, seq, qual = gather(
+            self.seq_off, self.seq_end, self.seq, self.qual
+        )
+        cigar_off, cigar_len, cigar_op = gather(
+            self.cigar_off, self.cigar_end, self.cigar_len, self.cigar_op
+        )
+        md_off, md_text = gather(self.md_off, self.md_end, self.md_text)
+        ev_off, ev_kind, ev_base, ev_qual, ev_mdref = gather(
+            self.ev_off, self.ev_end,
+            self.ev_kind, self.ev_base, self.ev_qual, self.ev_mdref,
+        )
+        from dataclasses import replace
+
+        return replace(
+            self,
+            seq_off=seq_off, seq=seq, qual=qual,
+            cigar_off=cigar_off, cigar_len=cigar_len, cigar_op=cigar_op,
+            md_off=md_off, md_text=md_text,
+            ev_off=ev_off, ev_kind=ev_kind, ev_base=ev_base,
+            ev_qual=ev_qual, ev_mdref=ev_mdref,
+            seq_end=None, cigar_end=None, md_end=None, ev_end=None,
         )
 
     def to_mapped_read(self, i: int, token: int = 0) -> MappedRead:
         """Materialize one read as an object (for exact host paths)."""
+        cig_s, cig_e = self._span(self.cigar_off, self.cigar_end, i)
         elements = [
             CigarElement(int(l), int(o))
             for l, o in zip(
-                self.cigar_len[self.cigar_off[i] : self.cigar_off[i + 1]],
-                self.cigar_op[self.cigar_off[i] : self.cigar_off[i + 1]],
+                self.cigar_len[cig_s:cig_e], self.cigar_op[cig_s:cig_e]
             )
         ]
         cigar = Cigar(elements)
-        md_slice = self.md_text[self.md_off[i] : self.md_off[i + 1]]
+        md_s, md_e = self._span(self.md_off, self.md_end, i)
+        md_slice = self.md_text[md_s:md_e]
         mdtag = (
             MdTag(bytes(md_slice).decode(), int(self.start[i]), cigar)
             if len(md_slice)
             else None
         )
         f = int(self.flags_[i])
+        seq_s, seq_e = self._span(self.seq_off, self.seq_end, i)
         return MappedRead(
             token=token,
-            sequence=bytes(self.seq[self.seq_off[i] : self.seq_off[i + 1]]),
-            base_qualities=bytes(
-                self.qual[self.seq_off[i] : self.seq_off[i + 1]]
-            ),
+            sequence=bytes(self.seq[seq_s:seq_e]),
+            base_qualities=bytes(self.qual[seq_s:seq_e]),
             is_duplicate=bool(f & flags.DUPLICATE),
             sample_name=self.samples[int(self.sample_id[i])],
             reference_contig=self.ref_names[int(self.ref_id[i])],
@@ -212,7 +268,7 @@ def filter_columnar(
     if passed_vendor_quality_checks:
         mask &= (cols.flags_ & flags.VENDOR_FAILED) == 0
     if has_mdtag:
-        mask &= (cols.md_off[1:] - cols.md_off[:-1]) > 0
+        mask &= cols.md_lengths > 0
     return cols.select(mask)
 
 

@@ -28,8 +28,9 @@ def pair(request, resources_dir):
     read_set = load_read_set(path, InputFilters.empty)
     mapped = [r.as_mapped_read for r in read_set.reads if r.is_mapped]
     python = columnar_from_reads(mapped)
-    # native includes unmapped records; restrict to mapped
-    native_mapped = native.select(native.is_mapped_mask)
+    # native includes unmapped records; restrict to mapped. compact() so the
+    # raw-storage comparisons below see cumulative offsets + trimmed data.
+    native_mapped = native.select(native.is_mapped_mask).compact()
     return native_mapped, python, read_set
 
 
