@@ -16,6 +16,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <functional>
 #include <map>
@@ -157,6 +158,10 @@ void* guac_pack_tile(
 
   int max_threads =
       (int)std::min<unsigned>(std::thread::hardware_concurrency(), 16);
+  if (const char* env = getenv("GUAC_PACK_THREADS")) {
+    int v = atoi(env);
+    if (v > 0) max_threads = v;
+  }
   if (max_threads < 1) max_threads = 1;
 
   // Select overlapping reads (columns already sorted by start per contig).
@@ -368,16 +373,29 @@ void* guac_pack_tile(
     return k;
   };
 
-  std::map<int32_t, int32_t> code_to_rank_builder;
-  for (int64_t cell = 0; cell < n_loci * D; cell++)
-    if (elem_code[cell] >= 0) code_to_rank_builder[elem_code[cell]] = 0;
+  // Collect distinct codes via a flat seen-array over the bounded code
+  // space (codes < 0x40000 + n_long_keys); only filled slots are visited.
+  int64_t code_space = 0x40000 + (int64_t)long_keys.size();
+  std::vector<uint8_t> seen((size_t)code_space, 0);
+  std::vector<int32_t> distinct_codes;
+  for (int64_t row = 0; row < n_loci; row++) {
+    int64_t dn = std::min<int64_t>(t->depth[row], D);
+    const int32_t* rowc = elem_code.data() + row * D;
+    for (int64_t slot = 0; slot < dn; slot++) {
+      int32_t code = rowc[slot];
+      if (code >= 0 && !seen[code]) {
+        seen[code] = 1;
+        distinct_codes.push_back(code);
+      }
+    }
+  }
   std::vector<std::pair<AlleleKey, int32_t>> keyed;
-  keyed.reserve(code_to_rank_builder.size());
-  for (auto& kv : code_to_rank_builder)
-    keyed.push_back({decode(kv.first), kv.first});
+  keyed.reserve(distinct_codes.size());
+  for (int32_t code : distinct_codes) keyed.push_back({decode(code), code});
   std::sort(keyed.begin(), keyed.end(),
             [](const auto& a, const auto& b) { return a.first < b.first; });
-  std::unordered_map<int32_t, int32_t> code_to_rank;
+  // Flat code -> sorted rank table (O(1) per-element lookups below).
+  std::vector<int32_t> code_to_rank((size_t)code_space, -1);
   t->key_ref_off.push_back(0);
   for (size_t i = 0; i < keyed.size(); i++) {
     code_to_rank[keyed[i].second] = (int32_t)i;
