@@ -283,7 +283,7 @@ def call_variants(
         task_loci = inverse[task]
         for sample_name, sample_source in sorted(sample_sources.items()):
             for contig in task_loci.contigs:
-                tiles = sample_source.pack_tiles(
+                tiles = sample_source.iter_tiles(
                     contig,
                     task_loci.on_contig(contig),
                     tile_size=tile_size,

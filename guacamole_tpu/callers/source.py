@@ -94,10 +94,30 @@ class ReadSource:
         max_alleles: int = 8,
         reference_genome=None,
     ):
-        if self._cols is not None:
-            from guacamole_tpu.pack.columnar import pack_tiles_columnar
+        return list(
+            self.iter_tiles(
+                contig,
+                loci,
+                tile_size=tile_size,
+                max_alleles=max_alleles,
+                reference_genome=reference_genome,
+            )
+        )
 
-            return pack_tiles_columnar(
+    def iter_tiles(
+        self,
+        contig: str,
+        loci,
+        tile_size: int = 4096,
+        max_alleles: int = 8,
+        reference_genome=None,
+    ) -> Iterator:
+        """Yield tiles one at a time so callers can overlap device kernels
+        on tile i with host packing of tile i+1."""
+        if self._cols is not None:
+            from guacamole_tpu.pack.columnar import iter_tiles_columnar
+
+            yield from iter_tiles_columnar(
                 self._cols,
                 contig,
                 loci,
@@ -105,9 +125,10 @@ class ReadSource:
                 max_alleles=max_alleles,
                 reference_genome=reference_genome,
             )
+            return
         from guacamole_tpu.pack.tiles import pack_tiles
 
-        return pack_tiles(
+        yield from pack_tiles(
             self._reads,
             contig,
             loci,

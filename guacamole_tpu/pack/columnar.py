@@ -261,10 +261,35 @@ def pack_tiles_columnar(
     pad_to_tile_size: bool = True,
 ) -> List[LocusTile]:
     """Pack a contig's loci into tiles from columnar reads."""
+    return list(
+        iter_tiles_columnar(
+            cols,
+            contig_name,
+            loci,
+            tile_size=tile_size,
+            max_alleles=max_alleles,
+            reference_genome=reference_genome,
+            skip_empty=skip_empty,
+            pad_to_tile_size=pad_to_tile_size,
+        )
+    )
+
+
+def iter_tiles_columnar(
+    cols: ColumnarReads,
+    contig_name: str,
+    loci,
+    tile_size: int = 4096,
+    max_alleles: int = 8,
+    reference_genome=None,
+    skip_empty: bool = True,
+    pad_to_tile_size: bool = True,
+):
+    """Yield a contig's loci tiles one at a time (lazy pack_tiles_columnar)."""
     try:
         contig_id = cols.ref_names.index(contig_name)
     except ValueError:
-        return []
+        return
     loci_ranges = (
         loci.ranges if hasattr(loci, "ranges") else [(int(l), int(l) + 1) for l in loci]
     )
@@ -278,7 +303,6 @@ def pack_tiles_columnar(
             if loci_ranges
             else np.empty(0, dtype=np.int64)
         )
-    tiles = []
     for i in range(0, len(all_loci), tile_size):
         tile = pack_tile_columnar(
             cols,
@@ -291,5 +315,4 @@ def pack_tiles_columnar(
         )
         if pad_to_tile_size and tile.L < tile_size:
             tile = pad_tile_loci(tile, tile_size)
-        tiles.append(tile)
-    return tiles
+        yield tile
