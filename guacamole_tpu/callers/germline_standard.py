@@ -28,7 +28,7 @@ from guacamole_tpu.likelihood import (
     likelihoods_of_all_possible_genotypes_from_pileup,
 )
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.ops.dispatch import screen_tile
+from guacamole_tpu.ops.dispatch import pipelined, screen_tile_launch
 from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
 from guacamole_tpu.pileup.element import PileupElement
 from guacamole_tpu.pileup.pileup import Pileup
@@ -96,13 +96,18 @@ def _pileup_from_tile_row(
     return Pileup(tile.contig, locus, ref_base, elements)
 
 
-def _candidate_rows(tile: LocusTile, min_alignment_quality: int) -> np.ndarray:
-    """Loci with >= 1 variant-allele element among MAPQ-passing elements."""
+def _launch_screen(tile: LocusTile, min_alignment_quality: int):
+    """Dispatch the variant-evidence screen over MAPQ-passing elements."""
     valid = tile.valid & (tile.mapq >= min_alignment_quality)
-    stats = screen_tile(
+    return screen_tile_launch(
         tile.allele_id, tile.qual, tile.mapq, tile.strand, valid,
         tile.is_variant, tile.K,
     )
+
+
+def _candidate_rows(tile: LocusTile, min_alignment_quality: int) -> np.ndarray:
+    """Loci with >= 1 variant-allele element among MAPQ-passing elements."""
+    stats = _launch_screen(tile, min_alignment_quality).result()
     return np.flatnonzero(stats.candidates | tile.overflow)
 
 
@@ -128,35 +133,48 @@ def call_variants(
     sample_sources = {
         name: source.for_sample(name) for name in source.sample_names()
     }
-    for task in sorted(inverse):
-        task_loci = inverse[task]
-        for sample_name, sample_source in sorted(sample_sources.items()):
-            for contig in task_loci.contigs:
-                tiles = sample_source.pack_tiles(
+
+    def tiles():
+        for task in sorted(inverse):
+            task_loci = inverse[task]
+            for sample_name, sample_source in sorted(sample_sources.items()):
+                for contig in task_loci.contigs:
+                    for tile in sample_source.iter_tiles(
+                        contig,
+                        task_loci.on_contig(contig),
+                        tile_size=tile_size,
+                        max_alleles=max_alleles,
+                        reference_genome=reference_genome,
+                    ):
+                        yield sample_source, contig, tile
+
+    def launch(item):
+        _, _, tile = item
+        return (
+            _launch_screen(tile, min_alignment_quality) if tile.L else None
+        )
+
+    for (sample_source, contig, tile), pending in pipelined(tiles(), launch):
+        if pending is None:
+            continue
+        stats = pending.result()
+        for li in np.flatnonzero(stats.candidates | tile.overflow):
+            if tile.depth[li] == 0:
+                continue
+            pileup = (
+                sample_source.pileup_at(
                     contig,
-                    task_loci.on_contig(contig),
-                    tile_size=tile_size,
-                    max_alleles=max_alleles,
-                    reference_genome=reference_genome,
+                    int(tile.loci[li]),
+                    reference_base=int(tile.ref_base[li]),
                 )
-                for tile in tiles:
-                    for li in _candidate_rows(tile, min_alignment_quality):
-                        if tile.depth[li] == 0:
-                            continue
-                        pileup = (
-                            sample_source.pileup_at(
-                                contig,
-                                int(tile.loci[li]),
-                                reference_base=int(tile.ref_base[li]),
-                            )
-                            if tile.overflow[li]
-                            else sample_source.pileup_from_tile_row(tile, li)
-                        )
-                        calls.extend(
-                            call_variants_at_locus(
-                                pileup, min_alignment_quality, emit_ref
-                            )
-                        )
+                if tile.overflow[li]
+                else sample_source.pileup_from_tile_row(tile, li)
+            )
+            calls.extend(
+                call_variants_at_locus(
+                    pileup, min_alignment_quality, emit_ref
+                )
+            )
     return calls
 
 

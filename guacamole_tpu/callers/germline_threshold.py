@@ -20,7 +20,6 @@ Per-locus classification parity notes:
 from __future__ import annotations
 
 import logging
-from collections import deque
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -29,7 +28,7 @@ import numpy as np
 from guacamole_tpu.gio.vcf import VcfRecord
 from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.loci.lociset import LociSet
-from guacamole_tpu.ops.dispatch import screen_tile, screen_tile_launch
+from guacamole_tpu.ops.dispatch import pipelined, screen_tile, screen_tile_launch
 from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
 from guacamole_tpu.pileup.pileup import Pileup
 from guacamole_tpu.reads.read import MappedRead
@@ -261,46 +260,40 @@ def call_variants(
     # immediately (JAX dispatch is async), classify once a bounded window
     # of tiles is in flight, so host packing/classification overlaps the
     # device kernels and the tunnel's device->host latency.
-    max_in_flight = 8
-    in_flight = deque()
+    def tiles():
+        for task in sorted(inverse):
+            task_loci = inverse[task]
+            for sample_name, sample_source in sorted(sample_sources.items()):
+                for contig in task_loci.contigs:
+                    for tile in sample_source.iter_tiles(
+                        contig,
+                        task_loci.on_contig(contig),
+                        tile_size=tile_size,
+                        max_alleles=max_alleles,
+                        reference_genome=reference_genome,
+                    ):
+                        yield tile, sample_name, sample_source
 
-    def drain(limit: int) -> None:
-        while len(in_flight) > limit:
-            tile, name, src, pending = in_flight.popleft()
-            calls.extend(
-                call_tile(
-                    tile,
-                    name,
-                    threshold_percent,
-                    emit_ref,
-                    emit_no_call,
-                    source=src,
-                    pending=pending,
-                )
+    def launch(item):
+        tile = item[0]
+        if not tile.L:
+            return None
+        return screen_tile_launch(
+            tile.allele_id, tile.qual, tile.mapq,
+            tile.strand, tile.valid, tile.is_variant, tile.K,
+            threshold_percent=threshold_percent,
+        )
+
+    for (tile, name, src), pending in pipelined(tiles(), launch):
+        calls.extend(
+            call_tile(
+                tile,
+                name,
+                threshold_percent,
+                emit_ref,
+                emit_no_call,
+                source=src,
+                pending=pending,
             )
-
-    for task in sorted(inverse):
-        task_loci = inverse[task]
-        for sample_name, sample_source in sorted(sample_sources.items()):
-            for contig in task_loci.contigs:
-                tiles = sample_source.iter_tiles(
-                    contig,
-                    task_loci.on_contig(contig),
-                    tile_size=tile_size,
-                    max_alleles=max_alleles,
-                    reference_genome=reference_genome,
-                )
-                for tile in tiles:
-                    pending = None
-                    if tile.L:
-                        pending = screen_tile_launch(
-                            tile.allele_id, tile.qual, tile.mapq,
-                            tile.strand, tile.valid, tile.is_variant, tile.K,
-                            threshold_percent=threshold_percent,
-                        )
-                    in_flight.append(
-                        (tile, sample_name, sample_source, pending)
-                    )
-                    drain(max_in_flight)
-    drain(0)
+        )
     return calls

@@ -33,7 +33,7 @@ from guacamole_tpu.likelihood import (
     probability_correct_including_alignment,
 )
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.ops.dispatch import screen_tile
+from guacamole_tpu.ops.dispatch import pipelined, screen_tile_launch
 from guacamole_tpu.pack.fast import pack_tile_fast
 from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
 from guacamole_tpu.pileup.element import PileupElement
@@ -163,75 +163,87 @@ def call_variants(
     )
     calls: List[CalledSomaticAllele] = []
     inverse = loci_partitions.inverse_map()
-    for task in sorted(inverse):
-        task_loci = inverse[task]
-        for contig in task_loci.contigs:
-            tiles = tumor.pack_tiles(
-                contig,
-                task_loci.on_contig(contig),
-                tile_size=tile_size,
-                max_alleles=max_alleles,
-                reference_genome=reference_genome,
-            )
-            for tile in tiles:
-                # Device screen over the tumor sample.
-                valid = np.asarray(tile.valid) & (
-                    np.asarray(tile.mapq) >= min_alignment_quality
-                )
-                stats = screen_tile(
-                    tile.allele_id, tile.qual, tile.mapq, tile.strand, valid,
-                    tile.is_variant, tile.K,
-                )
-                candidates = np.flatnonzero(stats.candidates | tile.overflow)
-                if len(candidates) == 0:
-                    continue
-                candidate_loci = [
-                    int(tile.loci[li]) for li in candidates if tile.depth[li] > 0
-                ]
-                if not candidate_loci:
-                    continue
-                # Sparse normal tile over just the candidate loci (resolves
-                # the normal sample's own reference bases).
-                normal_tile = normal.pack_sparse_tile(
+
+    def tiles():
+        for task in sorted(inverse):
+            task_loci = inverse[task]
+            for contig in task_loci.contigs:
+                for tile in tumor.iter_tiles(
                     contig,
-                    candidate_loci,
+                    task_loci.on_contig(contig),
+                    tile_size=tile_size,
                     max_alleles=max_alleles,
                     reference_genome=reference_genome,
+                ):
+                    yield contig, tile
+
+    def launch(item):
+        _, tile = item
+        if tile.L == 0:
+            return None
+        # Device screen over the tumor sample.
+        valid = np.asarray(tile.valid) & (
+            np.asarray(tile.mapq) >= min_alignment_quality
+        )
+        return screen_tile_launch(
+            tile.allele_id, tile.qual, tile.mapq, tile.strand, valid,
+            tile.is_variant, tile.K,
+        )
+
+    for (contig, tile), pending in pipelined(tiles(), launch):
+        if pending is None:
+            continue
+        stats = pending.result()
+        candidates = np.flatnonzero(stats.candidates | tile.overflow)
+        if len(candidates) == 0:
+            continue
+        candidate_loci = [
+            int(tile.loci[li]) for li in candidates if tile.depth[li] > 0
+        ]
+        if not candidate_loci:
+            continue
+        # Sparse normal tile over just the candidate loci (resolves
+        # the normal sample's own reference bases).
+        normal_tile = normal.pack_sparse_tile(
+            contig,
+            candidate_loci,
+            max_alleles=max_alleles,
+            reference_genome=reference_genome,
+        )
+        normal_row = {
+            int(normal_tile.loci[i]): i for i in range(normal_tile.L)
+        }
+        for li in candidates:
+            if tile.depth[li] == 0:
+                continue
+            locus = int(tile.loci[li])
+            tumor_pileup = (
+                tumor.pileup_at(
+                    contig, locus, reference_base=int(tile.ref_base[li])
                 )
-                normal_row = {
-                    int(normal_tile.loci[i]): i for i in range(normal_tile.L)
-                }
-                for li in candidates:
-                    if tile.depth[li] == 0:
-                        continue
-                    locus = int(tile.loci[li])
-                    tumor_pileup = (
-                        tumor.pileup_at(
-                            contig, locus, reference_base=int(tile.ref_base[li])
-                        )
-                        if tile.overflow[li]
-                        else tumor.pileup_from_tile_row(tile, li)
-                    )
-                    ni = normal_row[locus]
-                    normal_pileup = (
-                        normal.pileup_at(
-                            contig,
-                            locus,
-                            reference_base=int(normal_tile.ref_base[ni]),
-                        )
-                        if normal_tile.overflow[ni]
-                        else normal.pileup_from_tile_row(normal_tile, ni)
-                    )
-                    calls.extend(
-                        find_potential_variant_at_locus(
-                            tumor_pileup,
-                            normal_pileup,
-                            odds_threshold,
-                            min_alignment_quality,
-                            filter_multi_allelic,
-                            max_read_depth,
-                        )
-                    )
+                if tile.overflow[li]
+                else tumor.pileup_from_tile_row(tile, li)
+            )
+            ni = normal_row[locus]
+            normal_pileup = (
+                normal.pileup_at(
+                    contig,
+                    locus,
+                    reference_base=int(normal_tile.ref_base[ni]),
+                )
+                if normal_tile.overflow[ni]
+                else normal.pileup_from_tile_row(normal_tile, ni)
+            )
+            calls.extend(
+                find_potential_variant_at_locus(
+                    tumor_pileup,
+                    normal_pileup,
+                    odds_threshold,
+                    min_alignment_quality,
+                    filter_multi_allelic,
+                    max_read_depth,
+                )
+            )
     return calls
 
 

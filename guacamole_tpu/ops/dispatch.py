@@ -134,3 +134,18 @@ def screen_tile(
         allele_id, qual, mapq, strand, valid, is_variant, max_alleles,
         threshold_percent=threshold_percent,
     ).result()
+
+
+def pipelined(items, launch, max_in_flight: int = 8):
+    """Yield (item, launch(item)) with a bounded window of launches in
+    flight ahead of consumption, so async device dispatches (and their
+    device->host transfers) overlap host-side packing of later items."""
+    from collections import deque
+
+    in_flight = deque()
+    for item in items:
+        in_flight.append((item, launch(item)))
+        if len(in_flight) > max_in_flight:
+            yield in_flight.popleft()
+    while in_flight:
+        yield in_flight.popleft()
