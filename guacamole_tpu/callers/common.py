@@ -59,7 +59,12 @@ def load_read_source(
             filter_columnar,
         )
 
-        cols = decode_bam_columnar(path)
+        chunks = (
+            bai_chunks_for_loci(path, filters.overlaps_loci)
+            if filters.overlaps_loci is not None
+            else None
+        )
+        cols = decode_bam_columnar(path, chunks=chunks)
         if cols is not None:
             dictionary = cols.contig_lengths
             loci_set = (
@@ -98,6 +103,45 @@ def load_read_source(
         ReadSource.from_reads(read_set.mapped_reads),
         read_set.contig_lengths,
     )
+
+
+def bai_chunks_for_loci(path: str, loci_builder):
+    """Merged BGZF virtual-offset chunks covering a loci selection, from
+    the .bai (the samtools QueryInterval pushdown, Read.scala:395-406).
+
+    None = no pushdown (no index, or the loci cover ~everything, where a
+    whole-file multithreaded decode is faster than chunk bookkeeping)."""
+    import os
+
+    bai_path = None
+    for candidate in (path + ".bai", os.path.splitext(path)[0] + ".bai"):
+        if os.path.exists(candidate):
+            bai_path = candidate
+            break
+    if bai_path is None:
+        return None
+    try:
+        from guacamole_tpu.gio.bai import BamIndex, optimize_chunks
+        from guacamole_tpu.gio.bam import BamFile
+
+        bam = BamFile(path)
+        dictionary = dict(bam.references)
+        loci_set = loci_builder.result(dictionary)
+        total = sum(dictionary.values())
+        if total == 0 or loci_set.count >= total // 2:
+            return None
+        index = BamIndex(bai_path)
+        ref_ids = {name: i for i, (name, _) in enumerate(bam.references)}
+        lists = []
+        for contig in loci_set.contigs:
+            rid = ref_ids.get(contig)
+            if rid is None:
+                continue
+            for start, end in loci_set.on_contig(contig).ranges:
+                lists.append(index.chunks_for_region(rid, start, end))
+        return optimize_chunks(lists)
+    except Exception:
+        return None
 
 
 def record_to_json(rec: VcfRecord) -> dict:

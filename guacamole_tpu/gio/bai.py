@@ -86,6 +86,125 @@ class BamIndex:
         return merged
 
 
+def reg2bin(beg: int, end: int) -> int:
+    """Smallest bin fully containing [beg, end) (UCSC binning, SAM spec)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def build_bam_index(bam_path: str, bai_path: Optional[str] = None) -> str:
+    """Build a .bai index for a coordinate-sorted BAM (the `samtools index`
+    / htsjdk BAMIndexer capability the reference gets from its JVM deps).
+
+    Returns the index path (default: bam_path + '.bai')."""
+    import os
+
+    from guacamole_tpu.gio.bam import BamFile
+
+    if bai_path is None:
+        bai_path = bam_path + ".bai"
+    bam = BamFile(bam_path)
+    n_ref = len(bam.references)
+
+    # Inflate everything once, remembering block boundaries so any
+    # uncompressed offset maps back to a virtual offset.
+    data = bytearray()
+    ustarts: List[int] = []
+    coffs: List[int] = []
+    for coffset, block in bam.reader.blocks():
+        ustarts.append(len(data))
+        coffs.append(coffset)
+        data.extend(block)
+    file_csize = os.path.getsize(bam_path)
+
+    import bisect
+
+    def voffset(u: int) -> int:
+        i = bisect.bisect_right(ustarts, u) - 1
+        if i < 0:
+            return 0
+        if i + 1 < len(ustarts) and u == ustarts[i + 1]:
+            # Block-boundary offsets address the start of the next block.
+            return coffs[i + 1] << 16
+        if u >= len(data):
+            return file_csize << 16
+        return (coffs[i] << 16) | (u - ustarts[i])
+
+    # Start of records: convert the header-end virtual offset back.
+    v = bam._records_voffset
+    ci = coffs.index(v >> 16)
+    pos = ustarts[ci] + (v & 0xFFFF)
+
+    bins: List[Dict[int, List[Chunk]]] = [dict() for _ in range(n_ref)]
+    linear: List[Dict[int, int]] = [dict() for _ in range(n_ref)]
+    n = len(data)
+    while pos + 4 <= n:
+        block_size = struct.unpack_from("<i", data, pos)[0]
+        if block_size <= 0 or pos + 4 + block_size > n:
+            break
+        vstart = voffset(pos)
+        vend = voffset(pos + 4 + block_size)
+        rec = pos + 4
+        ref_id, pos0, l_rn_etc, flag_nc = struct.unpack_from(
+            "<iiii", data, rec
+        )
+        pos += 4 + block_size
+        if ref_id < 0 or pos0 < 0:
+            continue
+        n_cigar = flag_nc & 0xFFFF
+        l_read_name = l_rn_etc & 0xFF
+        span = 0
+        cp = rec + 32 + l_read_name
+        for k in range(n_cigar):
+            op = struct.unpack_from("<I", data, cp + 4 * k)[0]
+            if (op & 0xF) in (0, 2, 3, 6, 7, 8):  # M/D/N/P/=/X consume ref
+                span += op >> 4
+        end = pos0 + max(span, 1)
+        b = reg2bin(pos0, end)
+        chunks = bins[ref_id].setdefault(b, [])
+        if chunks and chunks[-1][1] == vstart:
+            chunks[-1] = (chunks[-1][0], vend)
+        else:
+            chunks.append((vstart, vend))
+        lin = linear[ref_id]
+        for w in range(pos0 >> 14, ((end - 1) >> 14) + 1):
+            if w not in lin or vstart < lin[w]:
+                lin[w] = vstart
+
+    out = bytearray()
+    out += BAI_MAGIC
+    out += struct.pack("<i", n_ref)
+    for rid in range(n_ref):
+        ref_bins = bins[rid]
+        out += struct.pack("<i", len(ref_bins))
+        for bin_id in sorted(ref_bins):
+            chunks = ref_bins[bin_id]
+            out += struct.pack("<Ii", bin_id, len(chunks))
+            for cbeg, cend in chunks:
+                out += struct.pack("<QQ", cbeg, cend)
+        lin = linear[rid]
+        n_intv = (max(lin) + 1) if lin else 0
+        out += struct.pack("<i", n_intv)
+        fill = 0
+        for w in range(n_intv):
+            if w in lin:
+                fill = lin[w]
+            out += struct.pack("<Q", fill)
+    with open(bai_path, "wb") as f:
+        f.write(bytes(out))
+    return bai_path
+
+
 def optimize_chunks(chunk_lists: List[List[Chunk]]) -> List[Chunk]:
     """Merge chunk lists from multiple region queries into one sorted,
     non-overlapping list (the QueryInterval.optimizeIntervals analog)."""

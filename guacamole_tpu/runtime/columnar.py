@@ -278,12 +278,15 @@ def native_available() -> bool:
     return load_library() is not None
 
 
-def decode_bam_columnar(path: str, threads: int = 0) -> Optional[ColumnarReads]:
+def decode_bam_columnar(
+    path: str, threads: int = 0, chunks=None
+) -> Optional[ColumnarReads]:
     """Decode a BAM into ColumnarReads with the native runtime (None if the
-    native library is unavailable)."""
+    native library is unavailable). chunks: optional BGZF virtual-offset
+    ranges from a .bai query (region pushdown)."""
     from guacamole_tpu.runtime.native import decode_bam_native
 
-    raw = decode_bam_native(path, threads)
+    raw = decode_bam_native(path, threads, chunks=chunks)
     if raw is None:
         return None
     return ColumnarReads(

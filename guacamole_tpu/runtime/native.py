@@ -54,6 +54,12 @@ def load_library() -> Optional[ctypes.CDLL]:
 
     lib.guac_decode_bam.restype = ctypes.c_void_p
     lib.guac_decode_bam.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    if hasattr(lib, "guac_decode_bam_chunks"):
+        lib.guac_decode_bam_chunks.restype = ctypes.c_void_p
+        lib.guac_decode_bam_chunks.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
     lib.guac_free_reads.argtypes = [ctypes.c_void_p]
     for name in ("guac_num_reads", "guac_num_refs", "guac_num_samples",
                  "guac_num_specials"):
@@ -289,15 +295,33 @@ def _fetch_array(lib, handle, name: str, dtype, owner=None) -> np.ndarray:
     return np.frombuffer(buf, dtype=dtype).copy()
 
 
-def decode_bam_native(path: str, threads: int = 0):
+def decode_bam_native(path: str, threads: int = 0, chunks=None):
     """Decode a BAM with the native runtime. Returns a dict of numpy arrays
-    + metadata, or None if the library is unavailable or decoding failed."""
+    + metadata, or None if the library is unavailable or decoding failed.
+
+    chunks: optional merged (vstart, vend) BGZF virtual-offset list from a
+    .bai query; only those records are decoded (region pushdown)."""
     lib = load_library()
     if lib is None:
         return None
     if threads <= 0:
         threads = min(os.cpu_count() or 1, 16)
-    handle = lib.guac_decode_bam(path.encode(), threads)
+    if chunks is not None:
+        if not hasattr(lib, "guac_decode_bam_chunks"):
+            return None
+        vbeg = np.ascontiguousarray(
+            [c[0] for c in chunks], dtype=np.int64
+        )
+        vend = np.ascontiguousarray(
+            [c[1] for c in chunks], dtype=np.int64
+        )
+        handle = lib.guac_decode_bam_chunks(
+            path.encode(), threads, len(chunks),
+            _ptr(vbeg) if len(chunks) else None,
+            _ptr(vend) if len(chunks) else None,
+        )
+    else:
+        handle = lib.guac_decode_bam(path.encode(), threads)
     if not handle:
         return None
     owner = _NativeOwner(lib.guac_free_reads, handle)

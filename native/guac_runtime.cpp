@@ -435,23 +435,34 @@ static void build_events(Reads* r, int64_t read_index, int64_t start,
   }
 }
 
-static bool parse_bam(const std::vector<uint8_t>& u, Reads* r) {
-  if (u.size() < 12 || memcmp(u.data(), "BAM\x01", 4) != 0) {
+// Parse the BAM header + reference list from the uncompressed prefix.
+// avail = number of valid leading bytes of u. Returns: 0 ok (header_end
+// set past the refs), 1 need more data, 2 malformed.
+static int parse_bam_header(const std::vector<uint8_t>& u, size_t avail,
+                            Reads* r, std::map<std::string, int>* rg_to_sample,
+                            size_t* header_end) {
+  if (avail < 12) return 1;
+  if (memcmp(u.data(), "BAM\x01", 4) != 0) {
     r->error = "not a BAM file";
-    return false;
+    return 2;
   }
   int32_t l_text;
   memcpy(&l_text, &u[4], 4);
   size_t pos = 8;
+  if (pos + (size_t)l_text + 4 > avail) return 1;
   r->header_text.assign(reinterpret_cast<const char*>(&u[pos]), l_text);
   pos += l_text;
   int32_t n_ref;
   memcpy(&n_ref, &u[pos], 4);
   pos += 4;
+  r->ref_names.clear();
+  r->ref_lengths.clear();
   for (int i = 0; i < n_ref; i++) {
+    if (pos + 4 > avail) return 1;
     int32_t l_name;
     memcpy(&l_name, &u[pos], 4);
     pos += 4;
+    if (pos + (size_t)l_name + 4 > avail) return 1;
     r->ref_names.emplace_back(reinterpret_cast<const char*>(&u[pos]),
                               l_name - 1);
     pos += l_name;
@@ -460,17 +471,21 @@ static bool parse_bam(const std::vector<uint8_t>& u, Reads* r) {
     pos += 4;
     r->ref_lengths.push_back(l_ref);
   }
+  parse_read_groups(r->header_text, rg_to_sample, &r->samples);
+  *header_end = pos;
+  return 0;
+}
 
-  std::map<std::string, int> rg_to_sample;
-  parse_read_groups(r->header_text, &rg_to_sample, &r->samples);
-  int default_sample = -1;  // created lazily
+// Parse alignment records in u[pos, end_pos). Records starting before
+// end_pos are parsed fully (BAI chunk ends are record-aligned; the caller
+// guarantees the overhang bytes are inflated).
+static bool parse_bam_records(const std::vector<uint8_t>& u, size_t pos,
+                              size_t end_pos, Reads* r,
+                              const std::map<std::string, int>& rg_to_sample,
+                              int* default_sample_inout) {
+  int default_sample = *default_sample_inout;
 
-  r->seq_off.push_back(0);
-  r->cigar_off.push_back(0);
-  r->md_off.push_back(0);
-  r->ev_off.push_back(0);
-
-  while (pos + 4 <= u.size()) {
+  while (pos < end_pos && pos + 4 <= u.size()) {
     int32_t block_size;
     memcpy(&block_size, &u[pos], 4);
     if (block_size <= 0 || pos + 4 + block_size > u.size()) break;
@@ -625,7 +640,138 @@ static bool parse_bam(const std::vector<uint8_t>& u, Reads* r) {
     }
     r->ev_off.push_back(r->ev_kind.size());
   }
+  *default_sample_inout = default_sample;
   return true;
+}
+
+static bool parse_bam(const std::vector<uint8_t>& u, Reads* r) {
+  std::map<std::string, int> rg_to_sample;
+  size_t header_end = 0;
+  int rc = parse_bam_header(u, u.size(), r, &rg_to_sample, &header_end);
+  if (rc != 0) {
+    if (r->error.empty()) r->error = "truncated BAM header";
+    return false;
+  }
+  int default_sample = -1;  // created lazily
+  r->seq_off.push_back(0);
+  r->cigar_off.push_back(0);
+  r->md_off.push_back(0);
+  r->ev_off.push_back(0);
+  return parse_bam_records(u, header_end, u.size(), r, rg_to_sample,
+                           &default_sample);
+}
+
+// Decode only the records covered by BGZF virtual-offset chunks (from a
+// .bai query; the TPU-native analog of the reference's BAM-index pushdown,
+// Read.scala:395-406). Only the needed blocks are inflated.
+static Reads* decode_bam_chunks(const char* path, int threads,
+                                int64_t n_chunks, const int64_t* vbeg,
+                                const int64_t* vend) {
+  std::vector<uint8_t> raw;
+  if (!read_file(path, &raw)) return nullptr;
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  if (!scan_bgzf_blocks(raw, &blocks, &total) || blocks.empty())
+    return nullptr;
+  std::vector<uint8_t> u(total);
+
+  // coffset -> block index (blocks sorted by coffset).
+  auto block_at = [&](uint64_t coffset) -> int64_t {
+    size_t lo = 0, hi = blocks.size();
+    while (lo < hi) {
+      size_t mid = (lo + hi) / 2;
+      if (blocks[mid].coffset <= coffset)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    return (int64_t)lo - 1;  // last block with coffset <= target
+  };
+
+  std::vector<uint8_t> inflated(blocks.size(), 0);
+  auto ensure_block = [&](size_t i) -> bool {
+    if (i >= blocks.size() || inflated[i]) return i < blocks.size();
+    if (!inflate_block(raw, blocks[i], u.data() + blocks[i].uoffset))
+      return false;
+    inflated[i] = 1;
+    return true;
+  };
+
+  // Header: inflate leading blocks until the header + refs parse.
+  Reads* r = new Reads();
+  std::map<std::string, int> rg_to_sample;
+  size_t header_end = 0;
+  size_t avail = 0;
+  size_t hdr_blocks = 0;
+  int rc = 1;
+  while (rc == 1 && hdr_blocks < blocks.size()) {
+    if (!ensure_block(hdr_blocks)) {
+      delete r;
+      return nullptr;
+    }
+    avail += blocks[hdr_blocks].usize;
+    hdr_blocks++;
+    rc = parse_bam_header(u, avail, r, &rg_to_sample, &header_end);
+  }
+  if (rc != 0) {
+    delete r;
+    return nullptr;
+  }
+
+  // Mark chunk blocks (+1 block of slack for record overhang past vend).
+  std::vector<uint8_t> want(blocks.size(), 0);
+  for (int64_t c = 0; c < n_chunks; c++) {
+    int64_t b0 = block_at((uint64_t)vbeg[c] >> 16);
+    int64_t b1 = block_at((uint64_t)vend[c] >> 16);
+    if (b0 < 0) b0 = 0;
+    if (b1 < 0) b1 = 0;
+    b1 = std::min<int64_t>(b1 + 1, (int64_t)blocks.size() - 1);
+    for (int64_t b = b0; b <= b1; b++) want[b] = 1;
+  }
+  std::vector<size_t> todo;
+  for (size_t i = 0; i < blocks.size(); i++)
+    if (want[i] && !inflated[i]) todo.push_back(i);
+  if (!todo.empty()) {
+    if (threads < 1) threads = 1;
+    std::atomic<size_t> next(0);
+    std::atomic<bool> ok(true);
+    auto worker = [&]() {
+      while (ok.load()) {
+        size_t i = next.fetch_add(1);
+        if (i >= todo.size()) break;
+        size_t b = todo[i];
+        if (!inflate_block(raw, blocks[b], u.data() + blocks[b].uoffset))
+          ok.store(false);
+      }
+    };
+    std::vector<std::thread> pool;
+    int nthreads = (int)std::min<size_t>(threads, todo.size());
+    for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    for (size_t b : todo) inflated[b] = 1;
+    if (!ok.load()) {
+      delete r;
+      return nullptr;
+    }
+  }
+
+  r->seq_off.push_back(0);
+  r->cigar_off.push_back(0);
+  r->md_off.push_back(0);
+  r->ev_off.push_back(0);
+  int default_sample = -1;
+  for (int64_t c = 0; c < n_chunks; c++) {
+    int64_t b0 = block_at((uint64_t)vbeg[c] >> 16);
+    int64_t b1 = block_at((uint64_t)vend[c] >> 16);
+    if (b0 < 0 || b1 < 0) continue;
+    size_t ustart = blocks[b0].uoffset + ((uint64_t)vbeg[c] & 0xffff);
+    size_t uend = blocks[b1].uoffset + ((uint64_t)vend[c] & 0xffff);
+    ustart = std::max(ustart, header_end);
+    uend = std::min(uend, u.size());
+    if (ustart >= uend) continue;
+    parse_bam_records(u, ustart, uend, r, rg_to_sample, &default_sample);
+  }
+  return r;
 }
 
 }  // namespace
@@ -646,6 +792,14 @@ void* guac_decode_bam(const char* path, int threads) {
     return nullptr;
   }
   return r;
+}
+
+// Region-pushdown decode: only records in the given BGZF virtual-offset
+// chunks (merged, disjoint, from a .bai query) are decoded; only the
+// blocks those chunks touch are inflated.
+void* guac_decode_bam_chunks(const char* path, int threads, int64_t n_chunks,
+                             const int64_t* vbeg, const int64_t* vend) {
+  return decode_bam_chunks(path, threads, n_chunks, vbeg, vend);
 }
 
 void guac_free_reads(void* handle) { delete static_cast<Reads*>(handle); }
