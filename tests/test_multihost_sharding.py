@@ -100,3 +100,62 @@ def test_per_host_standard_calls_union_equals_whole_run(resources_dir):
 
     assert key(per_host) == key(whole)
     assert len(whole) > 0
+
+
+def test_per_host_pushdown_decode_union_equals_whole_run(tmp_path):
+    """Production multi-host input path: each host decodes ONLY its shard's
+    BGZF chunks natively (.bai pushdown), packs columnar, calls; the union
+    must equal a whole-file columnar run."""
+    import shutil
+
+    from guacamole_tpu.callers.common import bai_chunks_for_loci
+    from guacamole_tpu.callers.source import ReadSource
+    from guacamole_tpu.gio.bai import build_bam_index
+    from guacamole_tpu.runtime.columnar import (
+        decode_bam_columnar,
+        filter_columnar,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+
+    dst = str(tmp_path / CHRM)
+    shutil.copy(resource_path(CHRM), dst)
+    build_bam_index(dst)
+
+    n_hosts = 2
+    shards = host_shards(n_hosts)
+    per_host_calls = []
+    for shard_loci in shards:
+        contig = shard_loci.contigs[0]
+        ranges = shard_loci.on_contig(contig).ranges
+        expr = ",".join(f"{contig}:{s}-{e}" for s, e in ranges)
+        builder = parse_loci(expr)
+        chunks = bai_chunks_for_loci(dst, builder)
+        cols = decode_bam_columnar(dst, chunks=chunks)
+        assert cols is not None
+        loci_set = builder.result(cols.contig_lengths)
+        cols = filter_columnar(
+            cols, loci_set=loci_set, non_duplicate=True, has_mdtag=True
+        )
+        partitions = partition_loci_uniformly(1, shard_loci)
+        per_host_calls.extend(
+            call_variants(ReadSource.from_columnar(cols), partitions)
+        )
+
+    whole = decode_bam_columnar(dst)
+    loci_set = parse_loci("chrM:0-16570").result(whole.contig_lengths)
+    whole_cols = filter_columnar(
+        whole, loci_set=loci_set, non_duplicate=True, has_mdtag=True
+    )
+    whole_calls = call_variants(
+        ReadSource.from_columnar(whole_cols),
+        partition_loci_uniformly(n_hosts, parse_loci("chrM:0-16570").result()),
+    )
+
+    def key(calls):
+        return sorted((c.contig, c.start, c.allele, c.labels) for c in calls)
+
+    assert key(per_host_calls) == key(whole_calls)
+    assert len(whole_calls) > 0
