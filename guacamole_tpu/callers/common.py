@@ -140,7 +140,11 @@ def bai_chunks_for_loci(path: str, loci_builder):
             for start, end in loci_set.on_contig(contig).ranges:
                 lists.append(index.chunks_for_region(rid, start, end))
         return optimize_chunks(lists)
-    except Exception:
+    except Exception as exc:
+        progress(
+            "BAM-index pushdown unavailable (%s: %s); falling back to "
+            "whole-file decode." % (type(exc).__name__, exc)
+        )
         return None
 
 

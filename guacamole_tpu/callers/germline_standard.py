@@ -105,12 +105,6 @@ def _launch_screen(tile: LocusTile, min_alignment_quality: int):
     )
 
 
-def _candidate_rows(tile: LocusTile, min_alignment_quality: int) -> np.ndarray:
-    """Loci with >= 1 variant-allele element among MAPQ-passing elements."""
-    stats = _launch_screen(tile, min_alignment_quality).result()
-    return np.flatnonzero(stats.candidates | tile.overflow)
-
-
 def call_variants(
     reads,
     loci_partitions: LociMap,

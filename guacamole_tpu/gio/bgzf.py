@@ -88,8 +88,17 @@ class BgzfReader:
     """
 
     def __init__(self, path: str):
-        with open(path, "rb") as f:
-            self._data = f.read()
+        import mmap
+
+        self._file = open(path, "rb")
+        try:
+            # Memory-map so header-only reads (e.g. the pushdown planner)
+            # touch only the pages they parse, not the whole file.
+            self._data = mmap.mmap(
+                self._file.fileno(), 0, access=mmap.ACCESS_READ
+            )
+        except (ValueError, OSError):  # empty file or mmap-less FS
+            self._data = self._file.read()
         self._block_cache: dict[int, bytes] = {}
 
     def block(self, coffset: int) -> bytes:

@@ -186,6 +186,19 @@ class ColumnarReads:
             self.ev_off, self.ev_end,
             self.ev_kind, self.ev_base, self.ev_qual, self.ev_mdref,
         )
+        # Trim the special payload blob to this slice's entries too.
+        sp_lens = self.sp_payload_len
+        sp_off = np.zeros(len(sp_lens) + 1, dtype=np.int64)
+        np.cumsum(sp_lens, out=sp_off[1:])
+        payload = np.concatenate(
+            [
+                self.special_payload[
+                    self.sp_payload_offset[i] : self.sp_payload_offset[i]
+                    + sp_lens[i]
+                ]
+                for i in range(len(sp_lens))
+            ]
+        ) if len(sp_lens) else self.special_payload[:0]
         from dataclasses import replace
 
         return replace(
@@ -195,6 +208,7 @@ class ColumnarReads:
             md_off=md_off, md_text=md_text,
             ev_off=ev_off, ev_kind=ev_kind, ev_base=ev_base,
             ev_qual=ev_qual, ev_mdref=ev_mdref,
+            sp_payload_offset=sp_off[:-1], special_payload=payload,
             seq_end=None, cigar_end=None, md_end=None, ev_end=None,
         )
 

@@ -448,6 +448,10 @@ static int parse_bam_header(const std::vector<uint8_t>& u, size_t avail,
   }
   int32_t l_text;
   memcpy(&l_text, &u[4], 4);
+  if (l_text < 0) {
+    r->error = "malformed BAM header (negative l_text)";
+    return 2;
+  }
   size_t pos = 8;
   if (pos + (size_t)l_text + 4 > avail) return 1;
   r->header_text.assign(reinterpret_cast<const char*>(&u[pos]), l_text);
@@ -455,6 +459,10 @@ static int parse_bam_header(const std::vector<uint8_t>& u, size_t avail,
   int32_t n_ref;
   memcpy(&n_ref, &u[pos], 4);
   pos += 4;
+  if (n_ref < 0) {
+    r->error = "malformed BAM header (negative n_ref)";
+    return 2;
+  }
   r->ref_names.clear();
   r->ref_lengths.clear();
   for (int i = 0; i < n_ref; i++) {
@@ -462,6 +470,10 @@ static int parse_bam_header(const std::vector<uint8_t>& u, size_t avail,
     int32_t l_name;
     memcpy(&l_name, &u[pos], 4);
     pos += 4;
+    if (l_name <= 0) {
+      r->error = "malformed BAM header (bad reference name length)";
+      return 2;
+    }
     if (pos + (size_t)l_name + 4 > avail) return 1;
     r->ref_names.emplace_back(reinterpret_cast<const char*>(&u[pos]),
                               l_name - 1);
@@ -661,98 +673,101 @@ static bool parse_bam(const std::vector<uint8_t>& u, Reads* r) {
                            &default_sample);
 }
 
+// Incremental BGZF reader over a file handle: reads and inflates blocks
+// on demand, so only the byte ranges actually requested are touched.
+struct BgzfStream {
+  FILE* f = nullptr;
+  size_t fsize = 0;
+
+  bool open(const char* path) {
+    f = fopen(path, "rb");
+    if (!f) return false;
+    fseek(f, 0, SEEK_END);
+    fsize = (size_t)ftell(f);
+    return true;
+  }
+  ~BgzfStream() {
+    if (f) fclose(f);
+  }
+
+  // Read + inflate the block at coffset. Appends the uncompressed bytes to
+  // out and sets *bsize to the compressed block size. Returns false on
+  // EOF/corruption.
+  bool inflate_at(size_t coffset, std::vector<uint8_t>* out, size_t* bsize) {
+    if (coffset + 28 > fsize) return false;
+    uint8_t hdr[12];
+    fseek(f, (long)coffset, SEEK_SET);
+    if (fread(hdr, 1, 12, f) != 12) return false;
+    if (hdr[0] != 0x1f || hdr[1] != 0x8b || !(hdr[3] & 0x04)) return false;
+    uint16_t xlen;
+    memcpy(&xlen, hdr + 10, 2);
+    std::vector<uint8_t> extra(xlen);
+    if (fread(extra.data(), 1, xlen, f) != xlen) return false;
+    size_t bs = 0;
+    for (size_t pos = 0; pos + 4 <= xlen;) {
+      uint8_t si1 = extra[pos], si2 = extra[pos + 1];
+      uint16_t slen;
+      memcpy(&slen, &extra[pos + 2], 2);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        uint16_t b;
+        memcpy(&b, &extra[pos + 4], 2);
+        bs = (size_t)b + 1;
+      }
+      pos += 4 + slen;
+    }
+    if (bs == 0 || coffset + bs > fsize) return false;
+    size_t csize = bs - 12 - xlen - 8;
+    std::vector<uint8_t> cdata(csize + 8);
+    if (fread(cdata.data(), 1, csize + 8, f) != csize + 8) return false;
+    uint32_t isize;
+    memcpy(&isize, cdata.data() + csize + 4, 4);
+    size_t base = out->size();
+    out->resize(base + isize);
+    if (isize > 0) {
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) return false;
+      zs.next_in = cdata.data();
+      zs.avail_in = csize;
+      zs.next_out = out->data() + base;
+      zs.avail_out = isize;
+      int rc = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (rc != Z_STREAM_END || zs.total_out != isize) return false;
+    }
+    *bsize = bs;
+    return true;
+  }
+};
+
 // Decode only the records covered by BGZF virtual-offset chunks (from a
 // .bai query; the TPU-native analog of the reference's BAM-index pushdown,
-// Read.scala:395-406). Only the needed blocks are inflated.
+// Read.scala:395-406). Only the chunks' byte ranges are read and inflated;
+// memory is O(header + largest chunk), not O(file).
 static Reads* decode_bam_chunks(const char* path, int threads,
                                 int64_t n_chunks, const int64_t* vbeg,
                                 const int64_t* vend) {
-  std::vector<uint8_t> raw;
-  if (!read_file(path, &raw)) return nullptr;
-  std::vector<BgzfBlock> blocks;
-  size_t total = 0;
-  if (!scan_bgzf_blocks(raw, &blocks, &total) || blocks.empty())
-    return nullptr;
-  std::vector<uint8_t> u(total);
-
-  // coffset -> block index (blocks sorted by coffset).
-  auto block_at = [&](uint64_t coffset) -> int64_t {
-    size_t lo = 0, hi = blocks.size();
-    while (lo < hi) {
-      size_t mid = (lo + hi) / 2;
-      if (blocks[mid].coffset <= coffset)
-        lo = mid + 1;
-      else
-        hi = mid;
-    }
-    return (int64_t)lo - 1;  // last block with coffset <= target
-  };
-
-  std::vector<uint8_t> inflated(blocks.size(), 0);
-  auto ensure_block = [&](size_t i) -> bool {
-    if (i >= blocks.size() || inflated[i]) return i < blocks.size();
-    if (!inflate_block(raw, blocks[i], u.data() + blocks[i].uoffset))
-      return false;
-    inflated[i] = 1;
-    return true;
-  };
+  (void)threads;  // chunk-local decode is sequential per chunk
+  BgzfStream stream;
+  if (!stream.open(path)) return nullptr;
 
   // Header: inflate leading blocks until the header + refs parse.
   Reads* r = new Reads();
   std::map<std::string, int> rg_to_sample;
+  std::vector<uint8_t> hdr_u;
   size_t header_end = 0;
-  size_t avail = 0;
-  size_t hdr_blocks = 0;
+  size_t hdr_coffset = 0;
   int rc = 1;
-  while (rc == 1 && hdr_blocks < blocks.size()) {
-    if (!ensure_block(hdr_blocks)) {
-      delete r;
-      return nullptr;
-    }
-    avail += blocks[hdr_blocks].usize;
-    hdr_blocks++;
-    rc = parse_bam_header(u, avail, r, &rg_to_sample, &header_end);
+  while (rc == 1) {
+    size_t bsize = 0;
+    if (!stream.inflate_at(hdr_coffset, &hdr_u, &bsize)) break;
+    hdr_coffset += bsize;
+    rc = parse_bam_header(hdr_u, hdr_u.size(), r, &rg_to_sample,
+                          &header_end);
   }
   if (rc != 0) {
     delete r;
     return nullptr;
-  }
-
-  // Mark chunk blocks (+1 block of slack for record overhang past vend).
-  std::vector<uint8_t> want(blocks.size(), 0);
-  for (int64_t c = 0; c < n_chunks; c++) {
-    int64_t b0 = block_at((uint64_t)vbeg[c] >> 16);
-    int64_t b1 = block_at((uint64_t)vend[c] >> 16);
-    if (b0 < 0) b0 = 0;
-    if (b1 < 0) b1 = 0;
-    b1 = std::min<int64_t>(b1 + 1, (int64_t)blocks.size() - 1);
-    for (int64_t b = b0; b <= b1; b++) want[b] = 1;
-  }
-  std::vector<size_t> todo;
-  for (size_t i = 0; i < blocks.size(); i++)
-    if (want[i] && !inflated[i]) todo.push_back(i);
-  if (!todo.empty()) {
-    if (threads < 1) threads = 1;
-    std::atomic<size_t> next(0);
-    std::atomic<bool> ok(true);
-    auto worker = [&]() {
-      while (ok.load()) {
-        size_t i = next.fetch_add(1);
-        if (i >= todo.size()) break;
-        size_t b = todo[i];
-        if (!inflate_block(raw, blocks[b], u.data() + blocks[b].uoffset))
-          ok.store(false);
-      }
-    };
-    std::vector<std::thread> pool;
-    int nthreads = (int)std::min<size_t>(threads, todo.size());
-    for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
-    for (auto& th : pool) th.join();
-    for (size_t b : todo) inflated[b] = 1;
-    if (!ok.load()) {
-      delete r;
-      return nullptr;
-    }
   }
 
   r->seq_off.push_back(0);
@@ -760,14 +775,45 @@ static Reads* decode_bam_chunks(const char* path, int threads,
   r->md_off.push_back(0);
   r->ev_off.push_back(0);
   int default_sample = -1;
+
+  std::vector<uint8_t> u;
   for (int64_t c = 0; c < n_chunks; c++) {
-    int64_t b0 = block_at((uint64_t)vbeg[c] >> 16);
-    int64_t b1 = block_at((uint64_t)vend[c] >> 16);
-    if (b0 < 0 || b1 < 0) continue;
-    size_t ustart = blocks[b0].uoffset + ((uint64_t)vbeg[c] & 0xffff);
-    size_t uend = blocks[b1].uoffset + ((uint64_t)vend[c] & 0xffff);
-    ustart = std::max(ustart, header_end);
+    uint64_t c0 = (uint64_t)vbeg[c] >> 16;
+    uint64_t c1 = (uint64_t)vend[c] >> 16;
+    size_t u0 = (uint64_t)vbeg[c] & 0xffff;
+    size_t u1 = (uint64_t)vend[c] & 0xffff;
+    u.clear();
+    size_t coffset = (size_t)c0;
+    size_t uend = SIZE_MAX;  // local uoffset of the chunk end
+    // Walk blocks from the chunk start through the block containing the
+    // end voffset, plus one slack block for a record overhanging vend.
+    bool have_end = false, slack_done = false;
+    while (coffset < stream.fsize && !(have_end && slack_done)) {
+      size_t block_ustart = u.size();
+      size_t block_coffset = coffset;
+      size_t bsize = 0;
+      if (!stream.inflate_at(coffset, &u, &bsize)) break;
+      coffset += bsize;
+      if (!have_end) {
+        if (block_coffset == (size_t)c1) {
+          have_end = true;
+          uend = block_ustart + u1;
+        } else if (block_coffset > (size_t)c1) {
+          // End voffset fell between blocks (defensive): stop here.
+          have_end = true;
+          slack_done = true;
+          uend = block_ustart;
+        }
+      } else {
+        slack_done = true;
+      }
+    }
+    // End voffset past the last data block (EOF convention): the chunk
+    // covers everything walked.
+    if (uend == SIZE_MAX) uend = u.size();
     uend = std::min(uend, u.size());
+    size_t ustart = std::min(u0, u.size());
+    if (c0 == 0) ustart = std::max(ustart, header_end);
     if (ustart >= uend) continue;
     parse_bam_records(u, ustart, uend, r, rg_to_sample, &default_sample);
   }
