@@ -251,6 +251,25 @@ ARG_HELPERS = {
     "default_parallelism": _default_parallelism,
 }
 
+def cmd_index(argv: List[str]) -> int:
+    """Build a .bai index for a coordinate-sorted BAM (enables the
+    BAM-index region pushdown in the loaders)."""
+    p = argparse.ArgumentParser(
+        prog="guacamole index",
+        description="build a .bai index for a coordinate-sorted BAM",
+    )
+    p.add_argument("bam", help="Coordinate-sorted BAM to index")
+    p.add_argument(
+        "--out", default="", help="Index path (default: <bam>.bai)"
+    )
+    args = p.parse_args(argv)
+    from guacamole_tpu.gio.bai import build_bam_index
+
+    out = build_bam_index(args.bam, args.out or None)
+    progress(f"Wrote index: {out}")
+    return 0
+
+
 COMMANDS = {
     "germline-threshold": (
         cmd_germline_threshold,
@@ -275,6 +294,10 @@ COMMANDS = {
     "structural-variant": (
         cmd_structural_variant,
         "Find structural variants, e.g. large deletions",
+    ),
+    "index": (
+        cmd_index,
+        "Build a .bai index for a coordinate-sorted BAM",
     ),
 }
 
