@@ -275,6 +275,32 @@ def pack_tiles_columnar(
     )
 
 
+def _depth_per_locus(
+    cols: ColumnarReads, contig_id: int, loci_arr: np.ndarray
+) -> np.ndarray:
+    """Read depth at each locus, by interval stabbing (no packing)."""
+    mask = cols.ref_id == contig_id
+    starts = np.sort(cols.start[mask])
+    ends = np.sort(cols.end[mask])
+    return (
+        np.searchsorted(starts, loci_arr, side="right")
+        - np.searchsorted(ends, loci_arr, side="right")
+    ).astype(np.int64)
+
+
+def _depth_bucket(depth: np.ndarray) -> np.ndarray:
+    """Bucket ceiling for each depth: 8, 16, 32, ... (powers of two; the
+    compiled-shape set stays small while halving pile padding vs a x4
+    ladder)."""
+    bucket = np.full(len(depth), 8, dtype=np.int64)
+    d = np.maximum(depth, 1)
+    while True:
+        over = d > bucket
+        if not over.any():
+            return bucket
+        bucket[over] *= 2
+
+
 def iter_tiles_columnar(
     cols: ColumnarReads,
     contig_name: str,
@@ -284,8 +310,15 @@ def iter_tiles_columnar(
     reference_genome=None,
     skip_empty: bool = True,
     pad_to_tile_size: bool = True,
+    depth_bucketing: bool = True,
 ):
-    """Yield a contig's loci tiles one at a time (lazy pack_tiles_columnar)."""
+    """Yield a contig's loci tiles one at a time (lazy pack_tiles_columnar).
+
+    depth_bucketing groups loci by their depth's pad bucket before tiling,
+    so a tile's [L, D] grid is sized for its own loci rather than the
+    contig's maximum depth (the whole-tile D would otherwise be set by the
+    deepest locus; most pileup cells would be padding). Tile shapes stay a
+    small fixed set: (tile_size, 8|32|128|512|...)."""
     try:
         contig_id = cols.ref_names.index(contig_name)
     except ValueError:
@@ -303,16 +336,27 @@ def iter_tiles_columnar(
             if loci_ranges
             else np.empty(0, dtype=np.int64)
         )
-    for i in range(0, len(all_loci), tile_size):
-        tile = pack_tile_columnar(
-            cols,
-            contig_id,
-            contig_name,
-            all_loci[i : i + tile_size],
-            max_alleles=max_alleles,
-            reference_genome=reference_genome,
-            l_pad=tile_size if pad_to_tile_size else 0,
-        )
-        if pad_to_tile_size and tile.L < tile_size:
-            tile = pad_tile_loci(tile, tile_size)
-        yield tile
+
+    if depth_bucketing and len(all_loci):
+        buckets = _depth_bucket(_depth_per_locus(cols, contig_id, all_loci))
+        groups = [
+            (int(b), all_loci[buckets == b]) for b in np.unique(buckets)
+        ]
+    else:
+        groups = [(0, all_loci)]
+
+    for depth_pad, group_loci in groups:
+        for i in range(0, len(group_loci), tile_size):
+            tile = pack_tile_columnar(
+                cols,
+                contig_id,
+                contig_name,
+                group_loci[i : i + tile_size],
+                max_alleles=max_alleles,
+                reference_genome=reference_genome,
+                depth_pad=depth_pad or None,
+                l_pad=tile_size if pad_to_tile_size else 0,
+            )
+            if pad_to_tile_size and tile.L < tile_size:
+                tile = pad_tile_loci(tile, tile_size)
+            yield tile

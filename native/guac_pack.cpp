@@ -172,9 +172,16 @@ void* guac_pack_tile(
     if (end[r] <= lo_bound || start[r] > hi_bound) continue;
     sel.push_back(r);
   }
-  std::stable_sort(sel.begin(), sel.end(), [&](int64_t a, int64_t b) {
-    return start[a] < start[b];
-  });
+  bool sorted = true;
+  for (size_t i = 1; i < sel.size(); i++)
+    if (start[sel[i]] < start[sel[i - 1]]) {
+      sorted = false;
+      break;
+    }
+  if (!sorted)
+    std::stable_sort(sel.begin(), sel.end(), [&](int64_t a, int64_t b) {
+      return start[a] < start[b];
+    });
 
   // Row range per read via binary search into loci.
   auto row_lo = [&](int64_t s) {
