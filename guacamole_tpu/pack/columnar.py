@@ -339,9 +339,20 @@ def iter_tiles_columnar(
 
     if depth_bucketing and len(all_loci):
         buckets = _depth_bucket(_depth_per_locus(cols, contig_id, all_loci))
-        groups = [
-            (int(b), all_loci[buckets == b]) for b in np.unique(buckets)
-        ]
+        # A bucket only gets its own tiles when it can fill at least one:
+        # sub-tile buckets merge upward into the next deeper bucket, so
+        # kernel dispatch count stays close to the unbucketed tiling.
+        groups = []
+        carry = np.empty(0, dtype=np.int64)
+        uniq = [int(b) for b in np.unique(buckets)]
+        for j, b in enumerate(uniq):
+            group = np.concatenate([carry, all_loci[buckets == b]])
+            if len(group) >= tile_size or j == len(uniq) - 1:
+                group.sort()
+                groups.append((b, group))
+                carry = np.empty(0, dtype=np.int64)
+            else:
+                carry = group
     else:
         groups = [(0, all_loci)]
 
