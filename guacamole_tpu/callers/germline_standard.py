@@ -28,7 +28,7 @@ from guacamole_tpu.likelihood import (
     likelihoods_of_all_possible_genotypes_from_pileup,
 )
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.ops.dispatch import pipelined, screen_tile_launch
+from guacamole_tpu.ops.dispatch import pipelined_batched_screens
 from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
 from guacamole_tpu.pileup.element import PileupElement
 from guacamole_tpu.pileup.pileup import Pileup
@@ -96,15 +96,6 @@ def _pileup_from_tile_row(
     return Pileup(tile.contig, locus, ref_base, elements)
 
 
-def _launch_screen(tile: LocusTile, min_alignment_quality: int):
-    """Dispatch the variant-evidence screen over MAPQ-passing elements."""
-    valid = tile.valid & (tile.mapq >= min_alignment_quality)
-    return screen_tile_launch(
-        tile.allele_id, tile.qual, tile.mapq, tile.strand, valid,
-        tile.is_variant, tile.K,
-    )
-
-
 def call_variants(
     reads,
     loci_partitions: LociMap,
@@ -142,13 +133,11 @@ def call_variants(
                     ):
                         yield sample_source, contig, tile
 
-    def launch(item):
-        _, _, tile = item
-        return (
-            _launch_screen(tile, min_alignment_quality) if tile.L else None
-        )
-
-    for (sample_source, contig, tile), pending in pipelined(tiles(), launch):
+    for (sample_source, contig, tile), pending in pipelined_batched_screens(
+        tiles(),
+        tile_of=lambda item: item[2],
+        valid_of=lambda t: t.valid & (t.mapq >= min_alignment_quality),
+    ):
         if pending is None:
             continue
         stats = pending.result()
@@ -169,6 +158,9 @@ def call_variants(
                     pileup, min_alignment_quality, emit_ref
                 )
             )
+    calls.sort(
+        key=lambda c: (c.reference_contig, c.start, c.sample_name or "", c.allele)
+    )
     return calls
 
 

@@ -28,7 +28,10 @@ import numpy as np
 from guacamole_tpu.gio.vcf import VcfRecord
 from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.loci.lociset import LociSet
-from guacamole_tpu.ops.dispatch import pipelined, screen_tile, screen_tile_launch
+from guacamole_tpu.ops.dispatch import (
+    pipelined_batched_screens,
+    screen_tile,
+)
 from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
 from guacamole_tpu.pileup.pileup import Pileup
 from guacamole_tpu.reads.read import MappedRead
@@ -274,17 +277,11 @@ def call_variants(
                     ):
                         yield tile, sample_name, sample_source
 
-    def launch(item):
-        tile = item[0]
-        if not tile.L:
-            return None
-        return screen_tile_launch(
-            tile.allele_id, tile.qual, tile.mapq,
-            tile.strand, tile.valid, tile.is_variant, tile.K,
-            threshold_percent=threshold_percent,
-        )
-
-    for (tile, name, src), pending in pipelined(tiles(), launch):
+    for (tile, name, src), pending in pipelined_batched_screens(
+        tiles(),
+        tile_of=lambda item: item[0],
+        threshold_percent=threshold_percent,
+    ):
         calls.extend(
             call_tile(
                 tile,
@@ -296,4 +293,6 @@ def call_variants(
                 pending=pending,
             )
         )
+    # Deterministic emission order regardless of tile batching/bucketing.
+    calls.sort(key=lambda c: (c.contig, c.start, c.sample_name, c.allele))
     return calls

@@ -33,7 +33,7 @@ from guacamole_tpu.likelihood import (
     probability_correct_including_alignment,
 )
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.ops.dispatch import pipelined, screen_tile_launch
+from guacamole_tpu.ops.dispatch import pipelined_batched_screens
 from guacamole_tpu.pack.fast import pack_tile_fast
 from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
 from guacamole_tpu.pileup.element import PileupElement
@@ -177,20 +177,13 @@ def call_variants(
                 ):
                     yield contig, tile
 
-    def launch(item):
-        _, tile = item
-        if tile.L == 0:
-            return None
-        # Device screen over the tumor sample.
-        valid = np.asarray(tile.valid) & (
-            np.asarray(tile.mapq) >= min_alignment_quality
-        )
-        return screen_tile_launch(
-            tile.allele_id, tile.qual, tile.mapq, tile.strand, valid,
-            tile.is_variant, tile.K,
-        )
-
-    for (contig, tile), pending in pipelined(tiles(), launch):
+    # Device screen over the tumor sample, batched across same-shape tiles.
+    for (contig, tile), pending in pipelined_batched_screens(
+        tiles(),
+        tile_of=lambda item: item[1],
+        valid_of=lambda t: np.asarray(t.valid)
+        & (np.asarray(t.mapq) >= min_alignment_quality),
+    ):
         if pending is None:
             continue
         stats = pending.result()
@@ -244,6 +237,7 @@ def call_variants(
                     max_read_depth,
                 )
             )
+    calls.sort(key=lambda c: (c.reference_contig, c.start, c.allele))
     return calls
 
 

@@ -149,3 +149,108 @@ def pipelined(items, launch, max_in_flight: int = 8):
             yield in_flight.popleft()
     while in_flight:
         yield in_flight.popleft()
+
+
+class _SlicedScreen:
+    """A row-slice view over a batched PendingScreen (one tile's results
+    out of a multi-tile launch)."""
+
+    __slots__ = ("_batch", "_lo", "_hi")
+
+    def __init__(self, batch, lo: int, hi: int):
+        self._batch = batch
+        self._lo = lo
+        self._hi = hi
+
+    def result(self) -> ScreenResult:
+        full = self._batch.cached_result()
+        lo, hi = self._lo, self._hi
+        return ScreenResult(
+            full.counts[lo:hi],
+            full.forward_counts[lo:hi],
+            full.depth[lo:hi],
+            full.candidates[lo:hi],
+        )
+
+
+class _BatchPending:
+    __slots__ = ("_pending", "_result")
+
+    def __init__(self, pending: PendingScreen):
+        self._pending = pending
+        self._result = None
+
+    def cached_result(self) -> ScreenResult:
+        if self._result is None:
+            self._result = self._pending.result()
+        return self._result
+
+
+def pipelined_batched_screens(
+    items,
+    tile_of,
+    batch: int = 4,
+    max_in_flight: int = 8,
+    threshold_percent=None,
+    valid_of=None,
+):
+    """Like pipelined(), but stacks up to `batch` same-shape tiles along
+    the locus axis into ONE kernel launch (the per-locus kernels don't
+    care which tile a row came from). Cuts dispatch + transfer round
+    trips by the batch factor — significant over a remote-device link.
+
+    Yields (item, pending-with-.result() or None-for-empty-tile)."""
+    from collections import deque
+
+    in_flight = deque()
+    groups = {}
+
+    def flush(key):
+        members = groups.pop(key)
+        tiles = [tile_of(it) for it in members]
+        t0 = tiles[0]
+        if len(tiles) == 1:
+            allele_id, qual, mapq, strand = (
+                t0.allele_id, t0.qual, t0.mapq, t0.strand,
+            )
+            valid = valid_of(t0) if valid_of is not None else t0.valid
+            is_variant = t0.is_variant
+        else:
+            cat = np.concatenate
+            allele_id = cat([t.allele_id for t in tiles])
+            qual = cat([t.qual for t in tiles])
+            mapq = cat([t.mapq for t in tiles])
+            strand = cat([t.strand for t in tiles])
+            valid = cat(
+                [
+                    valid_of(t) if valid_of is not None else t.valid
+                    for t in tiles
+                ]
+            )
+            is_variant = cat([t.is_variant for t in tiles])
+        pending = _BatchPending(
+            screen_tile_launch(
+                allele_id, qual, mapq, strand, valid, is_variant, t0.K,
+                threshold_percent=threshold_percent,
+            )
+        )
+        row = 0
+        for it, t in zip(members, tiles):
+            in_flight.append((it, _SlicedScreen(pending, row, row + t.L)))
+            row += t.L
+
+    for item in items:
+        tile = tile_of(item)
+        if not tile.L:
+            in_flight.append((item, None))
+        else:
+            key = (tile.L, tile.D)
+            groups.setdefault(key, []).append(item)
+            if len(groups[key]) >= batch:
+                flush(key)
+        while len(in_flight) > max_in_flight:
+            yield in_flight.popleft()
+    for key in list(groups):
+        flush(key)
+    while in_flight:
+        yield in_flight.popleft()
