@@ -49,14 +49,30 @@ def fetch_arrays(*arrays):
                 arr.copy_to_host_async()
             except Exception:
                 pass
-    return tuple(np.asarray(arr) for arr in arrays)
+    return tuple(
+        np.asarray(arr) if arr is not None else None for arr in arrays
+    )
 
 
 class ScreenResult(NamedTuple):
     counts: np.ndarray  # [L, K]
-    forward_counts: np.ndarray
-    depth: np.ndarray  # [L]
+    forward_counts: np.ndarray  # None on the packed fast path (unused)
+    depth: np.ndarray  # [L]; None on the packed fast path (unused)
     candidates: np.ndarray  # [L] bool
+
+
+def pack_nibbles(allele_id: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """[L, D] allele ids + validity -> [L, ceil(D/2)] uint8, two 4-bit ids
+    per byte (0xF = empty). The minimal H2D encoding for the counting
+    screen — 8x smaller than shipping int16 ids + bool masks, which is the
+    difference between transfer-bound and compute-bound over PCIe-class
+    (or tunneled) links."""
+    aid = (np.where(valid, allele_id, -1) & 0xF).astype(np.uint8)
+    if aid.shape[1] % 2:
+        aid = np.concatenate(
+            [aid, np.full((aid.shape[0], 1), 0xF, np.uint8)], axis=1
+        )
+    return aid[:, 0::2] | (aid[:, 1::2] << 4)
 
 
 class PendingScreen(NamedTuple):
@@ -102,21 +118,37 @@ def screen_tile_launch(
             out.counts, out.forward_counts, out.depth, out.candidates
         )
     else:
-        from guacamole_tpu.ops.kernels import tile_stats
-
-        stats = tile_stats(
-            allele_id, strand, valid, is_variant, max_alleles,
+        return screen_packed_launch(
+            pack_nibbles(np.asarray(allele_id), np.asarray(valid)),
+            np.asarray(is_variant),
+            max_alleles,
             threshold_percent=threshold_percent,
-        )
-        pending = PendingScreen(
-            stats.counts,
-            stats.forward_counts,
-            stats.depth,
-            stats.variant_evidence,
         )
     # Queue the host copies right behind the kernels so the transfer is
     # already in flight when result() is called.
     for arr in pending:
+        if isinstance(arr, jax.Array):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+    return pending
+
+
+def screen_packed_launch(
+    packed: np.ndarray,
+    is_variant: np.ndarray,
+    max_alleles: int,
+    threshold_percent=None,
+) -> PendingScreen:
+    """Dispatch the nibble-packed counting screen (the default XLA path)."""
+    from guacamole_tpu.ops.kernels import tile_stats_nibble
+
+    out = tile_stats_nibble(
+        packed, is_variant, max_alleles, threshold_percent=threshold_percent
+    )
+    pending = PendingScreen(out.counts, None, None, out.candidates)
+    for arr in (out.counts, out.candidates):
         if isinstance(arr, jax.Array):
             try:
                 arr.copy_to_host_async()
@@ -165,11 +197,15 @@ class _SlicedScreen:
     def result(self) -> ScreenResult:
         full = self._batch.cached_result()
         lo, hi = self._lo, self._hi
+
+        def cut(a):
+            return a[lo:hi] if a is not None else None
+
         return ScreenResult(
-            full.counts[lo:hi],
-            full.forward_counts[lo:hi],
-            full.depth[lo:hi],
-            full.candidates[lo:hi],
+            cut(full.counts),
+            cut(full.forward_counts),
+            cut(full.depth),
+            cut(full.candidates),
         )
 
 
@@ -209,13 +245,7 @@ def pipelined_batched_screens(
         members = groups.pop(key)
         tiles = [tile_of(it) for it in members]
         t0 = tiles[0]
-        if len(tiles) == 1:
-            allele_id, qual, mapq, strand = (
-                t0.allele_id, t0.qual, t0.mapq, t0.strand,
-            )
-            valid = valid_of(t0) if valid_of is not None else t0.valid
-            is_variant = t0.is_variant
-        else:
+        if use_pallas():
             cat = np.concatenate
             allele_id = cat([t.allele_id for t in tiles])
             qual = cat([t.qual for t in tiles])
@@ -228,12 +258,30 @@ def pipelined_batched_screens(
                 ]
             )
             is_variant = cat([t.is_variant for t in tiles])
-        pending = _BatchPending(
-            screen_tile_launch(
+            launched = screen_tile_launch(
                 allele_id, qual, mapq, strand, valid, is_variant, t0.K,
                 threshold_percent=threshold_percent,
             )
-        )
+        else:
+            packs = [
+                pack_nibbles(
+                    np.asarray(t.allele_id),
+                    np.asarray(
+                        valid_of(t) if valid_of is not None else t.valid
+                    ),
+                )
+                for t in tiles
+            ]
+            packed = packs[0] if len(packs) == 1 else np.concatenate(packs)
+            is_variant = (
+                np.asarray(tiles[0].is_variant)
+                if len(tiles) == 1
+                else np.concatenate([np.asarray(t.is_variant) for t in tiles])
+            )
+            launched = screen_packed_launch(
+                packed, is_variant, t0.K, threshold_percent=threshold_percent
+            )
+        pending = _BatchPending(launched)
         row = 0
         for it, t in zip(members, tiles):
             in_flight.append((it, _SlicedScreen(pending, row, row + t.L)))

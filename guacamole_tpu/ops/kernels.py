@@ -102,6 +102,52 @@ def genotype_log_likelihoods(
     return jnp.sum(log_terms, axis=1) - depth[:, None] * LOG2
 
 
+class PackedScreen(NamedTuple):
+    counts: jnp.ndarray  # [L, K] allele counts (int32)
+    candidates: jnp.ndarray  # [L] bool
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_alleles", "threshold_percent")
+)
+def tile_stats_nibble(
+    packed: jnp.ndarray,  # [L, ceil(D/2)] uint8, two 4-bit allele ids/byte
+    is_variant: jnp.ndarray,  # [L, K] bool
+    max_alleles: int,
+    threshold_percent=None,
+) -> PackedScreen:
+    """Counting + candidate screen over nibble-packed allele ids.
+
+    The host packs each element's allele id into 4 bits (0xF = empty /
+    invalid slot; low nibble = even depth slot, high nibble = odd), which
+    is the minimal transfer encoding for the counting screen: no caller
+    consumes per-element strand/qual on device (evidence stats are exact
+    host-side at candidate loci), so one byte carries two elements.
+    Requires max_alleles <= 15. Semantics identical to tile_stats on the
+    unpacked arrays (same counts, same candidate rule).
+    """
+    assert max_alleles <= 15, "nibble packing reserves 0xF for empty slots"
+    lo = packed & jnp.uint8(0xF)
+    hi = packed >> jnp.uint8(4)
+    k_range = jnp.arange(max_alleles, dtype=jnp.uint8)
+    counts = jnp.sum(
+        lo[:, :, None] == k_range, axis=1, dtype=jnp.int32
+    ) + jnp.sum(hi[:, :, None] == k_range, axis=1, dtype=jnp.int32)
+    if threshold_percent is None:
+        candidates = jnp.any((counts > 0) & is_variant, axis=1)
+    else:
+        depth = jnp.sum(lo != jnp.uint8(0xF), axis=1, dtype=jnp.int32) + jnp.sum(
+            hi != jnp.uint8(0xF), axis=1, dtype=jnp.int32
+        )
+        passing = (counts > 0) & (
+            counts * 100 >= depth[:, None] * (threshold_percent + 1)
+        )
+        candidates = jnp.any(passing & is_variant, axis=1) | (
+            jnp.sum(passing & ~is_variant, axis=1) >= 2
+        )
+    return PackedScreen(counts, candidates)
+
+
 class TileStats(NamedTuple):
     counts: jnp.ndarray  # [L, K] allele counts
     forward_counts: jnp.ndarray  # [L, K]

@@ -75,3 +75,45 @@ def test_fused_kernel_empty_loci():
     assert (np.asarray(fused.depth) == 0).all()
     assert not np.asarray(fused.candidates).any()
     np.testing.assert_allclose(fused.log_likelihoods, 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("threshold_percent", [None, 0, 8, 50])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("D", [16, 15])  # even and odd depth axes
+def test_nibble_screen_matches_reference(seed, threshold_percent, D):
+    from guacamole_tpu.ops.dispatch import pack_nibbles
+    from guacamole_tpu.ops.kernels import tile_stats_nibble
+
+    K = 8
+    aid, _qual, _mapq, strand, valid, is_variant = random_tile(
+        L=64, D=D, K=K, seed=seed
+    )
+    packed = pack_nibbles(aid, valid)
+    assert packed.dtype == np.uint8
+    assert packed.shape == (64, (D + 1) // 2)
+    out = tile_stats_nibble(
+        packed, is_variant, K, threshold_percent=threshold_percent
+    )
+    ref = tile_stats(
+        aid, strand, valid, is_variant, K,
+        threshold_percent=threshold_percent,
+    )
+    np.testing.assert_array_equal(out.counts, ref.counts)
+    np.testing.assert_array_equal(out.candidates, ref.variant_evidence)
+
+
+def test_nibble_screen_masks_extra_valid():
+    # valid_of-style masks (e.g. MAPQ filters) shrink validity after the
+    # tile is packed: masked slots must vanish from counts and depth.
+    from guacamole_tpu.ops.dispatch import pack_nibbles
+    from guacamole_tpu.ops.kernels import tile_stats_nibble
+
+    K = 8
+    aid, _q, mapq, strand, valid, is_variant = random_tile(
+        L=32, D=16, K=K, seed=7
+    )
+    masked = valid & (mapq >= 30)
+    out = tile_stats_nibble(pack_nibbles(aid, masked), is_variant, K)
+    ref = tile_stats(aid, strand, masked, is_variant, K)
+    np.testing.assert_array_equal(out.counts, ref.counts)
+    np.testing.assert_array_equal(out.candidates, ref.variant_evidence)
