@@ -30,7 +30,7 @@ from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.loci.lociset import LociSet
 from guacamole_tpu.ops.dispatch import (
     pipelined_batched_screens,
-    screen_tile,
+    screen_tile_for,
 )
 from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
 from guacamole_tpu.pileup.pileup import Pileup
@@ -178,11 +178,7 @@ def call_tile(
     if pending is not None:
         stats = pending.result()
     else:
-        stats = screen_tile(
-            tile.allele_id, tile.qual, tile.mapq, tile.strand, tile.valid,
-            tile.is_variant, tile.K,
-            threshold_percent=threshold_percent,
-        )
+        stats = screen_tile_for(tile, threshold_percent=threshold_percent)
     counts = stats.counts
     variant_evidence = stats.candidates
     calls: List[ThresholdCall] = []
@@ -274,6 +270,7 @@ def call_variants(
                         tile_size=tile_size,
                         max_alleles=max_alleles,
                         reference_genome=reference_genome,
+                        fields="screen",
                     ):
                         yield tile, sample_name, sample_source
 

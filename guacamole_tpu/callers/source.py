@@ -93,6 +93,7 @@ class ReadSource:
         tile_size: int = 4096,
         max_alleles: int = 8,
         reference_genome=None,
+        fields: str = "full",
     ):
         return list(
             self.iter_tiles(
@@ -101,6 +102,7 @@ class ReadSource:
                 tile_size=tile_size,
                 max_alleles=max_alleles,
                 reference_genome=reference_genome,
+                fields=fields,
             )
         )
 
@@ -111,9 +113,14 @@ class ReadSource:
         tile_size: int = 4096,
         max_alleles: int = 8,
         reference_genome=None,
+        fields: str = "full",
     ) -> Iterator:
         """Yield tiles one at a time so callers can overlap device kernels
-        on tile i with host packing of tile i+1."""
+        on tile i with host packing of tile i+1.
+
+        fields="screen" skips the per-element [L, D] tensors on the native
+        packer path (only counts/allele tables/packed nibbles are built) —
+        for callers that never touch per-element fields."""
         if self._cols is not None:
             from guacamole_tpu.pack.columnar import iter_tiles_columnar
 
@@ -124,6 +131,7 @@ class ReadSource:
                 tile_size=tile_size,
                 max_alleles=max_alleles,
                 reference_genome=reference_genome,
+                fields=fields,
             )
             return
         from guacamole_tpu.pack.tiles import pack_tiles

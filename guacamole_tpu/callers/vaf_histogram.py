@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.ops.dispatch import screen_tile
+from guacamole_tpu.ops.dispatch import screen_tile_for
 from guacamole_tpu.pack.tiles import pack_tiles
 from guacamole_tpu.utils.progress import progress
 from guacamole_tpu.variants.allele import Allele
@@ -57,12 +57,10 @@ def variant_loci_from_reads(
                 contig,
                 task_loci.on_contig(contig),
                 tile_size=tile_size,
+                fields="screen",
             )
             for tile in tiles:
-                stats = screen_tile(
-                    tile.allele_id, tile.qual, tile.mapq, tile.strand,
-                    tile.valid, tile.is_variant, tile.K,
-                )
+                stats = screen_tile_for(tile)
                 counts = stats.counts
                 for li in range(tile.L):
                     depth = int(tile.depth[li])

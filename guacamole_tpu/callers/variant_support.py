@@ -16,7 +16,7 @@ import numpy as np
 from guacamole_tpu.gio.vcf import read_vcf
 from guacamole_tpu.loci.locimap import LociMapBuilder
 from guacamole_tpu.loci.lociset import LociSet
-from guacamole_tpu.ops.dispatch import screen_tile
+from guacamole_tpu.ops.dispatch import screen_tile_for
 from guacamole_tpu.pack.tiles import pack_tiles
 from guacamole_tpu.pileup.pileup import Pileup
 from guacamole_tpu.utils import bases as Bases
@@ -63,13 +63,11 @@ def pileup_allele_counts(
     sample = names[0] if names else "default"
     for contig in loci.contigs:
         tiles = source.pack_tiles(
-            contig, loci.on_contig(contig), tile_size=tile_size
+            contig, loci.on_contig(contig), tile_size=tile_size,
+            fields="screen",
         )
         for tile in tiles:
-            stats = screen_tile(
-                tile.allele_id, tile.qual, tile.mapq, tile.strand,
-                tile.valid, tile.is_variant, tile.K,
-            )
+            stats = screen_tile_for(tile)
             counts = stats.counts
             for li in range(tile.L):
                 if tile.depth[li] == 0:

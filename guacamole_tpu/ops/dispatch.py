@@ -75,6 +75,20 @@ def pack_nibbles(allele_id: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return aid[:, 0::2] | (aid[:, 1::2] << 4)
 
 
+def tile_packed_nibbles(tile, valid=None) -> np.ndarray:
+    """A tile's nibble-packed allele ids for the counting screen.
+
+    With no extra validity mask, the native packer's precomputed encoding
+    (tile.packed_nib) is used directly; otherwise (or when packed in
+    Python) the ids are packed here."""
+    if valid is None:
+        pn = getattr(tile, "packed_nib", None)
+        if pn is not None and pn.size:
+            return pn
+        valid = tile.valid
+    return pack_nibbles(np.asarray(tile.allele_id), np.asarray(valid))
+
+
 class PendingScreen(NamedTuple):
     """Dispatched-but-unfetched screen kernel outputs (device arrays).
 
@@ -164,6 +178,25 @@ def screen_tile(
     """Per-locus counts + variant-evidence screening for one tile."""
     return screen_tile_launch(
         allele_id, qual, mapq, strand, valid, is_variant, max_alleles,
+        threshold_percent=threshold_percent,
+    ).result()
+
+
+def screen_tile_for(tile, threshold_percent=None, valid=None) -> ScreenResult:
+    """Counting screen for a LocusTile, using its native nibble encoding
+    when available (the fast path for every caller that doesn't need
+    per-element qualities on device)."""
+    if use_pallas():
+        return screen_tile(
+            tile.allele_id, tile.qual, tile.mapq, tile.strand,
+            tile.valid if valid is None else valid,
+            tile.is_variant, tile.K,
+            threshold_percent=threshold_percent,
+        )
+    return screen_packed_launch(
+        tile_packed_nibbles(tile, valid),
+        np.asarray(tile.is_variant),
+        tile.K,
         threshold_percent=threshold_percent,
     ).result()
 
@@ -264,11 +297,8 @@ def pipelined_batched_screens(
             )
         else:
             packs = [
-                pack_nibbles(
-                    np.asarray(t.allele_id),
-                    np.asarray(
-                        valid_of(t) if valid_of is not None else t.valid
-                    ),
+                tile_packed_nibbles(
+                    t, valid_of(t) if valid_of is not None else None
                 )
                 for t in tiles
             ]

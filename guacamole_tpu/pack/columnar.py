@@ -33,6 +33,7 @@ def pack_tile_columnar(
     sorted_by_start: bool = True,
     use_native: bool = True,
     l_pad: int = 0,
+    fields: str = "full",
 ) -> LocusTile:
     """Pack one tile from columnar reads (must be sorted by start).
 
@@ -44,7 +45,7 @@ def pack_tile_columnar(
     if use_native:
         tile = _pack_tile_native(
             cols, contig_id, contig_name, loci, max_alleles,
-            reference_genome, depth_pad, l_pad,
+            reference_genome, depth_pad, l_pad, fields,
         )
         if tile is not None:
             return tile
@@ -153,7 +154,7 @@ def pack_tile_columnar(
 
 def _pack_tile_native(
     cols, contig_id, contig_name, loci, max_alleles, reference_genome,
-    depth_pad, l_pad=0,
+    depth_pad, l_pad=0, fields="full",
 ) -> Optional[LocusTile]:
     from guacamole_tpu.pack.fast import LazyAlleleTables
     from guacamole_tpu.runtime.native import pack_tile_native
@@ -173,6 +174,7 @@ def _pack_tile_native(
         depth_pad=depth_pad or 0,
         l_pad=l_pad,
         ref_contig=ref_contig,
+        screen_only=fields == "screen" and max_alleles <= 15,
     )
     if out is None:
         return None
@@ -191,24 +193,38 @@ def _pack_tile_native(
     alleles = LazyAlleleTables(
         key_alleles, out["uniq_key"], out["uniq_off"]
     )
+    def grid(name, as_bool=False):
+        # Screen-only tiles omit the per-element [L, D] tensors entirely.
+        a = out[name]
+        if a.size == 0 and L * D > 0:
+            return None
+        a = a.reshape(L, D)
+        return a.astype(bool) if as_bool else a
+
     return LocusTile(
         contig=contig_name,
         loci=loci_arr,
         ref_base=out["ref_base"],
         depth=out["depth"],
-        allele_id=out["allele_id"].reshape(L, D),
-        qual=out["qual"].reshape(L, D),
-        mapq=out["mapq"].reshape(L, D),
-        strand=out["strand"].reshape(L, D).astype(bool),
-        mismatches=out["mismatches"].reshape(L, D),
-        edge_distance=out["edge"].reshape(L, D),
-        read_index=out["read_index"].reshape(L, D),
-        valid=out["valid"].reshape(L, D).astype(bool),
+        allele_id=grid("allele_id"),
+        qual=grid("qual"),
+        mapq=grid("mapq"),
+        strand=grid("strand", as_bool=True),
+        mismatches=grid("mismatches"),
+        edge_distance=grid("edge"),
+        read_index=grid("read_index"),
+        valid=grid("valid", as_bool=True),
         alleles=alleles,
         is_variant=out["is_variant"].reshape(L, K).astype(bool),
         is_standard_alt=out["is_standard_alt"].reshape(L, K).astype(bool),
         num_alleles=out["num_alleles"],
         overflow=out["overflow"].astype(bool),
+        packed_nib=(
+            out["packed_nib"].reshape(L, (D + 1) // 2)
+            if out["packed_nib"].size
+            else None
+        ),
+        d_pad=D,
     )
 
 
@@ -259,6 +275,7 @@ def pack_tiles_columnar(
     reference_genome=None,
     skip_empty: bool = True,
     pad_to_tile_size: bool = True,
+    fields: str = "full",
 ) -> List[LocusTile]:
     """Pack a contig's loci into tiles from columnar reads."""
     return list(
@@ -271,6 +288,7 @@ def pack_tiles_columnar(
             reference_genome=reference_genome,
             skip_empty=skip_empty,
             pad_to_tile_size=pad_to_tile_size,
+            fields=fields,
         )
     )
 
@@ -311,6 +329,7 @@ def iter_tiles_columnar(
     skip_empty: bool = True,
     pad_to_tile_size: bool = True,
     depth_bucketing: bool = True,
+    fields: str = "full",
 ):
     """Yield a contig's loci tiles one at a time (lazy pack_tiles_columnar).
 
@@ -367,6 +386,7 @@ def iter_tiles_columnar(
                 reference_genome=reference_genome,
                 depth_pad=depth_pad or None,
                 l_pad=tile_size if pad_to_tile_size else 0,
+                fields=fields,
             )
             if pad_to_tile_size and tile.L < tile_size:
                 tile = pad_tile_loci(tile, tile_size)

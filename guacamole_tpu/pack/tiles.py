@@ -67,6 +67,13 @@ class LocusTile:
     is_standard_alt: np.ndarray  # [L, K] bool (alt all standard bases)
     num_alleles: np.ndarray  # [L] int16
     overflow: np.ndarray  # [L] bool: > K distinct alleles at this locus
+    # [L, ceil(D/2)] uint8, two 4-bit allele ids per byte (0xF = empty):
+    # the device-transfer encoding for counting screens, emitted by the
+    # native packer; None when packed in Python (dispatch packs on demand).
+    packed_nib: Optional[np.ndarray] = None
+    # Depth-axis size when the per-element [L, D] tensors are omitted
+    # (fields="screen" tiles); ignored otherwise.
+    d_pad: Optional[int] = None
 
     @property
     def L(self) -> int:
@@ -74,7 +81,9 @@ class LocusTile:
 
     @property
     def D(self) -> int:
-        return self.allele_id.shape[1]
+        if self.allele_id is not None:
+            return self.allele_id.shape[1]
+        return self.d_pad
 
     @property
     def K(self) -> int:
@@ -362,4 +371,16 @@ def pad_tile_loci(tile: LocusTile, target_l: int) -> LocusTile:
         is_standard_alt=pad2(tile.is_standard_alt),
         num_alleles=pad2(tile.num_alleles),
         overflow=pad2(tile.overflow),
+        packed_nib=(
+            None
+            if tile.packed_nib is None
+            else np.concatenate(
+                [
+                    tile.packed_nib,
+                    np.full(
+                        (pad, tile.packed_nib.shape[1]), 0xFF, np.uint8
+                    ),
+                ]
+            )
+        ),
     )

@@ -23,6 +23,7 @@
 #include <mutex>
 #include <string>
 #include <thread>
+#include <type_traits>
 #include <unordered_map>
 #include <utility>
 #include <vector>
@@ -30,6 +31,34 @@
 namespace {
 
 enum { EV_BASE = 0, EV_INSERTION, EV_DELETION, EV_MID_DELETION, EV_CLIPPED };
+
+// Allocator that default-initializes (i.e. leaves trivial types
+// uninitialized) on vector resize. The [L, D] tile tensors are written
+// exactly once by the parallel fill passes below — value-initializing
+// them first would serially memset hundreds of MB per call, which
+// dominated the packer's runtime.
+template <typename T, typename A = std::allocator<T>>
+struct default_init_allocator : public A {
+  template <typename U>
+  struct rebind {
+    using other = default_init_allocator<
+        U, typename std::allocator_traits<A>::template rebind_alloc<U>>;
+  };
+  using A::A;
+  template <typename U>
+  void construct(U* ptr) noexcept(
+      std::is_nothrow_default_constructible<U>::value) {
+    ::new (static_cast<void*>(ptr)) U;
+  }
+  template <typename U, typename... Args>
+  void construct(U* ptr, Args&&... args) {
+    std::allocator_traits<A>::construct(static_cast<A&>(*this), ptr,
+                                        std::forward<Args>(args)...);
+  }
+};
+
+template <typename T>
+using raw_vector = std::vector<T, default_init_allocator<T>>;
 
 struct AlleleKey {
   std::string ref;
@@ -50,15 +79,18 @@ struct PackedTile {
   std::vector<int32_t> depth;
   std::vector<int16_t> num_alleles;
   std::vector<uint8_t> overflow;
-  // [L, D]
-  std::vector<int16_t> allele_id;
-  std::vector<int16_t> qual;
-  std::vector<int16_t> mapq;
-  std::vector<uint8_t> strand;
-  std::vector<int16_t> mismatches;
-  std::vector<int32_t> edge;
-  std::vector<int32_t> read_index;
-  std::vector<uint8_t> valid;
+  // [L, D] (uninitialized-alloc; every cell written by the fill passes)
+  raw_vector<int16_t> allele_id;
+  raw_vector<int16_t> qual;
+  raw_vector<int16_t> mapq;
+  raw_vector<uint8_t> strand;
+  raw_vector<int16_t> mismatches;
+  raw_vector<int32_t> edge;
+  raw_vector<int32_t> read_index;
+  raw_vector<uint8_t> valid;
+  // [L, ceil(D/2)] two 4-bit allele ids per byte, 0xF = empty slot — the
+  // device transfer encoding for the counting screen (ops/dispatch.py).
+  raw_vector<uint8_t> packed_nib;
   // [L, K]
   std::vector<uint8_t> is_variant;
   std::vector<uint8_t> is_standard_alt;
@@ -124,6 +156,12 @@ void* guac_pack_tile(
     // tile spec
     int32_t contig_id, int64_t n_loci, const int64_t* loci, int64_t K,
     int64_t depth_pad /* 0 = auto */, int64_t l_pad /* 0 = no padding */,
+    // screen_only: skip the per-element [L, D] tensors (qual/mapq/strand/
+    // mismatches/edge/read_index/valid/allele_id) and emit only what the
+    // counting screen consumes (depth/ref_base/overflow/allele tables/
+    // packed_nib). Callers that never touch per-element fields (threshold,
+    // vaf-histogram, variant-support) skip ~90% of the fill work.
+    int64_t screen_only,
     // optional reference contig bytes (null = resolve from reads)
     const uint8_t* ref_contig, int64_t ref_contig_len) {
   PackedTile* t = new PackedTile();
@@ -146,6 +184,7 @@ void* guac_pack_tile(
       t->edge.assign(L_out * t->D, 0);
       t->read_index.assign(L_out * t->D, -1);
       t->valid.assign(L_out * t->D, 0);
+      t->packed_nib.assign(L_out * ((t->D + 1) / 2), 0xFF);
       t->is_variant.assign(L_out * K, 0);
       t->is_standard_alt.assign(L_out * K, 0);
     }
@@ -259,15 +298,27 @@ void* guac_pack_tile(
     special_by_read[sp_read[s]][sp_offset[s]] = s;
 
   // Pass 3: fill [L, D] arrays + per-element allele keys (parallel over
-  // blocks; only long-key interning is shared, behind a mutex).
-  t->allele_id.assign(L_out * D, -1);
-  t->qual.assign(L_out * D, 0);
-  t->mapq.assign(L_out * D, 0);
-  t->strand.assign(L_out * D, 0);
-  t->mismatches.assign(L_out * D, 0);
-  t->edge.assign(L_out * D, 0);
-  t->read_index.assign(L_out * D, -1);
-  t->valid.assign(L_out * D, 0);
+  // blocks; only long-key interning is shared, behind a mutex). The
+  // arrays are allocated uninitialized: data cells (slot < depth) are
+  // written here / in pass 4, padding cells by the parallel padding pass
+  // below — no serial whole-array memset.
+  // Nibble packing reserves 0xF for empty slots, so it only exists for
+  // K <= 15 (always true for the default K=8); otherwise Python callers
+  // see an empty array and pack on host.
+  bool emit_nib = K <= 15;
+  bool full = !screen_only || !emit_nib;  // screen mode requires nibbles
+  int64_t Dp = (D + 1) / 2;  // packed-nibble row width
+  if (full) {
+    t->allele_id.resize(L_out * D);
+    t->qual.resize(L_out * D);
+    t->mapq.resize(L_out * D);
+    t->strand.resize(L_out * D);
+    t->mismatches.resize(L_out * D);
+    t->edge.resize(L_out * D);
+    t->read_index.resize(L_out * D);
+    t->valid.resize(L_out * D);
+  }
+  if (emit_nib) t->packed_nib.resize(L_out * Dp);
   t->overflow.assign(L_out, 0);
 
   // Per-element allele keys: most are 2-byte (ref, alt); store compactly as
@@ -277,8 +328,41 @@ void* guac_pack_tile(
   std::vector<AlleleKey> long_keys;
   std::map<AlleleKey, int32_t> long_key_ids;
   std::mutex long_key_mu;
-  std::vector<int32_t> elem_code(n_loci * D, -1);
+  raw_vector<int32_t> elem_code(n_loci * D);
   std::vector<int32_t> fill(n_loci, 0);
+
+  // Parallel padding pass: every cell at slot >= min(depth, D) gets the
+  // sentinel fill (and sentinel L-pad rows are fully padded). Runs over
+  // ALL L_out rows, decomposed independently of the read blocks.
+  {
+    int64_t pad_block = std::max<int64_t>(
+        256, (L_out + max_threads - 1) / max_threads);
+    int64_t pad_nblocks = (L_out + pad_block - 1) / pad_block;
+    parallel_blocks(pad_nblocks, max_threads, [&](int64_t b) {
+      int64_t bs = b * pad_block;
+      int64_t be = std::min(bs + pad_block, L_out);
+      for (int64_t row = bs; row < be; row++) {
+        if (full) {
+          int64_t dn =
+              row < n_loci ? std::min<int64_t>(t->depth[row], D) : 0;
+          int64_t base = row * D;
+          for (int64_t s = dn; s < D; s++) {
+            t->allele_id[base + s] = -1;
+            t->qual[base + s] = 0;
+            t->mapq[base + s] = 0;
+            t->strand[base + s] = 0;
+            t->mismatches[base + s] = 0;
+            t->edge[base + s] = 0;
+            t->read_index[base + s] = -1;
+            t->valid[base + s] = 0;
+          }
+        }
+        // Nibble row: all-0xF; data nibbles are patched in pass 4.
+        if (emit_nib)
+          memset(t->packed_nib.data() + row * Dp, 0xFF, (size_t)Dp);
+      }
+    });
+  }
 
   parallel_blocks(nblocks, max_threads, [&](int64_t blk) {
     int64_t bs = blk * block_size;
@@ -349,14 +433,16 @@ void* guac_pack_tile(
           }
         }
         elem_code[cell] = code;
-        t->qual[cell] = quals[off];
-        t->mapq[cell] = (int16_t)mapq[r];
-        t->strand[cell] = positive ? 1 : 0;
-        t->mismatches[cell] = (int16_t)mismatches[r];
-        t->edge[cell] = positive ? (int32_t)(end[r] - loci[row])
-                                 : (int32_t)(loci[row] - start[r]);
-        t->read_index[cell] = (int32_t)r;
-        t->valid[cell] = 1;
+        if (full) {
+          t->qual[cell] = quals[off];
+          t->mapq[cell] = (int16_t)mapq[r];
+          t->strand[cell] = positive ? 1 : 0;
+          t->mismatches[cell] = (int16_t)mismatches[r];
+          t->edge[cell] = positive ? (int32_t)(end[r] - loci[row])
+                                   : (int32_t)(loci[row] - start[r]);
+          t->read_index[cell] = (int32_t)r;
+          t->valid[cell] = 1;
+        }
       }
     }
   });
@@ -453,19 +539,32 @@ void* guac_pack_tile(
         }
       }
       cnts.push_back(n_distinct);
-      // assign dense allele ids to the elements of this locus
+      // assign dense allele ids to the elements of this locus (and patch
+      // the 4-bit ids into the packed-nibble transfer row)
+      uint8_t* nib_row =
+          emit_nib ? t->packed_nib.data() + row * Dp : nullptr;
       for (int32_t slot = 0; slot < dn; slot++) {
         int64_t cell = row * D + slot;
         int32_t code = elem_code[cell];
-        if (code < 0) continue;
+        if (code < 0) {
+          if (full) t->allele_id[cell] = -1;
+          continue;
+        }
         int32_t rank = code_to_rank[code];
         auto pos =
             std::lower_bound(locus_ranks.begin(), locus_ranks.end(), rank);
         int64_t id = pos - locus_ranks.begin();
         if (id < K) {
-          t->allele_id[cell] = (int16_t)id;
-        } else {
+          if (full) t->allele_id[cell] = (int16_t)id;
+          if (nib_row != nullptr) {
+            int shift = (slot & 1) * 4;
+            nib_row[slot >> 1] = (uint8_t)((nib_row[slot >> 1] &
+                                            ~(0xF << shift)) |
+                                           ((int)id << shift));
+          }
+        } else if (full) {
           // beyond the cap: invalidate the slot (matches the Python packers)
+          t->allele_id[cell] = -1;
           t->valid[cell] = 0;
           t->qual[cell] = 0;
           t->mapq[cell] = 0;
@@ -521,6 +620,7 @@ TILE_ACCESSOR(mismatches, mismatches, int16_t)
 TILE_ACCESSOR(edge, edge, int32_t)
 TILE_ACCESSOR(read_index, read_index, int32_t)
 TILE_ACCESSOR(valid, valid, uint8_t)
+TILE_ACCESSOR(packed_nib, packed_nib, uint8_t)
 TILE_ACCESSOR(is_variant, is_variant, uint8_t)
 TILE_ACCESSOR(is_standard_alt, is_standard_alt, uint8_t)
 TILE_ACCESSOR(key_blob, key_blob, uint8_t)

@@ -105,3 +105,48 @@ def test_native_pack_tiles_columnar(resources_dir):
     tiles = pack_tiles_columnar(mapped, "chrM", loci, tile_size=512)
     assert sum(int((t.loci >= 0).sum()) for t in tiles) == 2000
     assert all(t.L == 512 for t in tiles)
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_native_packed_nib_matches_python_packing(resources_dir):
+    from guacamole_tpu.ops.dispatch import pack_nibbles
+
+    path = resource_path("chrM.sorted.bam")
+    cols = decode_bam_columnar(path)
+    mapped_cols = cols.select(cols.is_mapped_mask)
+    contig_id = mapped_cols.ref_names.index("chrM")
+    for start, l_pad in ((0, 0), (3000, 512), (16000, 300)):
+        loci = list(range(start, start + 256))
+        tile = pack_tile_columnar(
+            mapped_cols, contig_id, "chrM", loci, l_pad=l_pad
+        )
+        assert tile.packed_nib is not None
+        assert tile.packed_nib.shape == (tile.L, (tile.D + 1) // 2)
+        np.testing.assert_array_equal(
+            tile.packed_nib, pack_nibbles(tile.allele_id, tile.valid)
+        )
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_screen_only_tiles_match_full(resources_dir):
+    path = resource_path("chrM.sorted.bam")
+    cols = decode_bam_columnar(path)
+    mapped_cols = cols.select(cols.is_mapped_mask)
+    contig_id = mapped_cols.ref_names.index("chrM")
+    loci = list(range(2000, 2512))
+    full = pack_tile_columnar(mapped_cols, contig_id, "chrM", loci)
+    screen = pack_tile_columnar(
+        mapped_cols, contig_id, "chrM", loci, fields="screen"
+    )
+    # Per-element tensors are omitted...
+    assert screen.qual is None and screen.valid is None
+    assert screen.allele_id is None and screen.read_index is None
+    # ...but everything the counting screen consumes is identical.
+    np.testing.assert_array_equal(screen.depth, full.depth)
+    np.testing.assert_array_equal(screen.ref_base, full.ref_base)
+    np.testing.assert_array_equal(screen.overflow, full.overflow)
+    np.testing.assert_array_equal(screen.num_alleles, full.num_alleles)
+    np.testing.assert_array_equal(screen.is_variant, full.is_variant)
+    np.testing.assert_array_equal(screen.packed_nib, full.packed_nib)
+    for li in range(screen.L):
+        assert list(screen.alleles[li]) == list(full.alleles[li])
