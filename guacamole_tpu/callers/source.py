@@ -121,6 +121,13 @@ class ReadSource:
         fields="screen" skips the per-element [L, D] tensors on the native
         packer path (only counts/allele tables/packed nibbles are built) —
         for callers that never touch per-element fields."""
+        if fields == "screen":
+            from guacamole_tpu.ops.dispatch import use_pallas
+
+            if use_pallas():
+                # The fused Pallas kernel consumes the full per-element
+                # tensors; screen-only tiles would starve it.
+                fields = "full"
         if self._cols is not None:
             from guacamole_tpu.pack.columnar import iter_tiles_columnar
 

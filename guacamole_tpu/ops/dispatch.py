@@ -149,6 +149,17 @@ def screen_tile_launch(
     return pending
 
 
+def _as_pending(out) -> PendingScreen:
+    pending = PendingScreen(out.counts, None, None, out.candidates)
+    for arr in (out.counts, out.candidates):
+        if isinstance(arr, jax.Array):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+    return pending
+
+
 def screen_packed_launch(
     packed: np.ndarray,
     is_variant: np.ndarray,
@@ -158,17 +169,50 @@ def screen_packed_launch(
     """Dispatch the nibble-packed counting screen (the default XLA path)."""
     from guacamole_tpu.ops.kernels import tile_stats_nibble
 
-    out = tile_stats_nibble(
-        packed, is_variant, max_alleles, threshold_percent=threshold_percent
+    return _as_pending(
+        tile_stats_nibble(
+            packed, is_variant, max_alleles,
+            threshold_percent=threshold_percent,
+        )
     )
-    pending = PendingScreen(out.counts, None, None, out.candidates)
-    for arr in (out.counts, out.candidates):
-        if isinstance(arr, jax.Array):
-            try:
-                arr.copy_to_host_async()
-            except Exception:
-                pass
-    return pending
+
+
+def _bucket_bytes(n: int) -> int:
+    """Pad CSR byte-blob lengths to quarter-power-of-two steps (>= 2048):
+    a small compiled-shape set with at most ~12% transfer padding."""
+    b = 2048
+    while b < n:
+        b *= 2
+    if b > 2048:
+        half = b // 2
+        for step in (1, 2, 3):
+            cand = half + (half * step) // 4
+            if cand >= n:
+                return cand
+    return b
+
+
+def screen_csr_launch(
+    csr_nib: np.ndarray,  # [B] uint8
+    row_off: np.ndarray,  # [L+1] int32
+    is_variant: np.ndarray,  # [L, K] bool
+    max_alleles: int,
+    threshold_percent=None,
+) -> PendingScreen:
+    """Dispatch the CSR counting screen (native screen-mode tiles)."""
+    from guacamole_tpu.ops.kernels import tile_stats_csr
+
+    pad = _bucket_bytes(len(csr_nib)) - len(csr_nib)
+    if pad:
+        csr_nib = np.concatenate(
+            [csr_nib, np.full(pad, 0xFF, np.uint8)]
+        )
+    return _as_pending(
+        tile_stats_csr(
+            csr_nib, row_off, is_variant, max_alleles,
+            threshold_percent=threshold_percent,
+        )
+    )
 
 
 def screen_tile(
@@ -193,6 +237,14 @@ def screen_tile_for(tile, threshold_percent=None, valid=None) -> ScreenResult:
             tile.is_variant, tile.K,
             threshold_percent=threshold_percent,
         )
+    if valid is None and getattr(tile, "csr_nib", None) is not None:
+        return screen_csr_launch(
+            tile.csr_nib,
+            tile.csr_off,
+            np.asarray(tile.is_variant),
+            tile.K,
+            threshold_percent=threshold_percent,
+        ).result()
     return screen_packed_launch(
         tile_packed_nibbles(tile, valid),
         np.asarray(tile.is_variant),
@@ -295,6 +347,30 @@ def pipelined_batched_screens(
                 allele_id, qual, mapq, strand, valid, is_variant, t0.K,
                 threshold_percent=threshold_percent,
             )
+        elif key[0] == "csr":
+            # CSR tiles batch regardless of their depth profile: blobs
+            # concatenate, offsets rebase by each tile's blob length.
+            blobs = [np.asarray(t.csr_nib) for t in tiles]
+            offs = [np.asarray(t.csr_off, dtype=np.int32) for t in tiles]
+            if len(tiles) == 1:
+                packed, row_off = blobs[0], offs[0]
+            else:
+                packed = np.concatenate(blobs)
+                base = 0
+                parts = [offs[0]]
+                for blob, off in zip(blobs[:-1], offs[1:]):
+                    base += len(blob)
+                    parts.append(off[1:] + base)
+                row_off = np.concatenate(parts)
+            is_variant = (
+                np.asarray(tiles[0].is_variant)
+                if len(tiles) == 1
+                else np.concatenate([np.asarray(t.is_variant) for t in tiles])
+            )
+            launched = screen_csr_launch(
+                packed, row_off, is_variant, t0.K,
+                threshold_percent=threshold_percent,
+            )
         else:
             packs = [
                 tile_packed_nibbles(
@@ -322,10 +398,22 @@ def pipelined_batched_screens(
         if not tile.L:
             in_flight.append((item, None))
         else:
-            key = (tile.L, tile.D)
-            groups.setdefault(key, []).append(item)
-            if len(groups[key]) >= batch:
+            if (
+                valid_of is None
+                and not use_pallas()
+                and getattr(tile, "csr_nib", None) is not None
+            ):
+                # CSR tiles launch immediately: each tile is one small
+                # transfer and JAX pipelines the async dispatches, so
+                # packing tile i+1 overlaps tile i's transfer + kernel.
+                key = ("csr", tile.L)
+                groups.setdefault(key, []).append(item)
                 flush(key)
+            else:
+                key = (tile.L, tile.D)
+                groups.setdefault(key, []).append(item)
+                if len(groups[key]) >= batch:
+                    flush(key)
         while len(in_flight) > max_in_flight:
             yield in_flight.popleft()
     for key in list(groups):

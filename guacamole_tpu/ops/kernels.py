@@ -148,6 +148,56 @@ def tile_stats_nibble(
     return PackedScreen(counts, candidates)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_alleles", "threshold_percent")
+)
+def tile_stats_csr(
+    packed: jnp.ndarray,  # [B] uint8 nibble pairs, rows byte-aligned
+    row_off: jnp.ndarray,  # [L+1] int32 byte offsets per row
+    is_variant: jnp.ndarray,  # [L, K] bool
+    max_alleles: int,
+    threshold_percent=None,
+) -> PackedScreen:
+    """Counting screen over CSR nibble-packed elements (no depth axis).
+
+    Each locus row's elements occupy bytes [row_off[r], row_off[r+1]) of
+    packed (0xF = pad nibble). Counts come from a per-byte one-hot prefix
+    sum differenced at row boundaries — dense, deterministic math with no
+    scatters, and zero transfer padding beyond one nibble per odd-depth
+    row. Depth (valid elements) is recovered as the row sum of counts,
+    exactly matching tile_stats semantics on the unpacked arrays.
+    """
+    assert max_alleles <= 15, "nibble packing reserves 0xF for empty slots"
+    lo = packed & jnp.uint8(0xF)
+    hi = packed >> jnp.uint8(4)
+    k_range = jnp.arange(max_alleles, dtype=jnp.uint8)
+    one_hot = (lo[:, None] == k_range).astype(jnp.int32) + (
+        hi[:, None] == k_range
+    ).astype(jnp.int32)  # [B, K]
+    prefix = jnp.concatenate(
+        [
+            jnp.zeros((1, max_alleles), jnp.int32),
+            jnp.cumsum(one_hot, axis=0),
+        ],
+        axis=0,
+    )  # [B+1, K]
+    counts = prefix[row_off[1:]] - prefix[row_off[:-1]]  # [L, K]
+    if threshold_percent is None:
+        candidates = jnp.any((counts > 0) & is_variant, axis=1)
+    else:
+        depth = jnp.sum(counts, axis=1)
+        passing = (counts > 0) & (
+            counts * 100 >= depth[:, None] * (threshold_percent + 1)
+        )
+        candidates = jnp.any(passing & is_variant, axis=1) | (
+            jnp.sum(passing & ~is_variant, axis=1) >= 2
+        )
+    # int16 halves the device->host transfer. Values only wrap at rows
+    # deeper than 32767 elements, which the packer flags as overflow
+    # (exact host fallback) — their device counts are never read.
+    return PackedScreen(counts.astype(jnp.int16), candidates)
+
+
 class TileStats(NamedTuple):
     counts: jnp.ndarray  # [L, K] allele counts
     forward_counts: jnp.ndarray  # [L, K]

@@ -225,6 +225,8 @@ def _pack_tile_native(
             else None
         ),
         d_pad=D,
+        csr_nib=out["csr_nib"] if out["csr_off"].size else None,
+        csr_off=out["csr_off"] if out["csr_off"].size else None,
     )
 
 
@@ -356,6 +358,10 @@ def iter_tiles_columnar(
             else np.empty(0, dtype=np.int64)
         )
 
+    if fields == "screen":
+        # CSR screen tiles have no depth axis: bucketing would only cost
+        # a depth-histogram pass and split batched launches.
+        depth_bucketing = False
     if depth_bucketing and len(all_loci):
         buckets = _depth_bucket(_depth_per_locus(cols, contig_id, all_loci))
         # A bucket only gets its own tiles when it can fill at least one:

@@ -74,6 +74,12 @@ class LocusTile:
     # Depth-axis size when the per-element [L, D] tensors are omitted
     # (fields="screen" tiles); ignored otherwise.
     d_pad: Optional[int] = None
+    # CSR screen encoding (fields="screen"): row r's nibble-packed allele
+    # ids occupy csr_nib bytes [csr_off[r], csr_off[r+1]); rows are
+    # byte-aligned (odd-depth rows pad the final nibble with 0xF). No
+    # depth padding, no depth cap.
+    csr_nib: Optional[np.ndarray] = None  # [total_bytes] uint8
+    csr_off: Optional[np.ndarray] = None  # [L+1] int32
 
     @property
     def L(self) -> int:
@@ -341,6 +347,39 @@ def pad_tile_loci(tile: LocusTile, target_l: int) -> LocusTile:
     pad = target_l - tile.L
     if pad <= 0:
         return tile
+    if tile.csr_nib is not None:
+        # Screen-mode CSR tiles: sentinel rows contribute zero bytes.
+        import dataclasses
+
+        off = np.asarray(tile.csr_off, dtype=np.int32)
+        return dataclasses.replace(
+            tile,
+            loci=np.concatenate(
+                [tile.loci, np.full(pad, -1, dtype=np.int64)]
+            ),
+            ref_base=np.concatenate(
+                [tile.ref_base, np.zeros(pad, dtype=tile.ref_base.dtype)]
+            ),
+            depth=np.concatenate(
+                [tile.depth, np.zeros(pad, dtype=tile.depth.dtype)]
+            ),
+            alleles=tile.alleles + [[] for _ in range(pad)],
+            is_variant=np.concatenate(
+                [tile.is_variant, np.zeros((pad, tile.K), dtype=bool)]
+            ),
+            is_standard_alt=np.concatenate(
+                [tile.is_standard_alt, np.zeros((pad, tile.K), dtype=bool)]
+            ),
+            num_alleles=np.concatenate(
+                [tile.num_alleles, np.zeros(pad, tile.num_alleles.dtype)]
+            ),
+            overflow=np.concatenate(
+                [tile.overflow, np.zeros(pad, dtype=bool)]
+            ),
+            csr_off=np.concatenate(
+                [off, np.full(pad, off[-1], dtype=np.int32)]
+            ),
+        )
 
     def pad2(a):
         return np.concatenate(

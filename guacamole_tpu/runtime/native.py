@@ -116,6 +116,8 @@ _TILE_ACCESSORS = {
     "read_index": np.int32,
     "valid": np.uint8,
     "packed_nib": np.uint8,
+    "csr_nib": np.uint8,
+    "csr_off": np.int32,
     "is_variant": np.uint8,
     "is_standard_alt": np.uint8,
     "key_blob": np.uint8,

@@ -91,6 +91,13 @@ struct PackedTile {
   // [L, ceil(D/2)] two 4-bit allele ids per byte, 0xF = empty slot — the
   // device transfer encoding for the counting screen (ops/dispatch.py).
   raw_vector<uint8_t> packed_nib;
+  // Screen-mode CSR encoding: row r's elements occupy csr_nib bytes
+  // [csr_off[r], csr_off[r+1]) — two 4-bit allele ids per byte, rows
+  // byte-aligned (odd-depth rows pad their last nibble with 0xF). No
+  // depth axis, no padding: the device screen cumsums nibble one-hots
+  // and differences at row boundaries.
+  raw_vector<uint8_t> csr_nib;
+  std::vector<int32_t> csr_off;  // [L+1]
   // [L, K]
   std::vector<uint8_t> is_variant;
   std::vector<uint8_t> is_standard_alt;
@@ -308,6 +315,9 @@ void* guac_pack_tile(
   bool emit_nib = K <= 15;
   bool full = !screen_only || !emit_nib;  // screen mode requires nibbles
   int64_t Dp = (D + 1) / 2;  // packed-nibble row width
+  // Screen mode is CSR over elements: no [L, D] grids, no depth cap (so
+  // no depth-overflow host fallbacks), rows byte-aligned in csr_nib.
+  std::vector<int64_t> elem_off;  // [n_loci + 1] element offsets (CSR)
   if (full) {
     t->allele_id.resize(L_out * D);
     t->qual.resize(L_out * D);
@@ -317,8 +327,24 @@ void* guac_pack_tile(
     t->edge.resize(L_out * D);
     t->read_index.resize(L_out * D);
     t->valid.resize(L_out * D);
+    t->packed_nib.resize(emit_nib ? L_out * Dp : 0);
+  } else {
+    elem_off.resize(n_loci + 1);
+    elem_off[0] = 0;
+    for (int64_t r = 0; r < n_loci; r++)
+      elem_off[r + 1] = elem_off[r] + t->depth[r];
+    t->csr_off.resize(L_out + 1);
+    t->csr_off[0] = 0;
+    for (int64_t r = 0; r < L_out; r++) {
+      t->csr_off[r + 1] =
+          t->csr_off[r] +
+          (r < n_loci ? (int32_t)((t->depth[r] + 1) / 2) : 0);
+      // Device counts return as int16; rows deeper than that go through
+      // the exact host path like any other overflow row.
+      if (r < n_loci && t->depth[r] > 32767) t->overflow[r] = 1;
+    }
+    t->csr_nib.resize((size_t)t->csr_off[L_out]);
   }
-  if (emit_nib) t->packed_nib.resize(L_out * Dp);
   t->overflow.assign(L_out, 0);
 
   // Per-element allele keys: most are 2-byte (ref, alt); store compactly as
@@ -328,13 +354,14 @@ void* guac_pack_tile(
   std::vector<AlleleKey> long_keys;
   std::map<AlleleKey, int32_t> long_key_ids;
   std::mutex long_key_mu;
-  raw_vector<int32_t> elem_code(n_loci * D);
+  raw_vector<int32_t> elem_code(full ? n_loci * D : elem_off[n_loci]);
   std::vector<int32_t> fill(n_loci, 0);
 
-  // Parallel padding pass: every cell at slot >= min(depth, D) gets the
-  // sentinel fill (and sentinel L-pad rows are fully padded). Runs over
-  // ALL L_out rows, decomposed independently of the read blocks.
-  {
+  // Parallel padding pass (full mode only — CSR has no padding): every
+  // cell at slot >= min(depth, D) gets the sentinel fill (and sentinel
+  // L-pad rows are fully padded). Runs over ALL L_out rows, decomposed
+  // independently of the read blocks.
+  if (full) {
     int64_t pad_block = std::max<int64_t>(
         256, (L_out + max_threads - 1) / max_threads);
     int64_t pad_nblocks = (L_out + pad_block - 1) / pad_block;
@@ -342,20 +369,18 @@ void* guac_pack_tile(
       int64_t bs = b * pad_block;
       int64_t be = std::min(bs + pad_block, L_out);
       for (int64_t row = bs; row < be; row++) {
-        if (full) {
-          int64_t dn =
-              row < n_loci ? std::min<int64_t>(t->depth[row], D) : 0;
-          int64_t base = row * D;
-          for (int64_t s = dn; s < D; s++) {
-            t->allele_id[base + s] = -1;
-            t->qual[base + s] = 0;
-            t->mapq[base + s] = 0;
-            t->strand[base + s] = 0;
-            t->mismatches[base + s] = 0;
-            t->edge[base + s] = 0;
-            t->read_index[base + s] = -1;
-            t->valid[base + s] = 0;
-          }
+        int64_t dn =
+            row < n_loci ? std::min<int64_t>(t->depth[row], D) : 0;
+        int64_t base = row * D;
+        for (int64_t s = dn; s < D; s++) {
+          t->allele_id[base + s] = -1;
+          t->qual[base + s] = 0;
+          t->mapq[base + s] = 0;
+          t->strand[base + s] = 0;
+          t->mismatches[base + s] = 0;
+          t->edge[base + s] = 0;
+          t->read_index[base + s] = -1;
+          t->valid[base + s] = 0;
         }
         // Nibble row: all-0xF; data nibbles are patched in pass 4.
         if (emit_nib)
@@ -378,12 +403,13 @@ void* guac_pack_tile(
       auto sp_it = special_by_read.find(r);
       for (int64_t row = std::max(lo, bs); row < std::min(hi, be); row++) {
         int32_t slot = fill[row]++;
-        if (slot >= D) {
+        if (full && slot >= D) {
+          // Dense grids cap the depth axis; CSR rows are exact-size.
           t->overflow[row] = 1;
           continue;
         }
         int64_t off = loci[row] - start[r];
-        int64_t cell = row * D + slot;
+        int64_t cell = (full ? row * D : elem_off[row]) + slot;
         uint8_t kind = kinds[off];
         int32_t code;
         uint8_t rb = t->ref_base[row];
@@ -472,8 +498,9 @@ void* guac_pack_tile(
   std::vector<uint8_t> seen((size_t)code_space, 0);
   std::vector<int32_t> distinct_codes;
   for (int64_t row = 0; row < n_loci; row++) {
-    int64_t dn = std::min<int64_t>(t->depth[row], D);
-    const int32_t* rowc = elem_code.data() + row * D;
+    int64_t dn = full ? std::min<int64_t>(t->depth[row], D) : t->depth[row];
+    const int32_t* rowc =
+        elem_code.data() + (full ? row * D : elem_off[row]);
     for (int64_t slot = 0; slot < dn; slot++) {
       int32_t code = rowc[slot];
       if (code >= 0 && !seen[code]) {
@@ -516,9 +543,11 @@ void* guac_pack_tile(
     std::vector<int32_t> locus_ranks;
     for (int64_t row = bs; row < be; row++) {
       locus_ranks.clear();
-      int32_t dn = (int32_t)std::min<int64_t>(t->depth[row], D);
+      int32_t dn = (int32_t)(full ? std::min<int64_t>(t->depth[row], D)
+                                  : t->depth[row]);
+      int64_t cell_base = full ? row * D : elem_off[row];
       for (int32_t slot = 0; slot < dn; slot++) {
-        int32_t code = elem_code[row * D + slot];
+        int32_t code = elem_code[cell_base + slot];
         if (code >= 0) locus_ranks.push_back(code_to_rank[code]);
       }
       std::sort(locus_ranks.begin(), locus_ranks.end());
@@ -540,11 +569,16 @@ void* guac_pack_tile(
       }
       cnts.push_back(n_distinct);
       // assign dense allele ids to the elements of this locus (and patch
-      // the 4-bit ids into the packed-nibble transfer row)
-      uint8_t* nib_row =
-          emit_nib ? t->packed_nib.data() + row * Dp : nullptr;
+      // the 4-bit ids into the nibble transfer row — grid or CSR)
+      uint8_t* nib_row = nullptr;
+      if (full) {
+        if (emit_nib) nib_row = t->packed_nib.data() + row * Dp;
+      } else {
+        nib_row = t->csr_nib.data() + t->csr_off[row];
+        memset(nib_row, 0xFF, (size_t)((dn + 1) / 2));
+      }
       for (int32_t slot = 0; slot < dn; slot++) {
-        int64_t cell = row * D + slot;
+        int64_t cell = cell_base + slot;
         int32_t code = elem_code[cell];
         if (code < 0) {
           if (full) t->allele_id[cell] = -1;
@@ -621,6 +655,8 @@ TILE_ACCESSOR(edge, edge, int32_t)
 TILE_ACCESSOR(read_index, read_index, int32_t)
 TILE_ACCESSOR(valid, valid, uint8_t)
 TILE_ACCESSOR(packed_nib, packed_nib, uint8_t)
+TILE_ACCESSOR(csr_nib, csr_nib, uint8_t)
+TILE_ACCESSOR(csr_off, csr_off, int32_t)
 TILE_ACCESSOR(is_variant, is_variant, uint8_t)
 TILE_ACCESSOR(is_standard_alt, is_standard_alt, uint8_t)
 TILE_ACCESSOR(key_blob, key_blob, uint8_t)

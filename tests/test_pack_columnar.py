@@ -147,6 +147,35 @@ def test_screen_only_tiles_match_full(resources_dir):
     np.testing.assert_array_equal(screen.overflow, full.overflow)
     np.testing.assert_array_equal(screen.num_alleles, full.num_alleles)
     np.testing.assert_array_equal(screen.is_variant, full.is_variant)
-    np.testing.assert_array_equal(screen.packed_nib, full.packed_nib)
+    # Screen tiles carry the CSR encoding instead of the [L, D] grid.
+    assert screen.packed_nib is None
+    assert screen.csr_nib is not None
     for li in range(screen.L):
         assert list(screen.alleles[li]) == list(full.alleles[li])
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_screen_tiles_csr_encoding(resources_dir):
+    from guacamole_tpu.ops.dispatch import screen_tile_for
+    from guacamole_tpu.ops.kernels import tile_stats
+
+    path = resource_path("chrM.sorted.bam")
+    cols = decode_bam_columnar(path)
+    mapped_cols = cols.select(cols.is_mapped_mask)
+    contig_id = mapped_cols.ref_names.index("chrM")
+    loci = list(range(1000, 1512))
+    full = pack_tile_columnar(mapped_cols, contig_id, "chrM", loci)
+    screen = pack_tile_columnar(
+        mapped_cols, contig_id, "chrM", loci, fields="screen"
+    )
+    assert screen.csr_nib is not None and screen.csr_off is not None
+    assert screen.csr_off.shape == (screen.L + 1,)
+    # CSR rows are exact-size: total bytes = sum(ceil(depth/2)).
+    assert screen.csr_off[-1] == int(((screen.depth + 1) // 2).sum())
+    got = screen_tile_for(screen, threshold_percent=8)
+    want = tile_stats(
+        full.allele_id, full.strand, full.valid, full.is_variant, full.K,
+        threshold_percent=8,
+    )
+    np.testing.assert_array_equal(got.counts, want.counts)
+    np.testing.assert_array_equal(got.candidates, want.variant_evidence)

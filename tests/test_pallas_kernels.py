@@ -117,3 +117,67 @@ def test_nibble_screen_masks_extra_valid():
     ref = tile_stats(aid, strand, masked, is_variant, K)
     np.testing.assert_array_equal(out.counts, ref.counts)
     np.testing.assert_array_equal(out.candidates, ref.variant_evidence)
+
+
+def _csr_encode(aid, valid, depth):
+    """Reference CSR nibble encoding: row r's slots [0, depth[r]) as 4-bit
+    ids (0xF where invalid), byte-aligned per row."""
+    blobs, off = [], [0]
+    for r in range(aid.shape[0]):
+        nibs = [
+            (int(aid[r, s]) & 0xF) if valid[r, s] else 0xF
+            for s in range(int(depth[r]))
+        ]
+        if len(nibs) % 2:
+            nibs.append(0xF)
+        blobs.extend(nibs[i] | (nibs[i + 1] << 4) for i in range(0, len(nibs), 2))
+        off.append(len(blobs))
+    return (
+        np.asarray(blobs, dtype=np.uint8),
+        np.asarray(off, dtype=np.int32),
+    )
+
+
+@pytest.mark.parametrize("threshold_percent", [None, 8, 50])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_csr_screen_matches_dense(seed, threshold_percent):
+    from guacamole_tpu.ops.kernels import tile_stats_csr
+
+    K = 8
+    aid, _q, _m, strand, valid, is_variant = random_tile(
+        L=64, D=17, K=K, seed=seed
+    )
+    # Invalidate a few mid-row slots (beyond-allele-cap analog): CSR keeps
+    # them as 0xF nibbles, dense masks them via valid.
+    rng = np.random.RandomState(seed + 100)
+    depth = valid.sum(axis=1)
+    punch = (rng.rand(*valid.shape) < 0.1) & (
+        np.arange(valid.shape[1])[None, :] < depth[:, None]
+    )
+    masked = valid & ~punch
+    packed, row_off = _csr_encode(aid, masked, depth)
+    out = tile_stats_csr(
+        packed, row_off, is_variant, K, threshold_percent=threshold_percent
+    )
+    ref = tile_stats(
+        aid, strand, masked, is_variant, K,
+        threshold_percent=threshold_percent,
+    )
+    np.testing.assert_array_equal(out.counts, ref.counts)
+    np.testing.assert_array_equal(out.candidates, ref.variant_evidence)
+
+
+def test_csr_screen_bucket_padding_is_inert():
+    from guacamole_tpu.ops.dispatch import screen_csr_launch
+    from guacamole_tpu.ops.kernels import tile_stats_csr
+
+    K = 8
+    aid, _q, _m, strand, valid, is_variant = random_tile(
+        L=32, D=16, K=K, seed=5
+    )
+    depth = valid.sum(axis=1)
+    packed, row_off = _csr_encode(aid, valid, depth)
+    direct = tile_stats_csr(packed, row_off, is_variant, K)
+    bucketed = screen_csr_launch(packed, row_off, is_variant, K).result()
+    np.testing.assert_array_equal(direct.counts, bucketed.counts)
+    np.testing.assert_array_equal(direct.candidates, bucketed.candidates)
