@@ -28,7 +28,6 @@ from guacamole_tpu.likelihood import (
     likelihoods_of_all_possible_genotypes_from_pileup,
 )
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.ops.dispatch import pipelined_batched_screens
 from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
 from guacamole_tpu.pileup.element import PileupElement
 from guacamole_tpu.pileup.pileup import Pileup
@@ -119,6 +118,12 @@ def call_variants(
         name: source.for_sample(name) for name in source.sample_names()
     }
 
+    from guacamole_tpu.ops.dispatch import (
+        germline_screen_launch,
+        pipelined,
+        screen_tile_launch,
+    )
+
     def tiles():
         for task in sorted(inverse):
             task_loci = inverse[task]
@@ -130,28 +135,61 @@ def call_variants(
                         tile_size=tile_size,
                         max_alleles=max_alleles,
                         reference_genome=reference_genome,
+                        fields="likelihood",
+                        min_mapq=min_alignment_quality,
                     ):
                         yield sample_source, contig, tile
 
-    for (sample_source, contig, tile), pending in pipelined_batched_screens(
-        tiles(),
-        tile_of=lambda item: item[2],
-        valid_of=lambda t: t.valid & (t.mapq >= min_alignment_quality),
-    ):
+    def launch(item):
+        tile = item[2]
+        if not tile.L:
+            return None
+        if getattr(tile, "ll_pack", None) is not None:
+            # Device genotype-likelihood screen: candidates are loci whose
+            # best variant genotype comes within a safety margin of the
+            # best reference genotype — a strict superset of exact-argmax
+            # variant loci (f32 error << margin).
+            return germline_screen_launch(tile)
+        # Fallback (Python-packed full tiles / Pallas): counting screen
+        # over MAPQ-filtered elements — any variant evidence is a
+        # candidate.
+        return screen_tile_launch(
+            tile.allele_id, tile.qual, tile.mapq, tile.strand,
+            np.asarray(tile.valid)
+            & (np.asarray(tile.mapq) >= min_alignment_quality),
+            tile.is_variant, tile.K,
+        )
+
+    for item, pending in pipelined(tiles(), launch):
+        sample_source, contig, tile = item
         if pending is None:
             continue
-        stats = pending.result()
-        for li in np.flatnonzero(stats.candidates | tile.overflow):
-            if tile.depth[li] == 0:
-                continue
+        res = pending.result()
+        cand = res if isinstance(res, np.ndarray) else np.asarray(res.candidates)
+        candidate_loci = [
+            int(tile.loci[li])
+            for li in np.flatnonzero(cand | np.asarray(tile.overflow))
+            if tile.depth[li] > 0
+        ]
+        if not candidate_loci:
+            continue
+        # One sparse FULL tile over just the candidates: exact pileups come
+        # from its read indices instead of per-locus read scans.
+        sparse = sample_source.pack_sparse_tile(
+            contig,
+            candidate_loci,
+            max_alleles=max_alleles,
+            reference_genome=reference_genome,
+        )
+        for si in range(sparse.L):
             pileup = (
                 sample_source.pileup_at(
                     contig,
-                    int(tile.loci[li]),
-                    reference_base=int(tile.ref_base[li]),
+                    int(sparse.loci[si]),
+                    reference_base=int(sparse.ref_base[si]),
                 )
-                if tile.overflow[li]
-                else sample_source.pileup_from_tile_row(tile, li)
+                if sparse.overflow[si]
+                else sample_source.pileup_from_tile_row(sparse, si)
             )
             calls.extend(
                 call_variants_at_locus(

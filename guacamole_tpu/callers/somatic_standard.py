@@ -33,7 +33,6 @@ from guacamole_tpu.likelihood import (
     probability_correct_including_alignment,
 )
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.ops.dispatch import pipelined_batched_screens
 from guacamole_tpu.pack.fast import pack_tile_fast
 from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
 from guacamole_tpu.pileup.element import PileupElement
@@ -164,6 +163,12 @@ def call_variants(
     calls: List[CalledSomaticAllele] = []
     inverse = loci_partitions.inverse_map()
 
+    from guacamole_tpu.ops.dispatch import (
+        pipelined,
+        screen_tile_launch,
+        tumor_screen_launch,
+    )
+
     def tiles():
         for task in sorted(inverse):
             task_loci = inverse[task]
@@ -174,20 +179,38 @@ def call_variants(
                     tile_size=tile_size,
                     max_alleles=max_alleles,
                     reference_genome=reference_genome,
+                    fields="likelihood_mapq",
+                    min_mapq=min_alignment_quality,
                 ):
                     yield contig, tile
 
-    # Device screen over the tumor sample, batched across same-shape tiles.
-    for (contig, tile), pending in pipelined_batched_screens(
-        tiles(),
-        tile_of=lambda item: item[1],
-        valid_of=lambda t: np.asarray(t.valid)
-        & (np.asarray(t.mapq) >= min_alignment_quality),
-    ):
+    def launch(item):
+        tile = item[1]
+        if not tile.L:
+            return None
+        if getattr(tile, "ll_mapq", None) is not None:
+            # Tumor argmax-genotype screen (alignment-included f32
+            # likelihoods with a safety margin): a superset of loci the
+            # exact somatic kernel can emit, since its other gates (odds,
+            # depth bounds, normal evidence) only remove emissions.
+            return tumor_screen_launch(tile)
+        # Fallback (Python-packed full tiles / Pallas): counting screen.
+        return screen_tile_launch(
+            tile.allele_id, tile.qual, tile.mapq, tile.strand,
+            np.asarray(tile.valid)
+            & (np.asarray(tile.mapq) >= min_alignment_quality),
+            tile.is_variant, tile.K,
+        )
+
+    # Device screen over the tumor sample; exact host kernel at survivors.
+    for (contig, tile), pending in pipelined(tiles(), launch):
         if pending is None:
             continue
-        stats = pending.result()
-        candidates = np.flatnonzero(stats.candidates | tile.overflow)
+        res = pending.result()
+        cand = (
+            res if isinstance(res, np.ndarray) else np.asarray(res.candidates)
+        )
+        candidates = np.flatnonzero(cand | np.asarray(tile.overflow))
         if len(candidates) == 0:
             continue
         candidate_loci = [
@@ -195,8 +218,17 @@ def call_variants(
         ]
         if not candidate_loci:
             continue
-        # Sparse normal tile over just the candidate loci (resolves
-        # the normal sample's own reference bases).
+        # Sparse FULL tiles over just the candidate loci for both samples
+        # (the normal one also resolves its own reference bases).
+        tumor_tile = tumor.pack_sparse_tile(
+            contig,
+            candidate_loci,
+            max_alleles=max_alleles,
+            reference_genome=reference_genome,
+        )
+        tumor_row = {
+            int(tumor_tile.loci[i]): i for i in range(tumor_tile.L)
+        }
         normal_tile = normal.pack_sparse_tile(
             contig,
             candidate_loci,
@@ -210,12 +242,13 @@ def call_variants(
             if tile.depth[li] == 0:
                 continue
             locus = int(tile.loci[li])
+            ti = tumor_row[locus]
             tumor_pileup = (
                 tumor.pileup_at(
-                    contig, locus, reference_base=int(tile.ref_base[li])
+                    contig, locus, reference_base=int(tumor_tile.ref_base[ti])
                 )
-                if tile.overflow[li]
-                else tumor.pileup_from_tile_row(tile, li)
+                if tumor_tile.overflow[ti]
+                else tumor.pileup_from_tile_row(tumor_tile, ti)
             )
             ni = normal_row[locus]
             normal_pileup = (

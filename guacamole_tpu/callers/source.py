@@ -114,6 +114,7 @@ class ReadSource:
         max_alleles: int = 8,
         reference_genome=None,
         fields: str = "full",
+        min_mapq: int = 0,
     ) -> Iterator:
         """Yield tiles one at a time so callers can overlap device kernels
         on tile i with host packing of tile i+1.
@@ -121,12 +122,12 @@ class ReadSource:
         fields="screen" skips the per-element [L, D] tensors on the native
         packer path (only counts/allele tables/packed nibbles are built) —
         for callers that never touch per-element fields."""
-        if fields == "screen":
+        if fields in ("screen", "likelihood", "likelihood_mapq"):
             from guacamole_tpu.ops.dispatch import use_pallas
 
             if use_pallas():
                 # The fused Pallas kernel consumes the full per-element
-                # tensors; screen-only tiles would starve it.
+                # tensors; reduced tiles would starve it.
                 fields = "full"
         if self._cols is not None:
             from guacamole_tpu.pack.columnar import iter_tiles_columnar
@@ -139,6 +140,7 @@ class ReadSource:
                 max_alleles=max_alleles,
                 reference_genome=reference_genome,
                 fields=fields,
+                min_mapq=min_mapq,
             )
             return
         from guacamole_tpu.pack.tiles import pack_tiles

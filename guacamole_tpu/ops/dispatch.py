@@ -192,6 +192,79 @@ def _bucket_bytes(n: int) -> int:
     return b
 
 
+class PendingCandidates:
+    """Dispatched-but-unfetched candidate mask (device array)."""
+
+    __slots__ = ("_arr",)
+
+    def __init__(self, arr):
+        self._arr = arr
+        if isinstance(arr, jax.Array):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+
+    def result(self) -> np.ndarray:
+        return np.asarray(self._arr)
+
+
+def ll_pack_of(tile, min_mapq: int = 0) -> np.ndarray:
+    """A tile's likelihood-screen encoding (allele_id | qual << 4 uint16,
+    0xFFFF empty/filtered), from the native packer when present, else
+    packed here from the full per-element tensors."""
+    pack = getattr(tile, "ll_pack", None)
+    if pack is not None:
+        return pack
+    keep = np.asarray(tile.valid)
+    if min_mapq > 0:
+        keep = keep & (np.asarray(tile.mapq) >= min_mapq)
+    aid = np.asarray(tile.allele_id)
+    qual = np.asarray(tile.qual).astype(np.uint16)
+    return np.where(
+        keep, (aid & 0xF).astype(np.uint16) | (qual << 4), np.uint16(0xFFFF)
+    ).astype(np.uint16)
+
+
+def germline_screen_launch(
+    tile, min_mapq: int = 0, margin: float = 0.5
+) -> PendingCandidates:
+    """Dispatch the genotype-likelihood candidate screen for one tile.
+
+    Note: when the tile was packed with fields="likelihood", its allele
+    tables are already MAPQ-filtered natively; the min_mapq here only
+    applies to Python-packed full tiles.
+    """
+    from guacamole_tpu.ops.kernels import germline_likelihood_screen
+
+    return PendingCandidates(
+        germline_likelihood_screen(
+            ll_pack_of(tile, min_mapq),
+            np.asarray(tile.is_variant),
+            np.asarray(tile.is_standard_alt),
+            tile.K,
+            margin=margin,
+        )
+    )
+
+
+def tumor_screen_launch(tile, margin: float = 0.5) -> PendingCandidates:
+    """Dispatch the alignment-included tumor likelihood screen for one
+    tile packed with fields="likelihood_mapq"."""
+    from guacamole_tpu.ops.kernels import tumor_likelihood_screen
+
+    return PendingCandidates(
+        tumor_likelihood_screen(
+            tile.ll_pack,
+            tile.ll_mapq,
+            np.asarray(tile.is_variant),
+            np.asarray(tile.is_standard_alt),
+            tile.K,
+            margin=margin,
+        )
+    )
+
+
 def screen_csr_launch(
     csr_nib: np.ndarray,  # [B] uint8
     row_off: np.ndarray,  # [L+1] int32

@@ -198,6 +198,118 @@ def tile_stats_csr(
     return PackedScreen(counts.astype(jnp.int16), candidates)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_alleles", "margin")
+)
+def germline_likelihood_screen(
+    ll_pack: jnp.ndarray,  # [L, D] uint16: allele_id | qual << 4
+    is_variant: jnp.ndarray,  # [L, K] bool
+    is_standard_alt: jnp.ndarray,  # [L, K] bool (genotype-eligible alleles)
+    max_alleles: int,
+    margin: float = 0.5,
+) -> jnp.ndarray:
+    """Candidate loci for the Bayesian germline caller: [L] bool.
+
+    Computes all K(K+1)/2 diploid genotype log-likelihoods in f32
+    (identical math to the exact host model, likelihood.py: per element
+    log(p(a1,e) + p(a2,e)) with p = 1 - 10^(-q/10) on match else its
+    complement; the -depth*log2 and normalization terms are argmax-
+    invariant and omitted) and flags loci where the best variant genotype
+    comes within `margin` of the best reference genotype. With f32 row
+    error far below margin, the flag set is a strict superset of loci
+    whose exact f64 argmax genotype is variant — the host re-evaluates
+    candidates exactly, so screening never changes results.
+
+    Numerical form: for an element with allele a and error probability
+    err = 10^(-q/10), p_i + p_j = m + (2 - 2m)*err where m = [i==a]+[j==a]
+    (0, 1, or 2) — no catastrophic cancellation even at q>=70 where f32
+    rounds 1-err to 1.
+    """
+    aid = (ll_pack & jnp.uint16(0xF)).astype(jnp.uint8)  # 0xF when empty
+    q = (ll_pack >> jnp.uint16(4)).astype(jnp.float32)
+    valid = ll_pack != jnp.uint16(0xFFFF)
+    err = jnp.power(10.0, q / -10.0)
+    i_idx, j_idx = genotype_pairs(max_alleles)
+    i_idx = jnp.asarray(i_idx)
+    j_idx = jnp.asarray(j_idx)
+    k_range = jnp.arange(max_alleles, dtype=jnp.uint8)
+    matches = aid[:, :, None] == k_range  # [L, D, K]
+    m = (
+        matches[:, :, i_idx].astype(jnp.float32)
+        + matches[:, :, j_idx].astype(jnp.float32)
+    )  # [L, D, P]
+    term = jnp.log(m + (2.0 - 2.0 * m) * err[:, :, None])
+    ll = jnp.sum(
+        jnp.where(valid[:, :, None], term, 0.0), axis=1
+    )  # [L, P]
+    # Genotypes enumerate only standard-alt alleles (parity with
+    # possible_genotypes_of_pileup / Likelihood.scala:106); table entries
+    # beyond num_alleles carry False flags, so this also bounds the pairs.
+    pair_exists = is_standard_alt[:, i_idx] & is_standard_alt[:, j_idx]
+    pair_variant = is_variant[:, i_idx] | is_variant[:, j_idx]  # [L, P]
+    neg_inf = jnp.float32(-jnp.inf)
+    ll_variant = jnp.max(
+        jnp.where(pair_exists & pair_variant, ll, neg_inf), axis=1
+    )
+    ll_ref = jnp.max(
+        jnp.where(pair_exists & ~pair_variant, ll, neg_inf), axis=1
+    )
+    return jnp.any(valid, axis=1) & (ll_variant >= ll_ref - margin)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_alleles", "margin")
+)
+def tumor_likelihood_screen(
+    ll_pack: jnp.ndarray,  # [L, D] uint16: allele_id | qual << 4
+    ll_mapq: jnp.ndarray,  # [L, D] uint8 per-element read MAPQ
+    is_variant: jnp.ndarray,  # [L, K] bool
+    is_standard_alt: jnp.ndarray,  # [L, K] bool
+    max_alleles: int,
+    margin: float = 0.5,
+) -> jnp.ndarray:
+    """Somatic tumor candidate screen: [L] bool.
+
+    Same construction as germline_likelihood_screen but with
+    alignment-included correctness (pc = (1-err_q)(1-err_m), cf.
+    probability_correct_including_alignment): a locus can emit a somatic
+    call only if the tumor's argmax genotype (alignment included) has a
+    variant allele — every other gate in the somatic kernel (odds ratio,
+    depth bounds, normal evidence) only removes emissions, so this flag
+    set is a superset of emitted loci.
+    """
+    aid = (ll_pack & jnp.uint16(0xF)).astype(jnp.uint8)
+    q = (ll_pack >> jnp.uint16(4)).astype(jnp.float32)
+    valid = ll_pack != jnp.uint16(0xFFFF)
+    err_q = jnp.power(10.0, q / -10.0)
+    err_m = jnp.power(10.0, ll_mapq.astype(jnp.float32) / -10.0)
+    pc = (1.0 - err_q) * (1.0 - err_m)
+    one_minus_pc = err_q + err_m - err_q * err_m  # stable complement
+    i_idx, j_idx = genotype_pairs(max_alleles)
+    i_idx = jnp.asarray(i_idx)
+    j_idx = jnp.asarray(j_idx)
+    k_range = jnp.arange(max_alleles, dtype=jnp.uint8)
+    matches = aid[:, :, None] == k_range  # [L, D, K]
+    m = (
+        matches[:, :, i_idx].astype(jnp.float32)
+        + matches[:, :, j_idx].astype(jnp.float32)
+    )  # [L, D, P]
+    term = jnp.log(
+        m * pc[:, :, None] + (2.0 - m) * one_minus_pc[:, :, None]
+    )
+    ll = jnp.sum(jnp.where(valid[:, :, None], term, 0.0), axis=1)
+    pair_exists = is_standard_alt[:, i_idx] & is_standard_alt[:, j_idx]
+    pair_variant = is_variant[:, i_idx] | is_variant[:, j_idx]
+    neg_inf = jnp.float32(-jnp.inf)
+    ll_variant = jnp.max(
+        jnp.where(pair_exists & pair_variant, ll, neg_inf), axis=1
+    )
+    ll_ref = jnp.max(
+        jnp.where(pair_exists & ~pair_variant, ll, neg_inf), axis=1
+    )
+    return jnp.any(valid, axis=1) & (ll_variant >= ll_ref - margin)
+
+
 class TileStats(NamedTuple):
     counts: jnp.ndarray  # [L, K] allele counts
     forward_counts: jnp.ndarray  # [L, K]

@@ -34,6 +34,7 @@ def pack_tile_columnar(
     use_native: bool = True,
     l_pad: int = 0,
     fields: str = "full",
+    min_mapq: int = 0,
 ) -> LocusTile:
     """Pack one tile from columnar reads (must be sorted by start).
 
@@ -45,7 +46,7 @@ def pack_tile_columnar(
     if use_native:
         tile = _pack_tile_native(
             cols, contig_id, contig_name, loci, max_alleles,
-            reference_genome, depth_pad, l_pad, fields,
+            reference_genome, depth_pad, l_pad, fields, min_mapq,
         )
         if tile is not None:
             return tile
@@ -154,7 +155,7 @@ def pack_tile_columnar(
 
 def _pack_tile_native(
     cols, contig_id, contig_name, loci, max_alleles, reference_genome,
-    depth_pad, l_pad=0, fields="full",
+    depth_pad, l_pad=0, fields="full", min_mapq=0,
 ) -> Optional[LocusTile]:
     from guacamole_tpu.pack.fast import LazyAlleleTables
     from guacamole_tpu.runtime.native import pack_tile_native
@@ -174,7 +175,14 @@ def _pack_tile_native(
         depth_pad=depth_pad or 0,
         l_pad=l_pad,
         ref_contig=ref_contig,
-        screen_only=fields == "screen" and max_alleles <= 15,
+        mode=(
+            {"full": 0, "screen": 1, "likelihood": 2, "likelihood_mapq": 3}[
+                fields
+            ]
+            if max_alleles <= 15
+            else 0
+        ),
+        min_mapq=min_mapq,
     )
     if out is None:
         return None
@@ -227,6 +235,12 @@ def _pack_tile_native(
         d_pad=D,
         csr_nib=out["csr_nib"] if out["csr_off"].size else None,
         csr_off=out["csr_off"] if out["csr_off"].size else None,
+        ll_pack=(
+            out["ll_pack"].reshape(L, D) if out["ll_pack"].size else None
+        ),
+        ll_mapq=(
+            out["ll_mapq"].reshape(L, D) if out["ll_mapq"].size else None
+        ),
     )
 
 
@@ -332,6 +346,7 @@ def iter_tiles_columnar(
     pad_to_tile_size: bool = True,
     depth_bucketing: bool = True,
     fields: str = "full",
+    min_mapq: int = 0,
 ):
     """Yield a contig's loci tiles one at a time (lazy pack_tiles_columnar).
 
@@ -393,6 +408,7 @@ def iter_tiles_columnar(
                 depth_pad=depth_pad or None,
                 l_pad=tile_size if pad_to_tile_size else 0,
                 fields=fields,
+                min_mapq=min_mapq,
             )
             if pad_to_tile_size and tile.L < tile_size:
                 tile = pad_tile_loci(tile, tile_size)

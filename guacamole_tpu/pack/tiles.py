@@ -80,6 +80,13 @@ class LocusTile:
     # depth padding, no depth cap.
     csr_nib: Optional[np.ndarray] = None  # [total_bytes] uint8
     csr_off: Optional[np.ndarray] = None  # [L+1] int32
+    # Likelihood-screen encoding (fields="likelihood"): [L, D] uint16 of
+    # allele_id | qual << 4 (0xFFFF = empty / MAPQ-filtered / beyond-cap),
+    # consumed by the device genotype-likelihood screen.
+    ll_pack: Optional[np.ndarray] = None
+    # fields="likelihood_mapq" additionally: [L, D] uint8 per-element read
+    # MAPQ, for alignment-included likelihoods (somatic tumor screen).
+    ll_mapq: Optional[np.ndarray] = None
 
     @property
     def L(self) -> int:

@@ -197,9 +197,13 @@ class PileupElement:
         if op in (OP_M, OP_EQ, OP_X) and next_op == OP_D:
             ref_idx = self.locus  # absolute reference position of the anchor
             deleted = bytearray([self.reference_base])
-            assert self.read.mdtag is not None, "Deletion requires an MD tag"
+            # Missing MD tag: N placeholder reference bases (the packers'
+            # convention, cf. DEVIATIONS.md #3 — the reference throws).
+            deletions = (
+                self.read.mdtag.deletions if self.read.mdtag else {}
+            )
             for offset in range(1, self.next_cigar_element.length + 1):
-                deleted.append(self.read.mdtag.deletions[ref_idx + offset])
+                deleted.append(deletions.get(ref_idx + offset, ord("N")))
             return Alignment(
                 kind=AlignmentKind.DELETION,
                 sequenced_bases=bytes(deleted[:1]),
@@ -207,8 +211,11 @@ class PileupElement:
                 base_quality=self.read.base_qualities[self.read_position],
             )
         if op == OP_D:
-            assert self.read.mdtag is not None, "MidDeletion requires an MD tag"
-            ref_base = self.read.mdtag.deletions[self.locus]
+            ref_base = (
+                self.read.mdtag.deletions.get(self.locus, ord("N"))
+                if self.read.mdtag
+                else ord("N")
+            )
             return Alignment(
                 kind=AlignmentKind.MID_DELETION,
                 sequenced_bases=b"",

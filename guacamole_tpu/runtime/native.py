@@ -89,7 +89,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         + [ctypes.c_void_p] * 7  # specials + payload
         + [ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p]  # contig, loci
         + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]  # K, depth_pad, l_pad
-        + [ctypes.c_int64]  # screen_only
+        + [ctypes.c_int64, ctypes.c_int64]  # mode, min_mapq
         + [ctypes.c_void_p, ctypes.c_int64]  # ref contig
     )
     lib.guac_free_tile.argtypes = [ctypes.c_void_p]
@@ -118,6 +118,8 @@ _TILE_ACCESSORS = {
     "packed_nib": np.uint8,
     "csr_nib": np.uint8,
     "csr_off": np.int32,
+    "ll_pack": np.uint16,
+    "ll_mapq": np.uint8,
     "is_variant": np.uint8,
     "is_standard_alt": np.uint8,
     "key_blob": np.uint8,
@@ -140,7 +142,8 @@ def pack_tile_native(
     depth_pad: int = 0,
     l_pad: int = 0,
     ref_contig: Optional[bytes] = None,
-    screen_only: bool = False,
+    mode: int = 0,
+    min_mapq: int = 0,
 ):
     """Run the C++ tile packer over columnar reads. Returns a dict of numpy
     arrays (LocusTile fields + allele key tables), or None if unavailable."""
@@ -201,7 +204,8 @@ def pack_tile_native(
         max_alleles,
         depth_pad,
         l_pad,
-        1 if screen_only else 0,
+        mode,
+        min_mapq,
         _ptr(ref_arr) if ref_arr is not None else None,
         len(ref_arr) if ref_arr is not None else 0,
     )

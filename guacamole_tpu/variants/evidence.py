@@ -68,7 +68,10 @@ class AlleleEvidence:
         mapqs = [float(e.read.alignment_quality) for e in allele_elements]
         quals = [float(e.quality_score) for e in allele_elements]
         mismatches = [
-            float(e.read.mdtag.count_of_mismatches) for e in allele_elements
+            # Reads without an MD tag count as 0 mismatches (the packers'
+            # convention; cf. DEVIATIONS.md #3 — the reference throws).
+            float(e.read.mdtag.count_of_mismatches) if e.read.mdtag else 0.0
+            for e in allele_elements
         ]
         return AlleleEvidence(
             likelihood=likelihood,

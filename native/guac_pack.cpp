@@ -98,6 +98,13 @@ struct PackedTile {
   // and differences at row boundaries.
   raw_vector<uint8_t> csr_nib;
   std::vector<int32_t> csr_off;  // [L+1]
+  // Likelihood-mode dense encoding: [L, D] uint16, allele_id (4 bits) |
+  // base qual << 4; 0xFFFF = empty / MAPQ-filtered / beyond-cap slot.
+  // Feeds the device genotype-likelihood screen.
+  raw_vector<uint16_t> ll_pack;
+  // Mode 3 only: per-element read MAPQ (for alignment-included
+  // likelihoods, e.g. the somatic tumor screen). 0 where ll_pack = 0xFFFF.
+  raw_vector<uint8_t> ll_mapq;
   // [L, K]
   std::vector<uint8_t> is_variant;
   std::vector<uint8_t> is_standard_alt;
@@ -163,12 +170,18 @@ void* guac_pack_tile(
     // tile spec
     int32_t contig_id, int64_t n_loci, const int64_t* loci, int64_t K,
     int64_t depth_pad /* 0 = auto */, int64_t l_pad /* 0 = no padding */,
-    // screen_only: skip the per-element [L, D] tensors (qual/mapq/strand/
-    // mismatches/edge/read_index/valid/allele_id) and emit only what the
-    // counting screen consumes (depth/ref_base/overflow/allele tables/
-    // packed_nib). Callers that never touch per-element fields (threshold,
-    // vaf-histogram, variant-support) skip ~90% of the fill work.
-    int64_t screen_only,
+    // mode 0 = full: every [L, D] per-element tensor.
+    // mode 1 = screen: CSR nibble ids only (counting callers: threshold,
+    //          vaf-histogram, variant-support) — skips ~90% of fill work.
+    // mode 2 = likelihood: dense [L, D] uint16 (allele_id | qual << 4)
+    //          only, for the device genotype-likelihood screen.
+    // mode 3 = likelihood + per-element MAPQ bytes (alignment-included
+    //          likelihoods: the somatic tumor screen).
+    int64_t mode,
+    // Elements on reads with MAPQ < min_mapq are excluded from modes 1/2
+    // (they hold a 0xF/0xFFFF slot and do not enter the allele tables),
+    // matching the callers' QualityAlignedReads element filter.
+    int64_t min_mapq,
     // optional reference contig bytes (null = resolve from reads)
     const uint8_t* ref_contig, int64_t ref_contig_len) {
   PackedTile* t = new PackedTile();
@@ -313,7 +326,11 @@ void* guac_pack_tile(
   // K <= 15 (always true for the default K=8); otherwise Python callers
   // see an empty array and pack on host.
   bool emit_nib = K <= 15;
-  bool full = !screen_only || !emit_nib;  // screen mode requires nibbles
+  if (K > 15) mode = 0;  // compact encodings reserve 0xF for empty slots
+  bool full = mode == 0;
+  bool csr = mode == 1;        // CSR counting screen
+  bool ll = mode == 2 || mode == 3;  // dense likelihood screen
+  bool llm = mode == 3;        // + per-element MAPQ
   int64_t Dp = (D + 1) / 2;  // packed-nibble row width
   // Screen mode is CSR over elements: no [L, D] grids, no depth cap (so
   // no depth-overflow host fallbacks), rows byte-aligned in csr_nib.
@@ -328,6 +345,9 @@ void* guac_pack_tile(
     t->read_index.resize(L_out * D);
     t->valid.resize(L_out * D);
     t->packed_nib.resize(emit_nib ? L_out * Dp : 0);
+  } else if (ll) {
+    t->ll_pack.resize(L_out * D);
+    if (llm) t->ll_mapq.resize(L_out * D);
   } else {
     elem_off.resize(n_loci + 1);
     elem_off[0] = 0;
@@ -335,17 +355,19 @@ void* guac_pack_tile(
       elem_off[r + 1] = elem_off[r] + t->depth[r];
     t->csr_off.resize(L_out + 1);
     t->csr_off[0] = 0;
-    for (int64_t r = 0; r < L_out; r++) {
+    for (int64_t r = 0; r < L_out; r++)
       t->csr_off[r + 1] =
           t->csr_off[r] +
           (r < n_loci ? (int32_t)((t->depth[r] + 1) / 2) : 0);
-      // Device counts return as int16; rows deeper than that go through
-      // the exact host path like any other overflow row.
-      if (r < n_loci && t->depth[r] > 32767) t->overflow[r] = 1;
-    }
     t->csr_nib.resize((size_t)t->csr_off[L_out]);
   }
   t->overflow.assign(L_out, 0);
+  if (csr) {
+    // Device counts return as int16; rows deeper than that go through
+    // the exact host path like any other overflow row.
+    for (int64_t r = 0; r < n_loci; r++)
+      if (t->depth[r] > 32767) t->overflow[r] = 1;
+  }
 
   // Per-element allele keys: most are 2-byte (ref, alt); store compactly as
   // int32 codes; special/long keys in a side map.
@@ -354,14 +376,14 @@ void* guac_pack_tile(
   std::vector<AlleleKey> long_keys;
   std::map<AlleleKey, int32_t> long_key_ids;
   std::mutex long_key_mu;
-  raw_vector<int32_t> elem_code(full ? n_loci * D : elem_off[n_loci]);
+  raw_vector<int32_t> elem_code(csr ? elem_off[n_loci] : n_loci * D);
   std::vector<int32_t> fill(n_loci, 0);
 
-  // Parallel padding pass (full mode only — CSR has no padding): every
-  // cell at slot >= min(depth, D) gets the sentinel fill (and sentinel
-  // L-pad rows are fully padded). Runs over ALL L_out rows, decomposed
-  // independently of the read blocks.
-  if (full) {
+  // Parallel padding pass (dense modes only — CSR has no padding):
+  // every cell at slot >= min(depth, D) gets the sentinel fill (and
+  // sentinel L-pad rows are fully padded). Runs over ALL L_out rows,
+  // decomposed independently of the read blocks.
+  if (!csr) {
     int64_t pad_block = std::max<int64_t>(
         256, (L_out + max_threads - 1) / max_threads);
     int64_t pad_nblocks = (L_out + pad_block - 1) / pad_block;
@@ -372,6 +394,12 @@ void* guac_pack_tile(
         int64_t dn =
             row < n_loci ? std::min<int64_t>(t->depth[row], D) : 0;
         int64_t base = row * D;
+        if (ll) {
+          for (int64_t s = dn; s < D; s++) t->ll_pack[base + s] = 0xFFFF;
+          if (llm)
+            memset(t->ll_mapq.data() + base + dn, 0, (size_t)(D - dn));
+          continue;
+        }
         for (int64_t s = dn; s < D; s++) {
           t->allele_id[base + s] = -1;
           t->qual[base + s] = 0;
@@ -403,13 +431,24 @@ void* guac_pack_tile(
       auto sp_it = special_by_read.find(r);
       for (int64_t row = std::max(lo, bs); row < std::min(hi, be); row++) {
         int32_t slot = fill[row]++;
-        if (full && slot >= D) {
+        if (!csr && slot >= D) {
           // Dense grids cap the depth axis; CSR rows are exact-size.
           t->overflow[row] = 1;
           continue;
         }
         int64_t off = loci[row] - start[r];
-        int64_t cell = (full ? row * D : elem_off[row]) + slot;
+        int64_t cell = (csr ? elem_off[row] : row * D) + slot;
+        if (!full && min_mapq > 0 && mapq[r] < min_mapq) {
+          // MAPQ-filtered element: holds its slot, joins no allele table.
+          elem_code[cell] = -2;
+          if (ll) t->ll_pack[cell] = 0xFFFF;
+          if (llm) t->ll_mapq[cell] = 0;
+          continue;
+        }
+        if (ll) t->ll_pack[cell] = (uint16_t)(quals[off] << 4);
+        if (llm)
+          t->ll_mapq[cell] =
+              (uint8_t)std::min<int32_t>(std::max(mapq[r], 0), 255);
         uint8_t kind = kinds[off];
         int32_t code;
         uint8_t rb = t->ref_base[row];
@@ -498,9 +537,9 @@ void* guac_pack_tile(
   std::vector<uint8_t> seen((size_t)code_space, 0);
   std::vector<int32_t> distinct_codes;
   for (int64_t row = 0; row < n_loci; row++) {
-    int64_t dn = full ? std::min<int64_t>(t->depth[row], D) : t->depth[row];
+    int64_t dn = csr ? t->depth[row] : std::min<int64_t>(t->depth[row], D);
     const int32_t* rowc =
-        elem_code.data() + (full ? row * D : elem_off[row]);
+        elem_code.data() + (csr ? elem_off[row] : row * D);
     for (int64_t slot = 0; slot < dn; slot++) {
       int32_t code = rowc[slot];
       if (code >= 0 && !seen[code]) {
@@ -543,9 +582,9 @@ void* guac_pack_tile(
     std::vector<int32_t> locus_ranks;
     for (int64_t row = bs; row < be; row++) {
       locus_ranks.clear();
-      int32_t dn = (int32_t)(full ? std::min<int64_t>(t->depth[row], D)
-                                  : t->depth[row]);
-      int64_t cell_base = full ? row * D : elem_off[row];
+      int32_t dn = (int32_t)(csr ? t->depth[row]
+                                 : std::min<int64_t>(t->depth[row], D));
+      int64_t cell_base = csr ? elem_off[row] : row * D;
       for (int32_t slot = 0; slot < dn; slot++) {
         int32_t code = elem_code[cell_base + slot];
         if (code >= 0) locus_ranks.push_back(code_to_rank[code]);
@@ -571,11 +610,11 @@ void* guac_pack_tile(
       // assign dense allele ids to the elements of this locus (and patch
       // the 4-bit ids into the nibble transfer row — grid or CSR)
       uint8_t* nib_row = nullptr;
-      if (full) {
-        if (emit_nib) nib_row = t->packed_nib.data() + row * Dp;
-      } else {
+      if (csr) {
         nib_row = t->csr_nib.data() + t->csr_off[row];
         memset(nib_row, 0xFF, (size_t)((dn + 1) / 2));
+      } else if (full && emit_nib) {
+        nib_row = t->packed_nib.data() + row * Dp;
       }
       for (int32_t slot = 0; slot < dn; slot++) {
         int64_t cell = cell_base + slot;
@@ -590,12 +629,16 @@ void* guac_pack_tile(
         int64_t id = pos - locus_ranks.begin();
         if (id < K) {
           if (full) t->allele_id[cell] = (int16_t)id;
+          if (ll) t->ll_pack[cell] |= (uint16_t)id;
           if (nib_row != nullptr) {
             int shift = (slot & 1) * 4;
             nib_row[slot >> 1] = (uint8_t)((nib_row[slot >> 1] &
                                             ~(0xF << shift)) |
                                            ((int)id << shift));
           }
+        } else if (ll) {
+          // beyond the allele cap: exclude from the likelihood screen
+          t->ll_pack[cell] = 0xFFFF;
         } else if (full) {
           // beyond the cap: invalidate the slot (matches the Python packers)
           t->allele_id[cell] = -1;
@@ -657,6 +700,8 @@ TILE_ACCESSOR(valid, valid, uint8_t)
 TILE_ACCESSOR(packed_nib, packed_nib, uint8_t)
 TILE_ACCESSOR(csr_nib, csr_nib, uint8_t)
 TILE_ACCESSOR(csr_off, csr_off, int32_t)
+TILE_ACCESSOR(ll_pack, ll_pack, uint16_t)
+TILE_ACCESSOR(ll_mapq, ll_mapq, uint8_t)
 TILE_ACCESSOR(is_variant, is_variant, uint8_t)
 TILE_ACCESSOR(is_standard_alt, is_standard_alt, uint8_t)
 TILE_ACCESSOR(key_blob, key_blob, uint8_t)

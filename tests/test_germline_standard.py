@@ -132,3 +132,36 @@ class TestTwoPhaseEquivalence:
                 sorted((c.start, c.allele, c.evidence.likelihood) for c in calls)
             )
         assert results[0] == results[1]
+
+
+def test_native_likelihood_screen_matches_oracle():
+    """The device genotype-likelihood screen (native columnar path, csr/ll
+    tiles) must reproduce the exact per-locus oracle, including f64
+    likelihood values."""
+    from guacamole_tpu.callers.common import load_read_source
+
+    filters = InputFilters.create(
+        overlaps_loci=parse_loci("all"), non_duplicate=True, has_mdtag=True
+    )
+    source, contig_lengths = load_read_source(
+        resource_path("chrM.sorted.bam"), filters
+    )
+    loci = parse_loci("chrM:0-2500").result(contig_lengths)
+    partitions = partition_loci_uniformly(3, loci)
+    fast_calls = call_variants(source, partitions, min_alignment_quality=1)
+
+    oracle_calls = []
+    for locus in range(0, 2500):
+        pileup = source.pileup_at("chrM", locus)
+        if pileup.depth:
+            oracle_calls.extend(
+                call_variants_at_locus(pileup, min_alignment_quality=1)
+            )
+
+    def key(c):
+        return (c.reference_contig, c.start, c.allele)
+
+    assert sorted(map(key, fast_calls)) == sorted(map(key, oracle_calls))
+    fast_by_key = {key(c): c.evidence.likelihood for c in fast_calls}
+    for c in oracle_calls:
+        assert fast_by_key[key(c)] == c.evidence.likelihood

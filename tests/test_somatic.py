@@ -208,3 +208,42 @@ def test_insertions_and_deletions():
     check_locus(14, "A", "ATC")
     check_locus(16, "C", "CAAAA")
     check_locus(18, "ATC", "A")
+
+
+def test_native_tumor_screen_matches_object_path(resources_dir):
+    """somatic call_variants through the columnar/native path (tumor
+    likelihood_mapq screen) must produce identical calls to the object-read
+    path (counting-screen fallback) over a whole fixture region."""
+    from guacamole_tpu.callers.somatic_standard import call_variants
+    from guacamole_tpu.callers.source import ReadSource
+    from guacamole_tpu.loci.lociset import LociSetBuilder
+    from guacamole_tpu.loci.partition import partition_loci_uniformly
+    from guacamole_tpu.runtime.columnar import columnar_from_reads
+
+    tumor, normal = load_tumor_normal(
+        "tumor.chr20.tough.sam", "normal.chr20.tough.sam"
+    )
+    contig = tumor[0].reference_contig
+    lo = min(r.start for r in tumor + normal)
+    hi = max(r.end for r in tumor + normal)
+    builder = LociSetBuilder()
+    builder.put(contig, lo, hi)
+    partitions = partition_loci_uniformly(2, builder.result())
+
+    kwargs = dict(
+        odds_threshold=LOG_ODDS_THRESHOLD,
+        min_alignment_quality=MIN_ALIGNMENT_QUALITY,
+    )
+    object_calls = call_variants(tumor, normal, partitions, **kwargs)
+    columnar_calls = call_variants(
+        ReadSource.from_columnar(columnar_from_reads(tumor)),
+        ReadSource.from_columnar(columnar_from_reads(normal)),
+        partitions,
+        **kwargs,
+    )
+
+    def key(c):
+        return (c.reference_contig, c.start, c.allele, c.somatic_log_odds)
+
+    assert len(object_calls) > 0
+    assert sorted(map(key, object_calls)) == sorted(map(key, columnar_calls))
