@@ -181,3 +181,68 @@ def test_csr_screen_bucket_padding_is_inert():
     bucketed = screen_csr_launch(packed, row_off, is_variant, K).result()
     np.testing.assert_array_equal(direct.counts, bucketed.counts)
     np.testing.assert_array_equal(direct.candidates, bucketed.candidates)
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("include_alignment", [False, True])
+def test_likelihood_screen_superset_of_f64_argmax(seed, include_alignment):
+    """The f32 device likelihood screens must flag every locus whose exact
+    f64 argmax genotype is variant — across extreme quals (0..93) where
+    f32's 1-err rounds to 1."""
+    from guacamole_tpu.ops.kernels import (
+        genotype_pairs,
+        germline_likelihood_screen,
+        tumor_likelihood_screen,
+    )
+
+    rng = np.random.RandomState(seed)
+    L, D, K = 48, 24, 8
+    depth = rng.randint(1, D + 1, size=L)
+    valid = np.arange(D)[None, :] < depth[:, None]
+    aid = np.where(valid, rng.randint(0, 4, size=(L, D)), -1)
+    qual = np.where(valid, rng.choice([0, 2, 20, 41, 70, 93], size=(L, D)), 0)
+    mapq = np.where(valid, rng.choice([0, 10, 37, 60, 254], size=(L, D)), 0)
+    is_variant = np.zeros((L, K), dtype=bool)
+    is_variant[:, 1:4] = True
+    is_standard = np.zeros((L, K), dtype=bool)
+    is_standard[:, :4] = True
+
+    ll_pack = np.where(
+        valid, (aid & 0xF) | (qual.astype(np.uint16) << 4), 0xFFFF
+    ).astype(np.uint16)
+    if include_alignment:
+        got = np.asarray(
+            tumor_likelihood_screen(
+                ll_pack, mapq.astype(np.uint8), is_variant, is_standard, K
+            )
+        )
+    else:
+        got = np.asarray(
+            germline_likelihood_screen(ll_pack, is_variant, is_standard, K)
+        )
+
+    # f64 oracle: argmax over pairs of the exact per-element log terms.
+    i_idx, j_idx = genotype_pairs(K)
+    for li in range(L):
+        lls = {}
+        for p, (i, j) in enumerate(zip(i_idx, j_idx)):
+            if not (is_standard[li, i] and is_standard[li, j]):
+                continue
+            acc = 0.0
+            for s in range(int(depth[li])):
+                err = 10.0 ** (qual[li, s] / -10.0)
+                pc = 1.0 - err
+                if include_alignment:
+                    pc *= 1.0 - 10.0 ** (mapq[li, s] / -10.0)
+                pi = pc if aid[li, s] == i else 1.0 - pc
+                pj = pc if aid[li, s] == j else 1.0 - pc
+                acc += np.log(pi + pj) if pi + pj > 0 else -np.inf
+            lls[p] = acc
+        if not lls:
+            continue
+        best = max(lls, key=lambda p: lls[p])
+        argmax_variant = bool(
+            is_variant[li, i_idx[best]] or is_variant[li, j_idx[best]]
+        )
+        if argmax_variant:
+            assert got[li], f"screen missed f64-argmax-variant locus {li}"
