@@ -319,21 +319,18 @@ static bool expand_md(const char* md, size_t md_len, const uint32_t* cigar,
 }
 
 // Build the per-locus event arrays for one read (mirrors
-// pack/events.py read_pileup_events).
-static void build_events(Reads* r, int64_t read_index, int64_t start,
-                         const uint32_t* cigar, size_t n_cigar,
-                         const uint8_t* seq, const uint8_t* qual,
-                         size_t seq_len, int32_t mapq, bool has_md,
-                         size_t span) {
-  size_t base = r->ev_kind.size();
-  r->ev_kind.resize(base + span, EV_CLIPPED);
-  r->ev_base.resize(base + span, 0);
-  r->ev_qual.resize(base + span, (uint8_t)(mapq < 0 ? 0 : mapq));
-  uint8_t* kinds = r->ev_kind.data() + base;
-  uint8_t* bases = r->ev_base.data() + base;
-  uint8_t* quals = r->ev_qual.data() + base;
-  const uint8_t* md_ref = r->ev_mdref.data() + base;
-
+// pack/events.py read_pileup_events). Writes into caller-provided slices
+// (pre-filled with EV_CLIPPED / 0 / mapq defaults); specials and their
+// payload go to caller-provided buffers so read ranges can be processed
+// in parallel and stitched in order.
+static void build_events_at(int64_t read_index, int64_t start,
+                            const uint32_t* cigar, size_t n_cigar,
+                            const uint8_t* seq, const uint8_t* qual,
+                            size_t seq_len, int32_t mapq,
+                            uint8_t* kinds, uint8_t* bases, uint8_t* quals,
+                            const uint8_t* md_ref, size_t span,
+                            std::vector<Special>* specials,
+                            std::vector<uint8_t>* payload) {
   size_t ref_offset = 0;
   size_t read_pos = 0;
   bool have_contig_start_insertion = false;
@@ -368,12 +365,12 @@ static void build_events(Reads* r, int64_t read_index, int64_t start,
         sp.read_index = read_index;
         sp.offset = last;
         sp.kind = EV_INSERTION;
-        sp.payload_offset = r->special_payload.size();
+        sp.payload_offset = (int64_t)payload->size();
         sp.payload_len = take;
         sp.qual = minq;
-        r->special_payload.insert(r->special_payload.end(), seq + last_read,
-                                  seq + last_read + take);
-        r->specials.push_back(sp);
+        payload->insert(payload->end(), seq + last_read,
+                        seq + last_read + take);
+        specials->push_back(sp);
       } else if (next_op == OP_D) {
         // deletion anchored at this locus; tail from expanded md_ref
         kinds[last] = EV_DELETION;
@@ -383,14 +380,13 @@ static void build_events(Reads* r, int64_t read_index, int64_t start,
         sp.read_index = read_index;
         sp.offset = last;
         sp.kind = EV_DELETION;
-        sp.payload_offset = r->special_payload.size();
+        sp.payload_offset = (int64_t)payload->size();
         sp.payload_len = next_len;
         sp.qual = qual[last_read];
         // deleted bases live at md_ref[last+1 .. last+next_len]
-        r->special_payload.insert(r->special_payload.end(),
-                                  md_ref + last + 1,
-                                  md_ref + last + 1 + next_len);
-        r->specials.push_back(sp);
+        payload->insert(payload->end(), md_ref + last + 1,
+                        md_ref + last + 1 + next_len);
+        specials->push_back(sp);
       }
       read_pos += len;
       ref_offset += len;
@@ -408,11 +404,11 @@ static void build_events(Reads* r, int64_t read_index, int64_t start,
         for (size_t t = 0; t < take; t++)
           if (qual[read_pos + t] < minq) minq = qual[read_pos + t];
         have_contig_start_insertion = true;
-        csi_payload_off = r->special_payload.size();
+        csi_payload_off = payload->size();
         csi_payload_len = take;
         csi_qual = minq;
-        r->special_payload.insert(r->special_payload.end(), seq + read_pos,
-                                  seq + read_pos + take);
+        payload->insert(payload->end(), seq + read_pos,
+                        seq + read_pos + take);
       }
       read_pos += len;
     } else if (op == OP_S) {
@@ -428,10 +424,10 @@ static void build_events(Reads* r, int64_t read_index, int64_t start,
     sp.read_index = read_index;
     sp.offset = 0;
     sp.kind = EV_INSERTION;
-    sp.payload_offset = csi_payload_off;
-    sp.payload_len = csi_payload_len;
+    sp.payload_offset = (int64_t)csi_payload_off;
+    sp.payload_len = (int64_t)csi_payload_len;
     sp.qual = csi_qual;
-    r->specials.push_back(sp);
+    specials->push_back(sp);
   }
 }
 
@@ -491,12 +487,32 @@ static int parse_bam_header(const std::vector<uint8_t>& u, size_t avail,
 // Parse alignment records in u[pos, end_pos). Records starting before
 // end_pos are parsed fully (BAI chunk ends are record-aligned; the caller
 // guarantees the overhang bytes are inflated).
+// Two-phase record parse: a cheap serial scan finds record boundaries,
+// scalar fields, tag locations, and per-read array offsets; the heavy
+// per-byte work (seq nibble decode, MD expansion, event construction) then
+// fills pre-sized array slices in parallel over contiguous read ranges.
 static bool parse_bam_records(const std::vector<uint8_t>& u, size_t pos,
                               size_t end_pos, Reads* r,
                               const std::map<std::string, int>& rg_to_sample,
-                              int* default_sample_inout) {
+                              int* default_sample_inout, int threads = 1) {
   int default_sample = *default_sample_inout;
 
+  struct RecMeta {
+    const uint8_t* rec;
+    const char* md;
+    int32_t md_len;
+    int32_t l_seq;
+    uint16_t n_cigar;
+    uint8_t l_read_name;
+    uint8_t consistent;
+    int64_t span;
+    int64_t pos0;
+    uint8_t mapq;
+  };
+  std::vector<RecMeta> metas;
+  metas.reserve(1024);
+
+  // ---- Phase 1: serial boundary scan + scalar columns + offsets ----
   while (pos < end_pos && pos + 4 <= u.size()) {
     int32_t block_size;
     memcpy(&block_size, &u[pos], 4);
@@ -522,22 +538,8 @@ static bool parse_bam_records(const std::vector<uint8_t>& u, size_t pos,
     size_t p = 32 + l_read_name;
     const uint32_t* cigar = reinterpret_cast<const uint32_t*>(rec + p);
     p += 4 * n_cigar;
-    // decode seq
-    size_t seq_start = r->seq.size();
-    r->seq.resize(seq_start + l_seq);
-    for (int32_t i = 0; i < l_seq; i++) {
-      uint8_t code = (rec[p + i / 2] >> ((i % 2) ? 0 : 4)) & 0xf;
-      r->seq[seq_start + i] = SEQ_CODES[code];
-    }
-    p += (l_seq + 1) / 2;
-    size_t qual_start = r->qual.size();
-    r->qual.resize(qual_start + l_seq);
-    if (l_seq > 0 && rec[p] == 0xff) {
-      memset(&r->qual[qual_start], 0, l_seq);
-    } else if (l_seq > 0) {
-      memcpy(&r->qual[qual_start], rec + p, l_seq);
-    }
-    p += l_seq;
+    p += (l_seq + 1) / 2;  // seq nibbles (decoded in phase 2)
+    p += l_seq;            // quals (copied in phase 2)
 
     // tag scan: MD (Z) and RG (Z)
     const char* md = nullptr;
@@ -593,14 +595,16 @@ static bool parse_bam_records(const std::vector<uint8_t>& u, size_t pos,
       sample = default_sample;
     }
 
-    // reference span (padded: M/D/N/=/X/P)
+    // reference span (padded: M/D/N/=/X/P) + read-length consistency
     int64_t span = 0;
+    int64_t read_len_from_cigar = 0;
     for (int i = 0; i < n_cigar; i++) {
       uint32_t op = cigar[i] & 0xf;
-      if (OP_CONSUMES_REF[op] || op == OP_P) span += cigar[i] >> 4;
+      uint32_t len = cigar[i] >> 4;
+      if (OP_CONSUMES_REF[op] || op == OP_P) span += len;
+      if (OP_CONSUMES_READ[op]) read_len_from_cigar += len;
     }
 
-    int64_t read_index = r->start.size();
     r->ref_id.push_back(ref_id);
     r->start.push_back(pos0);
     r->end.push_back(pos0 + span);
@@ -610,53 +614,145 @@ static bool parse_bam_records(const std::vector<uint8_t>& u, size_t pos,
     r->mate_start.push_back(next_pos);
     r->tlen.push_back(tlen);
     r->sample_id.push_back(sample);
-    r->seq_off.push_back(r->seq.size());
-    for (int i = 0; i < n_cigar; i++) {
-      r->cigar_len.push_back(cigar[i] >> 4);
-      r->cigar_op.push_back(cigar[i] & 0xf);
-    }
-    r->cigar_off.push_back(r->cigar_len.size());
-    if (md) {
-      r->md_text.insert(r->md_text.end(), md, md + md_len);
-    }
-    r->md_off.push_back(r->md_text.size());
+    r->mismatches.push_back(0);  // phase 2 fills the real count
+    r->seq_off.push_back(r->seq_off.back() + l_seq);
+    r->cigar_off.push_back(r->cigar_off.back() + n_cigar);
+    r->md_off.push_back(r->md_off.back() + (int64_t)md_len);
+    r->ev_off.push_back(r->ev_off.back() + span);
 
-    // md_ref expansion + events (only sensible for mapped reads with a
-    // structurally consistent cigar)
-    size_t ev_base_off = r->ev_mdref.size();
-    r->ev_mdref.resize(ev_base_off + span, 'N');
-    int64_t read_len_from_cigar = 0;
-    for (int i = 0; i < n_cigar; i++)
-      if (OP_CONSUMES_READ[cigar[i] & 0xf]) read_len_from_cigar += cigar[i] >> 4;
-    bool consistent = (read_len_from_cigar == l_seq);
-    int32_t mm = -1;
-    if (md && consistent) {
-      if (!expand_md(md, md_len, cigar, n_cigar,
-                     &r->seq[seq_start], &r->ev_mdref[ev_base_off], span,
-                     &mm)) {
-        // malformed MD: leave N reference, no mismatch count
-        memset(&r->ev_mdref[ev_base_off], 'N', span);
-        mm = -1;
-      }
-    }
-    r->mismatches.push_back(mm < 0 ? 0 : mm);
-    if (consistent && span > 0) {
-      build_events(r, read_index, pos0, cigar, n_cigar, &r->seq[seq_start],
-                   &r->qual[qual_start], l_seq, mapq, md != nullptr, span);
-    } else {
-      // keep arrays aligned: emit empty/clipped events of length span
-      size_t base = r->ev_kind.size();
-      r->ev_kind.resize(base + span, EV_CLIPPED);
-      r->ev_base.resize(base + span, 0);
-      r->ev_qual.resize(base + span, mapq);
-    }
-    r->ev_off.push_back(r->ev_kind.size());
+    RecMeta m;
+    m.rec = rec;
+    m.md = md;
+    m.md_len = (int32_t)md_len;
+    m.l_seq = l_seq;
+    m.n_cigar = n_cigar;
+    m.l_read_name = l_read_name;
+    m.consistent = read_len_from_cigar == l_seq ? 1 : 0;
+    m.span = span;
+    m.pos0 = pos0;
+    m.mapq = mapq;
+    metas.push_back(m);
   }
   *default_sample_inout = default_sample;
+
+  size_t n_new = metas.size();
+  if (n_new == 0) return true;
+  int64_t first_read = (int64_t)(r->ref_id.size() - n_new);
+
+  r->seq.resize((size_t)r->seq_off.back());
+  r->qual.resize((size_t)r->seq_off.back());
+  r->cigar_len.resize((size_t)r->cigar_off.back());
+  r->cigar_op.resize((size_t)r->cigar_off.back());
+  r->md_text.resize((size_t)r->md_off.back());
+  r->ev_kind.resize((size_t)r->ev_off.back());
+  r->ev_base.resize((size_t)r->ev_off.back());
+  r->ev_qual.resize((size_t)r->ev_off.back());
+  r->ev_mdref.resize((size_t)r->ev_off.back());
+
+  // ---- Phase 2: parallel per-read fills over contiguous ranges ----
+  if (threads < 1) threads = 1;
+  int nthreads = (int)std::min<size_t>((size_t)threads, n_new);
+  size_t per = (n_new + nthreads - 1) / nthreads;
+  std::vector<std::vector<Special>> range_specials(nthreads);
+  std::vector<std::vector<uint8_t>> range_payload(nthreads);
+
+  auto work = [&](int t) {
+    size_t lo = (size_t)t * per;
+    size_t hi = std::min(lo + per, n_new);
+    auto& specials = range_specials[t];
+    auto& payload = range_payload[t];
+    for (size_t k = lo; k < hi; k++) {
+      const RecMeta& m = metas[k];
+      int64_t ri = first_read + (int64_t)k;
+      const uint8_t* rec = m.rec;
+      size_t p = 32 + m.l_read_name;
+      const uint32_t* cigar = reinterpret_cast<const uint32_t*>(rec + p);
+      p += 4 * m.n_cigar;
+
+      // seq nibble decode (two bases per input byte)
+      int64_t seq_start = r->seq_off[ri];
+      uint8_t* seq_out = r->seq.data() + seq_start;
+      const uint8_t* packed = rec + p;
+      int32_t pairs = m.l_seq / 2;
+      for (int32_t i = 0; i < pairs; i++) {
+        uint8_t b = packed[i];
+        seq_out[2 * i] = SEQ_CODES[b >> 4];
+        seq_out[2 * i + 1] = SEQ_CODES[b & 0xf];
+      }
+      if (m.l_seq & 1) seq_out[m.l_seq - 1] = SEQ_CODES[packed[pairs] >> 4];
+      p += (m.l_seq + 1) / 2;
+
+      // quals
+      uint8_t* qual_out = r->qual.data() + seq_start;
+      if (m.l_seq > 0 && rec[p] == 0xff) {
+        memset(qual_out, 0, m.l_seq);
+      } else if (m.l_seq > 0) {
+        memcpy(qual_out, rec + p, m.l_seq);
+      }
+
+      // cigar columns
+      int64_t coff = r->cigar_off[ri];
+      for (int i = 0; i < m.n_cigar; i++) {
+        r->cigar_len[coff + i] = cigar[i] >> 4;
+        r->cigar_op[coff + i] = cigar[i] & 0xf;
+      }
+
+      // raw MD text
+      if (m.md_len > 0)
+        memcpy(r->md_text.data() + r->md_off[ri], m.md, m.md_len);
+
+      // md_ref expansion + events
+      int64_t ev_start = r->ev_off[ri];
+      size_t span = (size_t)m.span;
+      uint8_t* mdref = r->ev_mdref.data() + ev_start;
+      memset(mdref, 'N', span);
+      int32_t mm = -1;
+      if (m.md != nullptr && m.consistent) {
+        if (!expand_md(m.md, (size_t)m.md_len, cigar, m.n_cigar, seq_out,
+                       mdref, span, &mm)) {
+          memset(mdref, 'N', span);
+          mm = -1;
+        }
+      }
+      r->mismatches[ri] = mm < 0 ? 0 : mm;
+
+      uint8_t* kinds = r->ev_kind.data() + ev_start;
+      uint8_t* bases = r->ev_base.data() + ev_start;
+      uint8_t* equals = r->ev_qual.data() + ev_start;
+      memset(kinds, EV_CLIPPED, span);
+      memset(bases, 0, span);
+      memset(equals, (uint8_t)m.mapq, span);
+      if (m.consistent && span > 0) {
+        build_events_at(ri, m.pos0, cigar, m.n_cigar, seq_out, qual_out,
+                        (size_t)m.l_seq, m.mapq, kinds, bases, equals,
+                        mdref, span, &specials, &payload);
+      }
+    }
+  };
+  if (nthreads <= 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; t++) pool.emplace_back(work, t);
+    for (auto& th : pool) th.join();
+  }
+
+  // Stitch per-range specials (ranges are in read order).
+  for (int t = 0; t < nthreads; t++) {
+    int64_t base = (int64_t)r->special_payload.size();
+    for (Special sp : range_specials[t]) {
+      sp.payload_offset += base;
+      r->specials.push_back(sp);
+    }
+    r->special_payload.insert(r->special_payload.end(),
+                              range_payload[t].begin(),
+                              range_payload[t].end());
+  }
   return true;
 }
 
-static bool parse_bam(const std::vector<uint8_t>& u, Reads* r) {
+static bool parse_bam(const std::vector<uint8_t>& u, Reads* r,
+                      int threads) {
   std::map<std::string, int> rg_to_sample;
   size_t header_end = 0;
   int rc = parse_bam_header(u, u.size(), r, &rg_to_sample, &header_end);
@@ -670,7 +766,7 @@ static bool parse_bam(const std::vector<uint8_t>& u, Reads* r) {
   r->md_off.push_back(0);
   r->ev_off.push_back(0);
   return parse_bam_records(u, header_end, u.size(), r, rg_to_sample,
-                           &default_sample);
+                           &default_sample, threads);
 }
 
 // Incremental BGZF reader over a file handle: reads and inflates blocks
@@ -815,7 +911,8 @@ static Reads* decode_bam_chunks(const char* path, int threads,
     size_t ustart = std::min(u0, u.size());
     if (c0 == 0) ustart = std::max(ustart, header_end);
     if (ustart >= uend) continue;
-    parse_bam_records(u, ustart, uend, r, rg_to_sample, &default_sample);
+    parse_bam_records(u, ustart, uend, r, rg_to_sample, &default_sample,
+                      threads);
   }
   return r;
 }
@@ -833,7 +930,7 @@ void* guac_decode_bam(const char* path, int threads) {
   std::vector<uint8_t> uncompressed;
   if (!bgzf_decompress(raw, &uncompressed, threads)) return nullptr;
   Reads* r = new Reads();
-  if (!parse_bam(uncompressed, r)) {
+  if (!parse_bam(uncompressed, r, threads)) {
     delete r;
     return nullptr;
   }
