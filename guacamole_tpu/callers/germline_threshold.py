@@ -293,3 +293,46 @@ def call_variants(
     # Deterministic emission order regardless of tile batching/bucketing.
     calls.sort(key=lambda c: (c.contig, c.start, c.sample_name, c.allele))
     return calls
+
+
+def call_variants_streaming(
+    path: str,
+    filters,
+    loci_partitions: LociMap,
+    threshold_percent: int = 8,
+    emit_ref: bool = False,
+    emit_no_call: bool = False,
+    tile_size: int = 4096,
+    max_alleles: int = 8,
+    reference_genome=None,
+) -> Optional[List[ThresholdCall]]:
+    """Streaming variant: each partition task decodes only its own BAM
+    byte ranges (.bai pushdown), with task i+1's IO + decode on a
+    background thread while task i packs and screens. Identical output to
+    load-then-call (pinned by tests). Returns None when streaming is
+    unavailable (non-BAM input, no native runtime/index) — callers then
+    use load_read_source + call_variants."""
+    from guacamole_tpu.callers.streaming import iter_task_sources
+    from guacamole_tpu.loci.locimap import LociMapBuilder
+
+    task_sources = iter_task_sources(path, filters, loci_partitions)
+    if task_sources is None:
+        return None
+    calls: List[ThresholdCall] = []
+    for task, task_loci, source in task_sources:
+        builder = LociMapBuilder()
+        builder.put_loci_set(task_loci, 0)
+        calls.extend(
+            call_variants(
+                source,
+                builder.result(),
+                threshold_percent=threshold_percent,
+                emit_ref=emit_ref,
+                emit_no_call=emit_no_call,
+                tile_size=tile_size,
+                max_alleles=max_alleles,
+                reference_genome=reference_genome,
+            )
+        )
+    calls.sort(key=lambda c: (c.contig, c.start, c.sample_name, c.allele))
+    return calls

@@ -123,6 +123,39 @@ def _partition(args, loci_set, *read_lists):
     )
 
 
+def _try_streaming_threshold(args, loci_builder, reference):
+    """Streaming germline-threshold (per-task BAM pushdown); None when
+    the streaming path is unavailable or unprofitable."""
+    try:
+        from guacamole_tpu.callers.germline_threshold import (
+            call_variants_streaming,
+        )
+        from guacamole_tpu.gio.bam import BamFile
+        from guacamole_tpu.loci.partition import partition_loci_uniformly
+        from guacamole_tpu.reads.read import InputFilters
+
+        dictionary = dict(BamFile(args.reads).references)
+        loci_set = loci_builder.result(dictionary)
+        partitions = partition_loci_uniformly(
+            args.parallelism or _default_parallelism(), loci_set
+        )
+        filters = InputFilters.create(
+            overlaps_loci=loci_builder, non_duplicate=True, has_mdtag=True
+        )
+        return call_variants_streaming(
+            args.reads,
+            filters,
+            partitions,
+            threshold_percent=args.threshold,
+            emit_ref=args.emit_ref,
+            emit_no_call=args.emit_no_call,
+            tile_size=args.tile_size,
+            reference_genome=reference,
+        )
+    except Exception:
+        return None
+
+
 def cmd_germline_threshold(argv: List[str]) -> int:
     p = argparse.ArgumentParser(
         prog="guacamole germline-threshold",
@@ -172,28 +205,46 @@ def cmd_germline_threshold(argv: List[str]) -> int:
     filters = InputFilters.create(
         overlaps_loci=loci_builder, non_duplicate=True, has_mdtag=True
     )
-    source, contig_lengths = load_read_source(
-        args.reads,
-        filters,
-        contig_lengths_from_dictionary=not args.no_sequence_dictionary,
-        reference_genome=reference,
-        recompute_mdtags=args.recompute_md_tags,
-        use_native=args.bam_reader_api in ("best", "native"),
-    )
-    progress(
-        "Loaded %d mapped non-duplicate MdTag-containing reads." % source.n
-    )
-    loci_set = loci_builder.result(contig_lengths)
-    loci_partitions = _partition(args, loci_set, source)
-    calls = call_variants(
-        source,
-        loci_partitions,
-        threshold_percent=args.threshold,
-        emit_ref=args.emit_ref,
-        emit_no_call=args.emit_no_call,
-        tile_size=args.tile_size,
-        reference_genome=reference,
-    )
+    calls = None
+    contig_lengths = None
+    if (
+        args.partition_accuracy == 0
+        and not args.no_sequence_dictionary
+        and not args.recompute_md_tags
+        and args.bam_reader_api in ("best", "native")
+    ):
+        # Uniform partitioning needs only the header's contig lengths, so
+        # each task can decode just its own BAM byte ranges (.bai
+        # pushdown), overlapping the next task's IO with device screens.
+        calls = _try_streaming_threshold(args, loci_builder, reference)
+        if calls is not None:
+            from guacamole_tpu.gio.bam import BamFile
+
+            contig_lengths = dict(BamFile(args.reads).references)
+    if calls is None:
+        source, contig_lengths = load_read_source(
+            args.reads,
+            filters,
+            contig_lengths_from_dictionary=not args.no_sequence_dictionary,
+            reference_genome=reference,
+            recompute_mdtags=args.recompute_md_tags,
+            use_native=args.bam_reader_api in ("best", "native"),
+        )
+        progress(
+            "Loaded %d mapped non-duplicate MdTag-containing reads."
+            % source.n
+        )
+        loci_set = loci_builder.result(contig_lengths)
+        loci_partitions = _partition(args, loci_set, source)
+        calls = call_variants(
+            source,
+            loci_partitions,
+            threshold_percent=args.threshold,
+            emit_ref=args.emit_ref,
+            emit_no_call=args.emit_no_call,
+            tile_size=args.tile_size,
+            reference_genome=reference,
+        )
     progress("Called %d genotypes." % len(calls))
     records = [c.to_vcf_record() for c in calls]
     write_variants(

@@ -162,3 +162,55 @@ class TestTilePathEquivalence:
         a = call_variants(reads, partitions, tile_size=128)
         b = call_variants(reads, partitions, tile_size=4096)
         assert [(c.start, c.allele) for c in a] == [(c.start, c.allele) for c in b]
+
+
+def test_streaming_matches_whole_file():
+    """Per-task .bai-pushdown streaming must call identically to a single
+    whole-file load (byte-range decode + per-task sources vs one source)."""
+    import os
+    import tempfile
+
+    from guacamole_tpu.callers.common import load_read_source
+    from guacamole_tpu.callers.germline_threshold import (
+        call_variants,
+        call_variants_streaming,
+    )
+    from guacamole_tpu.loci.lociset import parse_loci
+    from guacamole_tpu.loci.partition import partition_loci_uniformly
+    from guacamole_tpu.reads.read import InputFilters
+
+    filters = InputFilters.create(
+        overlaps_loci=parse_loci("all"), non_duplicate=True, has_mdtag=True
+    )
+    path = resource_path("chrM.sorted.bam")
+    def run(bam, tasks):
+        source, contig_lengths = load_read_source(bam, filters)
+        loci = parse_loci("all").result(contig_lengths)
+        partitions = partition_loci_uniformly(tasks, loci)
+        want = call_variants(source, partitions, threshold_percent=8)
+        with tempfile.TemporaryDirectory() as cache:
+            os.environ["GUAC_CACHE_DIR"] = cache
+            try:
+                got = call_variants_streaming(
+                    bam, filters, partitions, threshold_percent=8
+                )
+            finally:
+                del os.environ["GUAC_CACHE_DIR"]
+        return got, want
+
+    def keys(calls):
+        return [
+            (c.contig, c.start, c.sample_name, c.allele, c.labels)
+            for c in calls
+        ]
+
+    # Single-task streaming on chrM: pushdown covers the file once.
+    got, want = run(path, 1)
+    assert got is not None and keys(got) == keys(want)
+    # Multi-task on a 16.5 kb contig: every task's index bins cover the
+    # whole file, so the adaptive guard falls back to whole-file decode.
+    got, _ = run(path, 3)
+    assert got is None
+    # Multi-task on a multi-region BAM: disjoint ranges stream per task.
+    got, want = run(resource_path("gatk_mini_bundle_extract.bam"), 4)
+    assert got is not None and len(want) > 0 and keys(got) == keys(want)
