@@ -17,7 +17,7 @@ TPU-native two-phase design (cf. /root/reference
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence
+from typing import List
 
 import numpy as np
 
@@ -28,10 +28,7 @@ from guacamole_tpu.likelihood import (
     likelihoods_of_all_possible_genotypes_from_pileup,
 )
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
-from guacamole_tpu.pileup.element import PileupElement
 from guacamole_tpu.pileup.pileup import Pileup
-from guacamole_tpu.reads.read import MappedRead
 from guacamole_tpu.utils import bases as Bases
 from guacamole_tpu.variants.called import CalledAllele
 from guacamole_tpu.variants.evidence import AlleleEvidence
@@ -79,20 +76,6 @@ def call_variants_at_locus(
                 )
             )
     return calls
-
-
-def _pileup_from_tile_row(
-    tile: LocusTile, li: int, reads: Sequence[MappedRead]
-) -> Pileup:
-    """Rebuild the exact pileup at a tile row from packed read indices."""
-    locus = int(tile.loci[li])
-    ref_base = int(tile.ref_base[li])
-    elements = [
-        PileupElement.at_locus(reads[int(ri)], locus, ref_base)
-        for ri, ok in zip(tile.read_index[li], tile.valid[li])
-        if ok and ri >= 0
-    ]
-    return Pileup(tile.contig, locus, ref_base, elements)
 
 
 def call_variants(

@@ -33,11 +33,7 @@ from guacamole_tpu.likelihood import (
     probability_correct_including_alignment,
 )
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.pack.fast import pack_tile_fast
-from guacamole_tpu.pack.tiles import LocusTile, pack_tiles
-from guacamole_tpu.pileup.element import PileupElement
 from guacamole_tpu.pileup.pileup import Pileup
-from guacamole_tpu.reads.read import MappedRead
 from guacamole_tpu.utils import bases as Bases
 from guacamole_tpu.variants.allele import Allele
 from guacamole_tpu.variants.called import CalledSomaticAllele
@@ -122,17 +118,6 @@ def find_potential_variant_at_locus(
             normal_reference_evidence=normal_evidence,
         )
     ]
-
-
-def _pileup_from_tile_row(tile, li, reads) -> Pileup:
-    locus = int(tile.loci[li])
-    ref_base = int(tile.ref_base[li])
-    elements = [
-        PileupElement.at_locus(reads[int(ri)], locus, ref_base)
-        for ri, ok in zip(tile.read_index[li], tile.valid[li])
-        if ok and ri >= 0
-    ]
-    return Pileup(tile.contig, locus, ref_base, elements)
 
 
 def call_variants(

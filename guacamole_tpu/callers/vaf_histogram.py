@@ -15,7 +15,6 @@ import numpy as np
 
 from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.ops.dispatch import screen_tile_for
-from guacamole_tpu.pack.tiles import pack_tiles
 from guacamole_tpu.utils.progress import progress
 from guacamole_tpu.variants.allele import Allele
 

@@ -11,14 +11,11 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Sequence
 
-import numpy as np
 
 from guacamole_tpu.gio.vcf import read_vcf
 from guacamole_tpu.loci.locimap import LociMapBuilder
 from guacamole_tpu.loci.lociset import LociSet
 from guacamole_tpu.ops.dispatch import screen_tile_for
-from guacamole_tpu.pack.tiles import pack_tiles
-from guacamole_tpu.pileup.pileup import Pileup
 from guacamole_tpu.utils import bases as Bases
 
 
