@@ -102,6 +102,7 @@ def call_variants(
     }
 
     from guacamole_tpu.ops.dispatch import (
+        candidates_of,
         germline_screen_launch,
         pipelined,
         screen_tile_launch,
@@ -132,7 +133,7 @@ def call_variants(
             # best variant genotype comes within a safety margin of the
             # best reference genotype — a strict superset of exact-argmax
             # variant loci (f32 error << margin).
-            return germline_screen_launch(tile)
+            return germline_screen_launch(tile, min_mapq=min_alignment_quality)
         # Fallback (Python-packed full tiles / Pallas): counting screen
         # over MAPQ-filtered elements — any variant evidence is a
         # candidate.
@@ -147,8 +148,7 @@ def call_variants(
         sample_source, contig, tile = item
         if pending is None:
             continue
-        res = pending.result()
-        cand = res if isinstance(res, np.ndarray) else np.asarray(res.candidates)
+        cand = candidates_of(pending.result())
         candidate_loci = [
             int(tile.loci[li])
             for li in np.flatnonzero(cand | np.asarray(tile.overflow))

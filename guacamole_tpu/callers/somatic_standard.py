@@ -149,6 +149,7 @@ def call_variants(
     inverse = loci_partitions.inverse_map()
 
     from guacamole_tpu.ops.dispatch import (
+        candidates_of,
         pipelined,
         screen_tile_launch,
         tumor_screen_launch,
@@ -178,7 +179,7 @@ def call_variants(
             # likelihoods with a safety margin): a superset of loci the
             # exact somatic kernel can emit, since its other gates (odds,
             # depth bounds, normal evidence) only remove emissions.
-            return tumor_screen_launch(tile)
+            return tumor_screen_launch(tile, min_mapq=min_alignment_quality)
         # Fallback (Python-packed full tiles / Pallas): counting screen.
         return screen_tile_launch(
             tile.allele_id, tile.qual, tile.mapq, tile.strand,
@@ -191,10 +192,7 @@ def call_variants(
     for (contig, tile), pending in pipelined(tiles(), launch):
         if pending is None:
             continue
-        res = pending.result()
-        cand = (
-            res if isinstance(res, np.ndarray) else np.asarray(res.candidates)
-        )
+        cand = candidates_of(pending.result())
         candidates = np.flatnonzero(cand | np.asarray(tile.overflow))
         if len(candidates) == 0:
             continue

@@ -126,34 +126,38 @@ def _partition(args, loci_set, *read_lists):
 def _try_streaming_threshold(args, loci_builder, reference):
     """Streaming germline-threshold (per-task BAM pushdown); None when
     the streaming path is unavailable or unprofitable."""
+    from guacamole_tpu.callers.germline_threshold import (
+        call_variants_streaming,
+    )
+    from guacamole_tpu.loci.partition import partition_loci_uniformly
+    from guacamole_tpu.reads.read import InputFilters
+
     try:
-        from guacamole_tpu.callers.germline_threshold import (
-            call_variants_streaming,
-        )
+        # Availability probing only: a non-BAM input (or malformed header)
+        # falls back to the whole-file loader, which reports its own
+        # errors properly.
         from guacamole_tpu.gio.bam import BamFile
-        from guacamole_tpu.loci.partition import partition_loci_uniformly
-        from guacamole_tpu.reads.read import InputFilters
 
         dictionary = dict(BamFile(args.reads).references)
-        loci_set = loci_builder.result(dictionary)
-        partitions = partition_loci_uniformly(
-            args.parallelism or _default_parallelism(), loci_set
-        )
-        filters = InputFilters.create(
-            overlaps_loci=loci_builder, non_duplicate=True, has_mdtag=True
-        )
-        return call_variants_streaming(
-            args.reads,
-            filters,
-            partitions,
-            threshold_percent=args.threshold,
-            emit_ref=args.emit_ref,
-            emit_no_call=args.emit_no_call,
-            tile_size=args.tile_size,
-            reference_genome=reference,
-        )
     except Exception:
         return None
+    loci_set = loci_builder.result(dictionary)
+    partitions = partition_loci_uniformly(
+        args.parallelism or _default_parallelism(), loci_set
+    )
+    filters = InputFilters.create(
+        overlaps_loci=loci_builder, non_duplicate=True, has_mdtag=True
+    )
+    return call_variants_streaming(
+        args.reads,
+        filters,
+        partitions,
+        threshold_percent=args.threshold,
+        emit_ref=args.emit_ref,
+        emit_no_call=args.emit_no_call,
+        tile_size=args.tile_size,
+        reference_genome=reference,
+    )
 
 
 def cmd_germline_threshold(argv: List[str]) -> int:

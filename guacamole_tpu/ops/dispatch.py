@@ -86,6 +86,12 @@ def tile_packed_nibbles(tile, valid=None) -> np.ndarray:
         if pn is not None and pn.size:
             return pn
         valid = tile.valid
+    if tile.allele_id is None:
+        raise ValueError(
+            "cannot apply a validity mask to a reduced (fields='screen'/"
+            "'likelihood') tile: per-element tensors were not packed; "
+            "pack with fields='full' or bake the filter in via min_mapq"
+        )
     return pack_nibbles(np.asarray(tile.allele_id), np.asarray(valid))
 
 
@@ -130,6 +136,19 @@ def screen_tile_launch(
         )
         pending = PendingScreen(
             out.counts, out.forward_counts, out.depth, out.candidates
+        )
+    elif max_alleles > 15:
+        # Nibble packing reserves 0xF for empty slots; rare K>15 configs
+        # use the unpacked counting kernel.
+        from guacamole_tpu.ops.kernels import tile_stats
+
+        stats = tile_stats(
+            allele_id, strand, valid, is_variant, max_alleles,
+            threshold_percent=threshold_percent,
+        )
+        pending = PendingScreen(
+            stats.counts, stats.forward_counts, stats.depth,
+            stats.variant_evidence,
         )
     else:
         return screen_packed_launch(
@@ -192,6 +211,16 @@ def _bucket_bytes(n: int) -> int:
     return b
 
 
+def candidates_of(result) -> np.ndarray:
+    """The [L] bool candidate mask from either screen-result kind
+    (PendingCandidates ndarray or a ScreenResult)."""
+    return (
+        result
+        if isinstance(result, np.ndarray)
+        else np.asarray(result.candidates)
+    )
+
+
 class PendingCandidates:
     """Dispatched-but-unfetched candidate mask (device array)."""
 
@@ -215,7 +244,17 @@ def ll_pack_of(tile, min_mapq: int = 0) -> np.ndarray:
     packed here from the full per-element tensors."""
     pack = getattr(tile, "ll_pack", None)
     if pack is not None:
+        packed_min = getattr(tile, "ll_min_mapq", None) or 0
+        if packed_min != min_mapq:
+            raise ValueError(
+                "tile was likelihood-packed with min_mapq=%d but the "
+                "screen requested min_mapq=%d" % (packed_min, min_mapq)
+            )
         return pack
+    if tile.valid is None:
+        raise ValueError(
+            "tile has neither a native ll_pack nor per-element tensors"
+        )
     keep = np.asarray(tile.valid)
     if min_mapq > 0:
         keep = keep & (np.asarray(tile.mapq) >= min_mapq)
@@ -248,11 +287,19 @@ def germline_screen_launch(
     )
 
 
-def tumor_screen_launch(tile, margin: float = 0.5) -> PendingCandidates:
+def tumor_screen_launch(
+    tile, min_mapq: int = 0, margin: float = 0.5
+) -> PendingCandidates:
     """Dispatch the alignment-included tumor likelihood screen for one
     tile packed with fields="likelihood_mapq"."""
     from guacamole_tpu.ops.kernels import tumor_likelihood_screen
 
+    packed_min = getattr(tile, "ll_min_mapq", None) or 0
+    if packed_min != min_mapq:
+        raise ValueError(
+            "tile was likelihood-packed with min_mapq=%d but the screen "
+            "requested min_mapq=%d" % (packed_min, min_mapq)
+        )
     return PendingCandidates(
         tumor_likelihood_screen(
             tile.ll_pack,
@@ -403,19 +450,26 @@ def pipelined_batched_screens(
         members = groups.pop(key)
         tiles = [tile_of(it) for it in members]
         t0 = tiles[0]
-        if use_pallas():
-            cat = np.concatenate
-            allele_id = cat([t.allele_id for t in tiles])
-            qual = cat([t.qual for t in tiles])
-            mapq = cat([t.mapq for t in tiles])
-            strand = cat([t.strand for t in tiles])
-            valid = cat(
-                [
-                    valid_of(t) if valid_of is not None else t.valid
-                    for t in tiles
-                ]
-            )
-            is_variant = cat([t.is_variant for t in tiles])
+        if use_pallas() or t0.K > 15:
+            if len(tiles) == 1:
+                allele_id, qual, mapq, strand = (
+                    t0.allele_id, t0.qual, t0.mapq, t0.strand,
+                )
+                valid = valid_of(t0) if valid_of is not None else t0.valid
+                is_variant = t0.is_variant
+            else:
+                cat = np.concatenate
+                allele_id = cat([t.allele_id for t in tiles])
+                qual = cat([t.qual for t in tiles])
+                mapq = cat([t.mapq for t in tiles])
+                strand = cat([t.strand for t in tiles])
+                valid = cat(
+                    [
+                        valid_of(t) if valid_of is not None else t.valid
+                        for t in tiles
+                    ]
+                )
+                is_variant = cat([t.is_variant for t in tiles])
             launched = screen_tile_launch(
                 allele_id, qual, mapq, strand, valid, is_variant, t0.K,
                 threshold_percent=threshold_percent,

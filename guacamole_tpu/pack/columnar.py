@@ -241,6 +241,7 @@ def _pack_tile_native(
         ll_mapq=(
             out["ll_mapq"].reshape(L, D) if out["ll_mapq"].size else None
         ),
+        ll_min_mapq=min_mapq if fields.startswith("likelihood") else 0,
     )
 
 
@@ -322,6 +323,12 @@ def _depth_per_locus(
     ).astype(np.int64)
 
 
+# Depth cap for fields="likelihood*" tiles: deeper rows take the exact
+# host path (f32 row error at this depth is ~2e-6 * 16384 ~ 0.03, far
+# inside the 0.5 screen margin).
+LIKELIHOOD_DEPTH_CAP = 16384
+
+
 def _depth_bucket(depth: np.ndarray) -> np.ndarray:
     """Bucket ceiling for each depth: 8, 16, 32, ... (powers of two; the
     compiled-shape set stays small while halving pile padding vs a x4
@@ -379,6 +386,12 @@ def iter_tiles_columnar(
         depth_bucketing = False
     if depth_bucketing and len(all_loci):
         buckets = _depth_bucket(_depth_per_locus(cols, contig_id, all_loci))
+        if fields.startswith("likelihood"):
+            # Cap the likelihood screen's depth axis: rows deeper than the
+            # cap overflow to the exact host path (keeping f32 summation
+            # error far below the screen margin) instead of inflating the
+            # dense [L, D] grid.
+            buckets = np.minimum(buckets, LIKELIHOOD_DEPTH_CAP)
         # A bucket only gets its own tiles when it can fill at least one:
         # sub-tile buckets merge upward into the next deeper bucket, so
         # kernel dispatch count stays close to the unbucketed tiling.

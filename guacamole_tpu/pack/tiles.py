@@ -87,6 +87,9 @@ class LocusTile:
     # fields="likelihood_mapq" additionally: [L, D] uint8 per-element read
     # MAPQ, for alignment-included likelihoods (somatic tumor screen).
     ll_mapq: Optional[np.ndarray] = None
+    # The MAPQ filter baked into ll_pack at pack time (screen launches
+    # verify they request the same threshold).
+    ll_min_mapq: int = 0
 
     @property
     def L(self) -> int:
@@ -354,6 +357,51 @@ def pad_tile_loci(tile: LocusTile, target_l: int) -> LocusTile:
     pad = target_l - tile.L
     if pad <= 0:
         return tile
+    if tile.ll_pack is not None and tile.allele_id is None:
+        # Likelihood-mode tiles: pad the screen encodings with empty rows.
+        import dataclasses
+
+        return dataclasses.replace(
+            tile,
+            loci=np.concatenate(
+                [tile.loci, np.full(pad, -1, dtype=np.int64)]
+            ),
+            ref_base=np.concatenate(
+                [tile.ref_base, np.zeros(pad, dtype=tile.ref_base.dtype)]
+            ),
+            depth=np.concatenate(
+                [tile.depth, np.zeros(pad, dtype=tile.depth.dtype)]
+            ),
+            alleles=tile.alleles + [[] for _ in range(pad)],
+            is_variant=np.concatenate(
+                [tile.is_variant, np.zeros((pad, tile.K), dtype=bool)]
+            ),
+            is_standard_alt=np.concatenate(
+                [tile.is_standard_alt, np.zeros((pad, tile.K), dtype=bool)]
+            ),
+            num_alleles=np.concatenate(
+                [tile.num_alleles, np.zeros(pad, tile.num_alleles.dtype)]
+            ),
+            overflow=np.concatenate(
+                [tile.overflow, np.zeros(pad, dtype=bool)]
+            ),
+            ll_pack=np.concatenate(
+                [
+                    tile.ll_pack,
+                    np.full((pad, tile.ll_pack.shape[1]), 0xFFFF, np.uint16),
+                ]
+            ),
+            ll_mapq=(
+                None
+                if tile.ll_mapq is None
+                else np.concatenate(
+                    [
+                        tile.ll_mapq,
+                        np.zeros((pad, tile.ll_mapq.shape[1]), np.uint8),
+                    ]
+                )
+            ),
+        )
     if tile.csr_nib is not None:
         # Screen-mode CSR tiles: sentinel rows contribute zero bytes.
         import dataclasses

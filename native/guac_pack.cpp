@@ -283,6 +283,9 @@ void* guac_pack_tile(
     max_depth = std::max<int64_t>(max_depth, t->depth[i]);
   int64_t D =
       depth_pad > 0 ? depth_pad : pad_depth(std::max<int64_t>(max_depth, 1));
+  // Likelihood-mode depth cap (matches pack/columnar.py
+  // LIKELIHOOD_DEPTH_CAP): deeper rows overflow to the exact host path.
+  if (mode == 2 || mode == 3) D = std::min<int64_t>(D, 16384);
   t->D = D;
 
   // Pass 2: reference base per locus. Sentinel rows (>= n_loci) stay 0 to

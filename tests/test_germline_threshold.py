@@ -214,3 +214,29 @@ def test_streaming_matches_whole_file():
     # Multi-task on a multi-region BAM: disjoint ranges stream per task.
     got, want = run(resource_path("gatk_mini_bundle_extract.bam"), 4)
     assert got is not None and len(want) > 0 and keys(got) == keys(want)
+
+
+def test_max_alleles_above_nibble_range():
+    """K > 15 cannot use 4-bit encodings; the dispatch layer must fall
+    back to the unpacked counting kernel instead of asserting."""
+    from guacamole_tpu.callers.common import load_read_source
+    from guacamole_tpu.callers.germline_threshold import call_variants
+    from guacamole_tpu.loci.lociset import parse_loci
+    from guacamole_tpu.loci.partition import partition_loci_uniformly
+    from guacamole_tpu.reads.read import InputFilters
+
+    filters = InputFilters.create(
+        overlaps_loci=parse_loci("all"), non_duplicate=True, has_mdtag=True
+    )
+    source, contig_lengths = load_read_source(
+        resource_path("chrM.sorted.bam"), filters
+    )
+    loci = parse_loci("chrM:0-3000").result(contig_lengths)
+    partitions = partition_loci_uniformly(1, loci)
+    want = call_variants(source, partitions, threshold_percent=8)
+    got = call_variants(
+        source, partitions, threshold_percent=8, max_alleles=16
+    )
+    assert [(c.start, c.allele) for c in got] == [
+        (c.start, c.allele) for c in want
+    ]
