@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.ops.dispatch import screen_tile_for
+from guacamole_tpu.ops.dispatch import pipelined_batched_screens
 from guacamole_tpu.utils.progress import progress
 from guacamole_tpu.variants.allele import Allele
 
@@ -49,47 +49,55 @@ def variant_loci_from_reads(
     sample_name = names[0] if names else "default"
     out: List[VariantLocus] = []
     inverse = loci_partitions.inverse_map()
-    for task in sorted(inverse):
-        task_loci = inverse[task]
-        for contig in task_loci.contigs:
-            tiles = source.pack_tiles(
-                contig,
-                task_loci.on_contig(contig),
-                tile_size=tile_size,
-                fields="screen",
-            )
-            for tile in tiles:
-                stats = screen_tile_for(tile)
-                counts = stats.counts
-                for li in range(tile.L):
-                    depth = int(tile.depth[li])
-                    if depth == 0:
-                        continue
-                    rb = int(tile.ref_base[li])
-                    ref_allele = Allele(bytes([rb]), bytes([rb]))
-                    table = tile.alleles[li]
-                    try:
-                        ref_id = table.index(ref_allele)
-                    except ValueError:
-                        ref_id = -1
-                    if tile.overflow[li]:
-                        # exact host fallback
-                        pileup = source.pileup_at(contig, int(tile.loci[li]))
-                        depth = pileup.depth
-                        ref_depth = pileup.reference_depth
-                    else:
-                        ref_depth = (
-                            int(counts[li, ref_id]) if 0 <= ref_id < tile.K else 0
-                        )
-                    if ref_depth == depth:
-                        continue
-                    vaf = (depth - ref_depth) / depth
-                    if depth >= min_read_depth and vaf >= (
-                        min_variant_allele_frequency / 100.0
-                    ):
-                        out.append(
-                            VariantLocus(contig, int(tile.loci[li]), vaf)
-                        )
+
+    def tiles():
+        for task in sorted(inverse):
+            task_loci = inverse[task]
+            for contig in task_loci.contigs:
+                for tile in source.iter_tiles(
+                    contig,
+                    task_loci.on_contig(contig),
+                    tile_size=tile_size,
+                    fields="screen",
+                ):
+                    yield contig, tile
+
+    for (contig, tile), pending in pipelined_batched_screens(
+        tiles(), tile_of=lambda item: item[1]
+    ):
+        stats = pending.result() if pending is not None else None
+        if stats is None:
+            continue
+        counts = stats.counts
+        for li in range(tile.L):
+            depth = int(tile.depth[li])
+            if depth == 0:
+                continue
+            rb = int(tile.ref_base[li])
+            ref_allele = Allele(bytes([rb]), bytes([rb]))
+            table = tile.alleles[li]
+            try:
+                ref_id = table.index(ref_allele)
+            except ValueError:
+                ref_id = -1
+            if tile.overflow[li]:
+                # exact host fallback
+                pileup = source.pileup_at(contig, int(tile.loci[li]))
+                depth = pileup.depth
+                ref_depth = pileup.reference_depth
+            else:
+                ref_depth = (
+                    int(counts[li, ref_id]) if 0 <= ref_id < tile.K else 0
+                )
+            if ref_depth == depth:
+                continue
+            vaf = (depth - ref_depth) / depth
+            if depth >= min_read_depth and vaf >= (
+                min_variant_allele_frequency / 100.0
+            ):
+                out.append(
+                    VariantLocus(contig, int(tile.loci[li]), vaf)
+                )
     if print_stats and out:
         vafs = np.array([v.variant_allele_frequency for v in out])
         if sample_percent < 100:

@@ -15,7 +15,7 @@ from typing import List, Sequence
 from guacamole_tpu.gio.vcf import read_vcf
 from guacamole_tpu.loci.locimap import LociMapBuilder
 from guacamole_tpu.loci.lociset import LociSet
-from guacamole_tpu.ops.dispatch import screen_tile_for
+from guacamole_tpu.ops.dispatch import pipelined_batched_screens
 from guacamole_tpu.utils import bases as Bases
 
 
@@ -58,13 +58,20 @@ def pileup_allele_counts(
     out: List[AlleleCount] = []
     names = source.sample_names()
     sample = names[0] if names else "default"
-    for contig in loci.contigs:
-        tiles = source.pack_tiles(
-            contig, loci.on_contig(contig), tile_size=tile_size,
-            fields="screen",
-        )
-        for tile in tiles:
-            stats = screen_tile_for(tile)
+
+    def tiles():
+        for contig in loci.contigs:
+            for tile in source.iter_tiles(
+                contig, loci.on_contig(contig), tile_size=tile_size,
+                fields="screen",
+            ):
+                yield contig, tile
+
+    for (contig, tile), pending in pipelined_batched_screens(
+        tiles(), tile_of=lambda item: item[1]
+    ):
+        if pending is not None:
+            stats = pending.result()
             counts = stats.counts
             for li in range(tile.L):
                 if tile.depth[li] == 0:
