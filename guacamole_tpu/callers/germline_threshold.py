@@ -255,10 +255,6 @@ def call_variants(
         name: source.for_sample(name) for name in source.sample_names()
     }
 
-    # Pipelined execution: launch the screen kernel for each packed tile
-    # immediately (JAX dispatch is async), classify once a bounded window
-    # of tiles is in flight, so host packing/classification overlaps the
-    # device kernels and the tunnel's device->host latency.
     def tiles():
         for task in sorted(inverse):
             task_loci = inverse[task]
@@ -274,8 +270,25 @@ def call_variants(
                     ):
                         yield tile, sample_name, sample_source
 
+    calls.extend(
+        _screen_and_classify(
+            tiles(), threshold_percent, emit_ref, emit_no_call
+        )
+    )
+    return calls
+
+
+def _screen_and_classify(
+    tile_items, threshold_percent, emit_ref, emit_no_call
+) -> List[ThresholdCall]:
+    """Pipelined execution over (tile, sample_name, source) items: launch
+    the screen kernel for each packed tile immediately (JAX dispatch is
+    async), classify once a bounded window of tiles is in flight, so host
+    packing/classification overlaps the device kernels and the tunnel's
+    device->host latency. Returns calls in deterministic order."""
+    calls: List[ThresholdCall] = []
     for (tile, name, src), pending in pipelined_batched_screens(
-        tiles(),
+        tile_items,
         tile_of=lambda item: item[0],
         threshold_percent=threshold_percent,
     ):
@@ -313,26 +326,34 @@ def call_variants_streaming(
     unavailable (non-BAM input, no native runtime/index) — callers then
     use load_read_source + call_variants."""
     from guacamole_tpu.callers.streaming import iter_task_sources
-    from guacamole_tpu.loci.locimap import LociMapBuilder
 
     task_sources = iter_task_sources(path, filters, loci_partitions)
     if task_sources is None:
         return None
-    calls: List[ThresholdCall] = []
-    for task, task_loci, source in task_sources:
-        builder = LociMapBuilder()
-        builder.put_loci_set(task_loci, 0)
-        calls.extend(
-            call_variants(
-                source,
-                builder.result(),
-                threshold_percent=threshold_percent,
-                emit_ref=emit_ref,
-                emit_no_call=emit_no_call,
-                tile_size=tile_size,
-                max_alleles=max_alleles,
-                reference_genome=reference_genome,
-            )
-        )
-    calls.sort(key=lambda c: (c.contig, c.start, c.sample_name, c.allele))
-    return calls
+
+    # One pipeline across ALL tasks: tiles from task i+1 keep the device
+    # busy while task i's tail classifies, and each task's decode was
+    # already prefetched on a background thread.
+    def tiles():
+        for task, task_loci, source in task_sources:
+            sample_sources = {
+                name: source.for_sample(name)
+                for name in source.sample_names()
+            }
+            for sample_name, sample_source in sorted(
+                sample_sources.items()
+            ):
+                for contig in task_loci.contigs:
+                    for tile in sample_source.iter_tiles(
+                        contig,
+                        task_loci.on_contig(contig),
+                        tile_size=tile_size,
+                        max_alleles=max_alleles,
+                        reference_genome=reference_genome,
+                        fields="screen",
+                    ):
+                        yield tile, sample_name, sample_source
+
+    return _screen_and_classify(
+        tiles(), threshold_percent, emit_ref, emit_no_call
+    )

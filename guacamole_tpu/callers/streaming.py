@@ -45,7 +45,9 @@ def ensure_bam_index(path: str) -> Optional[str]:
             f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}".encode()
         ).hexdigest()[:16]
         cached = os.path.join(_cache_dir(), f"{key}.bai")
-        if os.path.exists(cached):
+        # The fine (.gli) sidecar is built together with the .bai; a cache
+        # entry missing it predates the sidecar and gets rebuilt.
+        if os.path.exists(cached) and os.path.exists(cached + ".gli"):
             return cached
         from guacamole_tpu.gio.bai import build_bam_index
 
@@ -62,12 +64,16 @@ def ensure_bam_index(path: str) -> Optional[str]:
 
 def chunks_for_loci_set(path: str, bai_path: str, loci_set: LociSet):
     """Merged BGZF chunks covering every read that overlaps loci_set."""
-    from guacamole_tpu.gio.bai import BamIndex, optimize_chunks
+    from guacamole_tpu.gio.bai import BamIndex, FineIndex, optimize_chunks
     from guacamole_tpu.gio.bam import BamFile
 
     bam = BamFile(path)
     ref_ids = {name: i for i, (name, _) in enumerate(bam.references)}
-    index = BamIndex(bai_path)
+    index = (
+        FineIndex(bai_path + ".gli")
+        if os.path.exists(bai_path + ".gli")
+        else BamIndex(bai_path)
+    )
     lists = []
     for contig in loci_set.contigs:
         rid = ref_ids.get(contig)

@@ -147,6 +147,11 @@ def build_bam_index(bam_path: str, bai_path: Optional[str] = None) -> str:
 
     bins: List[Dict[int, List[Chunk]]] = [dict() for _ in range(n_ref)]
     linear: List[Dict[int, int]] = [dict() for _ in range(n_ref)]
+    # Fine-grained sidecar: per FINE_WINDOW bp window, the (min vstart,
+    # max vend) of records overlapping it — byte-exact region pushdown at
+    # 1 kb granularity where .bai's 16 kb windows are too coarse (deep
+    # tiny contigs like chrM).
+    fine: List[Dict[int, Chunk]] = [dict() for _ in range(n_ref)]
     n = len(data)
     while pos + 4 <= n:
         block_size = struct.unpack_from("<i", data, pos)[0]
@@ -180,6 +185,14 @@ def build_bam_index(bam_path: str, bai_path: Optional[str] = None) -> str:
         for w in range(pos0 >> 14, ((end - 1) >> 14) + 1):
             if w not in lin or vstart < lin[w]:
                 lin[w] = vstart
+        fw = fine[ref_id]
+        for w in range(pos0 >> FINE_SHIFT, ((end - 1) >> FINE_SHIFT) + 1):
+            cur = fw.get(w)
+            fw[w] = (
+                (vstart, vend)
+                if cur is None
+                else (min(cur[0], vstart), max(cur[1], vend))
+            )
 
     out = bytearray()
     out += BAI_MAGIC
@@ -202,7 +215,66 @@ def build_bam_index(bam_path: str, bai_path: Optional[str] = None) -> str:
             out += struct.pack("<Q", fill)
     with open(bai_path, "wb") as f:
         f.write(bytes(out))
+    _write_fine_index(bai_path + ".gli", fine)
     return bai_path
+
+
+FINE_SHIFT = 10  # 1 kb fine-index windows
+GLI_MAGIC = b"GLI\x01"
+
+
+def _write_fine_index(path: str, fine: List[Dict[int, Chunk]]) -> None:
+    out = bytearray()
+    out += GLI_MAGIC
+    out += struct.pack("<i", len(fine))
+    for fw in fine:
+        n_win = (max(fw) + 1) if fw else 0
+        out += struct.pack("<i", n_win)
+        for w in range(n_win):
+            beg, end = fw.get(w, (0, 0))
+            out += struct.pack("<QQ", beg, end)
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+class FineIndex:
+    """The .gli sidecar: per 1 kb window, the (min vstart, max vend) of
+    records overlapping it. One merged chunk per queried range."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:4] != GLI_MAGIC:
+            raise ValueError(f"Not a GLI index: {path}")
+        n_ref = struct.unpack_from("<i", data, 4)[0]
+        pos = 8
+        self.windows: List[List[Chunk]] = []
+        for _ in range(n_ref):
+            n_win = struct.unpack_from("<i", data, pos)[0]
+            pos += 4
+            vals = struct.unpack_from("<%dQ" % (2 * n_win), data, pos)
+            pos += 16 * n_win
+            self.windows.append(
+                [(vals[2 * i], vals[2 * i + 1]) for i in range(n_win)]
+            )
+
+    def chunks_for_region(
+        self, ref_id: int, beg: int, end: int
+    ) -> List[Chunk]:
+        if ref_id < 0 or ref_id >= len(self.windows) or end <= beg:
+            return []
+        wins = self.windows[ref_id]
+        lo = beg >> FINE_SHIFT
+        hi = min(((end - 1) >> FINE_SHIFT) + 1, len(wins))
+        cbeg = None
+        cend = 0
+        for w in range(lo, hi):
+            b, e = wins[w]
+            if e == 0:
+                continue
+            cbeg = b if cbeg is None else min(cbeg, b)
+            cend = max(cend, e)
+        return [] if cbeg is None else [(cbeg, cend)]
 
 
 def optimize_chunks(chunk_lists: List[List[Chunk]]) -> List[Chunk]:

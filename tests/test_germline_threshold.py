@@ -207,10 +207,11 @@ def test_streaming_matches_whole_file():
     # Single-task streaming on chrM: pushdown covers the file once.
     got, want = run(path, 1)
     assert got is not None and keys(got) == keys(want)
-    # Multi-task on a 16.5 kb contig: every task's index bins cover the
-    # whole file, so the adaptive guard falls back to whole-file decode.
-    got, _ = run(path, 3)
-    assert got is None
+    # Multi-task on a 16.5 kb contig: .bai's 16 kb windows would cover
+    # the whole file per task, but the fine (1 kb) sidecar index splits
+    # the byte ranges, so streaming works and matches.
+    got, want = run(path, 3)
+    assert got is not None and keys(got) == keys(want)
     # Multi-task on a multi-region BAM: disjoint ranges stream per task.
     got, want = run(resource_path("gatk_mini_bundle_extract.bam"), 4)
     assert got is not None and len(want) > 0 and keys(got) == keys(want)
