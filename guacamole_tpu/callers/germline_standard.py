@@ -227,9 +227,7 @@ def main(argv, _add_fns) -> int:
     _add_fns["distributed"](p)
     p.add_argument("--emit-ref", action="store_true")
     p.add_argument("--reference-fasta", default=None)
-    p.add_argument(
-        "--truth", default="", help="Truth VCF to compute concordance against"
-    )
+    _add_fns["concordance"](p)
     # pileup filter args (PileupFilter.scala:48-59)
     p.add_argument("--min-mapq", type=int, default=1, dest="min_alignment_quality")
     p.add_argument("--filter-multi-allelic", action="store_true")
@@ -239,6 +237,11 @@ def main(argv, _add_fns) -> int:
     p.add_argument("--max-read-depth", type=int, default=2**31 - 1)
     p.add_argument("--min-alternate-read-depth", type=int, default=0)
     p.add_argument("--min-likelihood", type=int, default=0)
+    p.add_argument(
+        "--debug-genotype-filters",
+        action="store_true",
+        help="Print count of genotypes after each filtering step",
+    )
     args = p.parse_args(argv)
 
     validate_output_path(args.out)
@@ -276,6 +279,7 @@ def main(argv, _add_fns) -> int:
         max_read_depth=args.max_read_depth,
         min_alternate_read_depth=args.min_alternate_read_depth,
         min_likelihood=args.min_likelihood,
+        debug=args.debug_genotype_filters,
     )
     progress("Called %d genotypes after filtering." % len(filtered))
     records = [called_allele_to_vcf_record(c) for c in filtered]
@@ -286,7 +290,5 @@ def main(argv, _add_fns) -> int:
         max_genotypes=args.max_genotypes,
     )
     if args.truth:
-        from guacamole_tpu.concordance import print_genotype_concordance
-
-        print_genotype_concordance(records, args.truth)
+        _add_fns["print_concordance"](args, records)
     return 0

@@ -353,6 +353,11 @@ def main(argv, _add_fns) -> int:
     p.add_argument("--max-tumor-read-depth", type=int, default=INT_MAX)
     p.add_argument("--min-tumor-alternate-read-depth", type=int, default=0)
     p.add_argument("--max-median-mismatches", type=int, default=INT_MAX)
+    p.add_argument(
+        "--debug-genotype-filters",
+        action="store_true",
+        help="Print count of genotypes after each filtering step",
+    )
     args = p.parse_args(argv)
 
     validate_output_path(args.out)
@@ -437,6 +442,7 @@ def main(argv, _add_fns) -> int:
         min_average_mapping_quality=args.min_average_mapping_quality,
         min_average_base_quality=args.min_average_base_quality,
         maximum_median_mismatches=args.max_median_mismatches,
+        debug=args.debug_genotype_filters,
     )
     progress("Computed %d genotypes after basic filtering." % len(filtered))
     write_variants(

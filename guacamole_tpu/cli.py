@@ -66,6 +66,36 @@ def _add_read_loading_args(p: argparse.ArgumentParser) -> None:
     )
 
 
+def _add_concordance_args(p: argparse.ArgumentParser) -> None:
+    """Concordance arg trait (cf. reference Concordance.scala:40-52)."""
+    p.add_argument(
+        "--truth", default="", help="Truth VCF to compute concordance against"
+    )
+    p.add_argument(
+        "--exclude-snv",
+        action="store_true",
+        help="Exclude SNV variants in comparison",
+    )
+    p.add_argument(
+        "--exclude-indel",
+        action="store_true",
+        help="Exclude indel variants in comparison",
+    )
+    p.add_argument("--chr", default="", help="Chromosome to filter to")
+
+
+def _print_concordance(args, records) -> None:
+    from guacamole_tpu.concordance import print_genotype_concordance
+
+    print_genotype_concordance(
+        records,
+        args.truth,
+        exclude_snvs=args.exclude_snv,
+        exclude_indels=args.exclude_indel,
+        chromosome=args.chr,
+    )
+
+
 def _add_output_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--out",
@@ -184,9 +214,7 @@ def cmd_germline_threshold(argv: List[str]) -> int:
         "--emit-no-call", action="store_true", help="Output no-call calls"
     )
     p.add_argument("--reference-fasta", default=None, help="Reference FASTA")
-    p.add_argument(
-        "--truth", default="", help="Truth VCF to compute concordance against"
-    )
+    _add_concordance_args(p)
     args = p.parse_args(argv)
 
     from guacamole_tpu.callers.common import (
@@ -258,9 +286,7 @@ def cmd_germline_threshold(argv: List[str]) -> int:
         max_genotypes=args.max_genotypes,
     )
     if args.truth:
-        from guacamole_tpu.concordance import print_genotype_concordance
-
-        print_genotype_concordance(records, args.truth)
+        _print_concordance(args, records)
     DelayedMessages.default.print()
     return 0
 
@@ -302,6 +328,8 @@ ARG_HELPERS = {
     "tumor_normal": _add_tumor_normal_args,
     "output": _add_output_args,
     "distributed": _add_distributed_args,
+    "concordance": _add_concordance_args,
+    "print_concordance": _print_concordance,
     "partition": _partition,
     "default_parallelism": _default_parallelism,
 }

@@ -10,7 +10,6 @@ from dataclasses import dataclass
 from typing import Iterable, Sequence, Set, Tuple
 
 from guacamole_tpu.gio.vcf import SimpleVariant, VcfRecord, read_vcf
-from guacamole_tpu.utils.progress import progress
 
 Site = Tuple[str, int, str, str]  # (contig, start0, ref, alt)
 
@@ -37,6 +36,29 @@ class ConcordanceResult:
         return 2 * p * r / (p + r) if (p + r) else 0.0
 
 
+def _is_snv(ref: str, alt: str) -> bool:
+    return len(ref) == 1 and len(alt) == 1 and ref != alt
+
+
+def _is_indel(ref: str, alt: str) -> bool:
+    return len(ref) != len(alt)
+
+
+def _site_passes(
+    site: Site, exclude_snvs: bool, exclude_indels: bool, chromosome: str
+) -> bool:
+    """The reference's relevantVariants predicate (Concordance.scala:77-83):
+    keep a variant iff it is on the requested chromosome (if any) AND is
+    either a non-excluded SNV or a non-excluded insertion/deletion. Variants
+    that are neither (MNVs/complex) are always dropped, as there."""
+    contig, _, ref, alt = site
+    if chromosome and contig != chromosome:
+        return False
+    return (not exclude_snvs and _is_snv(ref, alt)) or (
+        not exclude_indels and _is_indel(ref, alt)
+    )
+
+
 def _call_sites(records: Iterable[VcfRecord]) -> Set[Site]:
     return {(r.contig, r.start, r.ref, r.alt) for r in records}
 
@@ -48,11 +70,21 @@ def _truth_sites(variants: Iterable[SimpleVariant]) -> Set[Site]:
 
 
 def compute_concordance(
-    calls: Sequence[VcfRecord], truth_vcf_path: str
+    calls: Sequence[VcfRecord],
+    truth_vcf_path: str,
+    exclude_snvs: bool = False,
+    exclude_indels: bool = False,
+    chromosome: str = "",
 ) -> ConcordanceResult:
-    """Exact-site (contig, position, ref, alt) concordance."""
-    called = _call_sites(calls)
-    truth = _truth_sites(read_vcf(truth_vcf_path))
+    """Exact-site (contig, position, ref, alt) concordance, with the
+    reference's SNV/indel/chromosome pre-filters applied to both the calls
+    and the truth set (Concordance.scala:72-90)."""
+
+    def keep(s: Site) -> bool:
+        return _site_passes(s, exclude_snvs, exclude_indels, chromosome)
+
+    called = {s for s in _call_sites(calls) if keep(s)}
+    truth = {s for s in _truth_sites(read_vcf(truth_vcf_path)) if keep(s)}
     tp = len(called & truth)
     return ConcordanceResult(
         true_positives=tp,
@@ -62,11 +94,24 @@ def compute_concordance(
 
 
 def print_genotype_concordance(
-    calls: Sequence[VcfRecord], truth_vcf_path: str
+    calls: Sequence[VcfRecord],
+    truth_vcf_path: str,
+    exclude_snvs: bool = False,
+    exclude_indels: bool = False,
+    chromosome: str = "",
 ) -> ConcordanceResult:
-    result = compute_concordance(calls, truth_vcf_path)
-    progress(
-        "precision = %f, recall = %f, f1-score = %f"
-        % (result.precision, result.recall, result.f1_score)
+    """Print precision/recall/F1 in the reference's tab-separated format
+    (Concordance.scala:124-129). The reference's destructuring there swaps
+    the first two values returned by computePrecisionAndRecall (which
+    returns (recall, precision, f1)); we print each metric under its
+    correct header — see DEVIATIONS.md."""
+    result = compute_concordance(
+        calls,
+        truth_vcf_path,
+        exclude_snvs=exclude_snvs,
+        exclude_indels=exclude_indels,
+        chromosome=chromosome,
     )
+    print("Precision\tRecall\tF1Score")
+    print("%f\t%f\t%f" % (result.precision, result.recall, result.f1_score))
     return result

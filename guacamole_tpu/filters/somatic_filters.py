@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 from typing import List, Sequence
 
+from guacamole_tpu.filters.genotype_filters import print_filter_progress
 from guacamole_tpu.variants.called import CalledSomaticAllele
 
 
@@ -85,40 +86,48 @@ def apply_somatic_filters(
     min_average_mapping_quality: int = 0,
     min_average_base_quality: int = 0,
     maximum_median_mismatches: int = 2**31 - 1,
+    debug: bool = False,
 ) -> List[CalledSomaticAllele]:
     """The full somatic filter chain in the reference's fixed order
-    (SomaticGenotypeFilter.scala:285-307)."""
-    out = [
+    (SomaticGenotypeFilter.scala:285-307); `debug` prints the genotype
+    count after each step (--debug-genotype-filters)."""
+
+    def step(filtered: List[CalledSomaticAllele]) -> List[CalledSomaticAllele]:
+        if debug:
+            print_filter_progress(filtered)
+        return filtered
+
+    out = step([
         g
         for g in genotypes
         if somatic_within_read_depth_range(
             g, min_tumor_read_depth, max_tumor_read_depth, min_normal_read_depth
         )
-    ]
+    ])
     if min_tumor_alternate_read_depth > 0:
-        out = [
+        out = step([
             g
             for g in out
             if somatic_minimum_alternate_read_depth(
                 g, min_tumor_alternate_read_depth
             )
-        ]
-    out = [g for g in out if somatic_minimum_log_odds(g, min_log_odds)]
-    out = [g for g in out if somatic_minimum_likelihood(g, min_likelihood)]
-    out = [g for g in out if somatic_minimum_vaf(g, min_vaf)]
-    out = [
+        ])
+    out = step([g for g in out if somatic_minimum_log_odds(g, min_log_odds)])
+    out = step([g for g in out if somatic_minimum_likelihood(g, min_likelihood)])
+    out = step([g for g in out if somatic_minimum_vaf(g, min_vaf)])
+    out = step([
         g
         for g in out
         if somatic_minimum_average_mapping_quality(g, min_average_mapping_quality)
-    ]
-    out = [
+    ])
+    out = step([
         g
         for g in out
         if somatic_minimum_average_base_quality(g, min_average_base_quality)
-    ]
-    out = [
+    ])
+    out = step([
         g
         for g in out
         if somatic_maximum_median_mismatch(g, maximum_median_mismatches)
-    ]
+    ])
     return out

@@ -205,3 +205,59 @@ class TestConcordance:
         assert 0 < result.precision < 1
         assert 0 < result.recall <= 1
         assert 0 < result.f1_score < 1
+
+    def test_concordance_variant_type_and_chromosome_filters(self, tmp_path):
+        """--exclude-snv / --exclude-indel / --chr semantics
+        (Concordance.scala:44-51, 77-83)."""
+        truth = tmp_path / "truth.vcf"
+        truth.write_text(
+            "##fileformat=VCFv4.1\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            "20\t100\t.\tA\tT\t.\t.\t.\n"  # SNV on 20
+            "20\t200\t.\tAC\tA\t.\t.\t.\n"  # deletion on 20
+            "21\t300\t.\tG\tC\t.\t.\t.\n"  # SNV on 21
+            "20\t400\t.\tAT\tGC\t.\t.\t.\n"  # MNV: never counted
+        )
+        calls = [
+            VcfRecord(contig="20", start=99, ref="A", alt="T"),
+            VcfRecord(contig="20", start=199, ref="AC", alt="A"),
+            VcfRecord(contig="21", start=299, ref="G", alt="C"),
+            VcfRecord(contig="20", start=399, ref="AT", alt="GC"),
+        ]
+        # No excludes: SNVs + indels on all contigs; MNVs always dropped.
+        r = compute_concordance(calls, str(truth))
+        assert (r.true_positives, r.false_positives, r.false_negatives) == (3, 0, 0)
+        # Exclude SNVs: only the deletion remains.
+        r = compute_concordance(calls, str(truth), exclude_snvs=True)
+        assert r.true_positives == 1
+        # Exclude indels: the two SNVs remain.
+        r = compute_concordance(calls, str(truth), exclude_indels=True)
+        assert r.true_positives == 2
+        # Chromosome filter composes with the type filter.
+        r = compute_concordance(
+            calls, str(truth), exclude_indels=True, chromosome="20"
+        )
+        assert (r.true_positives, r.false_positives, r.false_negatives) == (1, 0, 0)
+        # Excluding both variant classes leaves nothing.
+        r = compute_concordance(
+            calls, str(truth), exclude_snvs=True, exclude_indels=True
+        )
+        assert (r.true_positives, r.false_positives, r.false_negatives) == (0, 0, 0)
+
+    def test_print_concordance_reference_format(self, tmp_path, capsys):
+        """printGenotypeConcordance emits the tab-separated header + values
+        (Concordance.scala:127-128)."""
+        from guacamole_tpu.concordance import print_genotype_concordance
+
+        truth = tmp_path / "truth.vcf"
+        truth.write_text(
+            "##fileformat=VCFv4.1\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+            "20\t100\t.\tA\tT\t.\t.\t.\n"
+        )
+        calls = [VcfRecord(contig="20", start=99, ref="A", alt="T")]
+        result = print_genotype_concordance(calls, str(truth))
+        out = capsys.readouterr().out.splitlines()
+        assert out[0] == "Precision\tRecall\tF1Score"
+        assert out[1] == "1.000000\t1.000000\t1.000000"
+        assert result.f1_score == 1.0

@@ -89,6 +89,19 @@ def test_genotype_filters():
     assert apply_genotype_filters(calls, min_likelihood=5) == calls
 
 
+def test_debug_genotype_filters_prints_counts(capsys):
+    """--debug-genotype-filters prints the genotype count after each step
+    (GenotypeFilter.scala:116-119)."""
+    reads = [make_test_read("GCGATCGA", "8M", "0T7", 1) for _ in range(3)]
+    pileup = Pileup.from_reads(reads, "chr1", 1)
+    calls = call_variants_at_locus(pileup)
+    apply_genotype_filters(
+        calls, min_alternate_read_depth=1, min_likelihood=5, debug=True
+    )
+    err = capsys.readouterr().err
+    assert err.count("Filtered genotypes down to") == 3
+
+
 class TestTwoPhaseEquivalence:
     @pytest.fixture(scope="class")
     def chrm(self, resources_dir):
