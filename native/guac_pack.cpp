@@ -126,20 +126,27 @@ static int64_t pad_depth(int64_t depth) {
   return d;
 }
 
-// Run fn(block_index) over nblocks blocks on up to max_threads threads.
+// Run fn(block_index, thread_index) over nblocks blocks on up to
+// max_threads threads; thread_index < thread_count(nblocks, max_threads)
+// so callers can keep race-free per-thread scratch.
+static int thread_count(int64_t nblocks, int max_threads) {
+  if (nblocks <= 0) return 1;
+  return (int)std::min<int64_t>(std::max(max_threads, 1), nblocks);
+}
+
 static void parallel_blocks(int64_t nblocks, int max_threads,
-                            const std::function<void(int64_t)>& fn) {
+                            const std::function<void(int64_t, int)>& fn) {
   if (nblocks <= 0) return;
-  int nthreads = (int)std::min<int64_t>(std::max(max_threads, 1), nblocks);
+  int nthreads = thread_count(nblocks, max_threads);
   if (nthreads <= 1) {
-    for (int64_t b = 0; b < nblocks; b++) fn(b);
+    for (int64_t b = 0; b < nblocks; b++) fn(b, 0);
     return;
   }
   std::vector<std::thread> pool;
   pool.reserve(nthreads);
   for (int t = 0; t < nthreads; t++) {
     pool.emplace_back([&, t]() {
-      for (int64_t b = t; b < nblocks; b += nthreads) fn(b);
+      for (int64_t b = t; b < nblocks; b += nthreads) fn(b, t);
     });
   }
   for (auto& th : pool) th.join();
@@ -267,17 +274,22 @@ void* guac_pack_tile(
       block_members[(size_t)b].push_back((int64_t)i);
   }
 
-  // Pass 1: depth per locus (parallel over blocks).
+  // Pass 1: depth per locus via an interval diff array — O(reads + loci),
+  // not O(elements): each read covers a contiguous row range.
   t->depth.assign(L_out, 0);
-  parallel_blocks(nblocks, max_threads, [&](int64_t b) {
-    int64_t bs = b * block_size;
-    int64_t be = std::min(bs + block_size, n_loci);
-    for (int64_t i : block_members[(size_t)b]) {
-      auto [lo, hi] = read_rows[(size_t)i];
-      for (int64_t row = std::max(lo, bs); row < std::min(hi, be); row++)
-        t->depth[row]++;
+  {
+    std::vector<int32_t> diff((size_t)n_loci + 1, 0);
+    for (auto& [lo, hi] : read_rows)
+      if (hi > lo) {
+        diff[(size_t)lo]++;
+        diff[(size_t)hi]--;
+      }
+    int32_t run = 0;
+    for (int64_t i = 0; i < n_loci; i++) {
+      run += diff[(size_t)i];
+      t->depth[i] = run;
     }
-  });
+  }
   int64_t max_depth = 0;
   for (int64_t i = 0; i < n_loci; i++)
     max_depth = std::max<int64_t>(max_depth, t->depth[i]);
@@ -297,7 +309,7 @@ void* guac_pack_tile(
       if (loci[i] >= 0 && loci[i] < ref_contig_len)
         t->ref_base[i] = ref_contig[loci[i]];
   } else {
-    parallel_blocks(nblocks, max_threads, [&](int64_t b) {
+    parallel_blocks(nblocks, max_threads, [&](int64_t b, int) {
       int64_t bs = b * block_size;
       int64_t be = std::min(bs + block_size, n_loci);
       for (int64_t i : block_members[(size_t)b]) {
@@ -390,7 +402,7 @@ void* guac_pack_tile(
     int64_t pad_block = std::max<int64_t>(
         256, (L_out + max_threads - 1) / max_threads);
     int64_t pad_nblocks = (L_out + pad_block - 1) / pad_block;
-    parallel_blocks(pad_nblocks, max_threads, [&](int64_t b) {
+    parallel_blocks(pad_nblocks, max_threads, [&](int64_t b, int) {
       int64_t bs = b * pad_block;
       int64_t be = std::min(bs + pad_block, L_out);
       for (int64_t row = bs; row < be; row++) {
@@ -420,9 +432,18 @@ void* guac_pack_tile(
     });
   }
 
-  parallel_blocks(nblocks, max_threads, [&](int64_t blk) {
+  // Distinct short codes (< 0x40000) are collected during the fill with
+  // per-thread seen bitmaps — long codes need no tracking, since every
+  // interned long key is by construction used by some element.
+  int pass3_threads = thread_count(nblocks, max_threads);
+  std::vector<std::vector<uint8_t>> thread_seen(
+      (size_t)pass3_threads, std::vector<uint8_t>(0x40000, 0));
+  std::vector<std::vector<int32_t>> thread_distinct((size_t)pass3_threads);
+  parallel_blocks(nblocks, max_threads, [&](int64_t blk, int th) {
     int64_t bs = blk * block_size;
     int64_t be = std::min(bs + block_size, n_loci);
+    std::vector<uint8_t>& seen_short = thread_seen[(size_t)th];
+    std::vector<int32_t>& distinct_short = thread_distinct[(size_t)th];
     for (int64_t i : block_members[(size_t)blk]) {
       int64_t r = sel[(size_t)i];
       auto [lo, hi] = read_rows[(size_t)i];
@@ -501,6 +522,10 @@ void* guac_pack_tile(
           }
         }
         elem_code[cell] = code;
+        if (code < 0x40000 && !seen_short[code]) {
+          seen_short[code] = 1;
+          distinct_short.push_back(code);
+        }
         if (full) {
           t->qual[cell] = quals[off];
           t->mapq[cell] = (int16_t)mapq[r];
@@ -534,23 +559,23 @@ void* guac_pack_tile(
     return k;
   };
 
-  // Collect distinct codes via a flat seen-array over the bounded code
-  // space (codes < 0x40000 + n_long_keys); only filled slots are visited.
+  // Merge the per-thread distinct short codes, then append every long
+  // code (each interned long key is used by construction).
   int64_t code_space = 0x40000 + (int64_t)long_keys.size();
-  std::vector<uint8_t> seen((size_t)code_space, 0);
   std::vector<int32_t> distinct_codes;
-  for (int64_t row = 0; row < n_loci; row++) {
-    int64_t dn = csr ? t->depth[row] : std::min<int64_t>(t->depth[row], D);
-    const int32_t* rowc =
-        elem_code.data() + (csr ? elem_off[row] : row * D);
-    for (int64_t slot = 0; slot < dn; slot++) {
-      int32_t code = rowc[slot];
-      if (code >= 0 && !seen[code]) {
-        seen[code] = 1;
-        distinct_codes.push_back(code);
-      }
-    }
+  if (pass3_threads == 1) {
+    distinct_codes = std::move(thread_distinct[0]);
+  } else {
+    std::vector<uint8_t> merged(0x40000, 0);
+    for (auto& local : thread_distinct)
+      for (int32_t code : local)
+        if (!merged[code]) {
+          merged[code] = 1;
+          distinct_codes.push_back(code);
+        }
   }
+  for (int64_t i = 0; i < (int64_t)long_keys.size(); i++)
+    distinct_codes.push_back((int32_t)(0x40000 + i));
   std::vector<std::pair<AlleleKey, int32_t>> keyed;
   keyed.reserve(distinct_codes.size());
   for (int32_t code : distinct_codes) keyed.push_back({decode(code), code});
@@ -576,12 +601,20 @@ void* guac_pack_tile(
   t->uniq_off.assign(L_out + 1, 0);
   std::vector<std::vector<int32_t>> block_uniq((size_t)nblocks);
   std::vector<std::vector<int64_t>> block_counts((size_t)nblocks);
-  parallel_blocks(nblocks, max_threads, [&](int64_t blk) {
+  int64_t n_keys = (int64_t)keyed.size();
+  parallel_blocks(nblocks, max_threads, [&](int64_t blk, int) {
     int64_t bs = blk * block_size;
     int64_t be = std::min(bs + block_size, n_loci);
     auto& uniq = block_uniq[(size_t)blk];
     auto& cnts = block_counts[(size_t)blk];
     cnts.reserve((size_t)(be - bs));
+    // Distinct ranks per locus are found by marking a per-thread [n_keys]
+    // scratch (reset via the touched list) instead of sorting all dn
+    // element ranks: O(dn + distinct*log distinct) per row instead of
+    // O(dn log dn) — the distinct-allele count is tiny (~ploidy + errors)
+    // while dn is the full read depth.
+    std::vector<uint8_t> mark((size_t)n_keys, 0);
+    std::vector<int32_t> rank2id((size_t)n_keys, -1);
     std::vector<int32_t> locus_ranks;
     for (int64_t row = bs; row < be; row++) {
       locus_ranks.clear();
@@ -590,16 +623,21 @@ void* guac_pack_tile(
       int64_t cell_base = csr ? elem_off[row] : row * D;
       for (int32_t slot = 0; slot < dn; slot++) {
         int32_t code = elem_code[cell_base + slot];
-        if (code >= 0) locus_ranks.push_back(code_to_rank[code]);
+        if (code >= 0) {
+          int32_t rank = code_to_rank[code];
+          if (!mark[rank]) {
+            mark[rank] = 1;
+            locus_ranks.push_back(rank);
+          }
+        }
       }
       std::sort(locus_ranks.begin(), locus_ranks.end());
-      locus_ranks.erase(std::unique(locus_ranks.begin(), locus_ranks.end()),
-                        locus_ranks.end());
       int64_t n_distinct = (int64_t)locus_ranks.size();
       if (n_distinct > K) t->overflow[row] = 1;
       t->num_alleles[row] = (int16_t)std::min<int64_t>(n_distinct, K);
       for (int64_t u = 0; u < n_distinct; u++) {
         uniq.push_back(locus_ranks[u]);
+        rank2id[locus_ranks[u]] = (int32_t)u;
         if (u < K) {
           const AlleleKey& k = keyed[locus_ranks[u]].first;
           t->is_variant[row * K + u] = (k.ref != k.alt) ? 1 : 0;
@@ -627,9 +665,7 @@ void* guac_pack_tile(
           continue;
         }
         int32_t rank = code_to_rank[code];
-        auto pos =
-            std::lower_bound(locus_ranks.begin(), locus_ranks.end(), rank);
-        int64_t id = pos - locus_ranks.begin();
+        int64_t id = rank2id[rank];
         if (id < K) {
           if (full) t->allele_id[cell] = (int16_t)id;
           if (ll) t->ll_pack[cell] |= (uint16_t)id;
@@ -653,6 +689,10 @@ void* guac_pack_tile(
           t->edge[cell] = 0;
           t->read_index[cell] = -1;
         }
+      }
+      for (int32_t rank : locus_ranks) {
+        mark[rank] = 0;
+        rank2id[rank] = -1;
       }
     }
   });
