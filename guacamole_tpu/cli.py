@@ -108,6 +108,11 @@ def _add_output_args(p: argparse.ArgumentParser) -> None:
         default=0,
         help="Maximum number of genotypes to output (0 = all)",
     )
+    # Accepted for reference CLI compatibility (Common.scala:113-115):
+    # there it only set how many chunks Spark coalesced the genotype RDD
+    # into before the driver's serial JSON write; the output is identical.
+    # Our JSON writer streams in one pass, so the knob has no effect.
+    p.add_argument("--out-chunks", type=int, default=1, help=argparse.SUPPRESS)
 
 
 def _add_distributed_args(p: argparse.ArgumentParser) -> None:

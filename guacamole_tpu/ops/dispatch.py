@@ -533,6 +533,9 @@ def pipelined_batched_screens(
                 # CSR tiles launch immediately: each tile is one small
                 # transfer and JAX pipelines the async dispatches, so
                 # packing tile i+1 overlaps tile i's transfer + kernel.
+                # (Measured: deferring CSR launches to batch like dense
+                # tiles does not beat the async overlap, even over the
+                # high-latency tunnel.)
                 key = ("csr", tile.L)
                 groups.setdefault(key, []).append(item)
                 flush(key)
