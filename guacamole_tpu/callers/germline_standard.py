@@ -9,9 +9,11 @@ TPU-native two-phase design (cf. /root/reference
     genotype over a ref-only allele set has no variant allele), so the
     screen is an exact superset of emitted loci.
  2. Host confirm: at surviving candidate loci only (a small fraction),
-    rebuild the pileup from the tile's read indices and run the exact
-    float64 likelihood model (normalized, log-space, reference summation
-    order), argmax genotype, evidence statistics, and genotype filters.
+    run the exact float64 likelihood model (normalized, log-space,
+    reference summation order), argmax genotype, evidence statistics, and
+    genotype filters — vectorized directly over the sparse FULL tile's
+    per-element tensors (calls_from_tile_row; bit-identical to the
+    per-pileup oracle, object pileups rebuilt only for overflow rows).
 """
 
 from __future__ import annotations
@@ -26,10 +28,13 @@ from guacamole_tpu.filters.pileup_filters import quality_aligned_reads_filter
 from guacamole_tpu.gio.vcf import VcfRecord
 from guacamole_tpu.likelihood import (
     likelihoods_of_all_possible_genotypes_from_pileup,
+    log_likelihoods_of_genotype_pairs,
+    success_probabilities_of_quals,
 )
 from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.pileup.pileup import Pileup
 from guacamole_tpu.utils import bases as Bases
+from guacamole_tpu.variants.allele import Genotype
 from guacamole_tpu.variants.called import CalledAllele
 from guacamole_tpu.variants.evidence import AlleleEvidence
 
@@ -72,6 +77,77 @@ def call_variants_at_locus(
                     allele=allele,
                     evidence=AlleleEvidence.from_pileup(
                         probability, allele, sample_pileup
+                    ),
+                )
+            )
+    return calls
+
+
+def calls_from_tile_row(
+    tile, li: int, sample_name: str, min_alignment_quality: int = 0
+) -> List[CalledAllele]:
+    """Exact per-locus caller over one FULL tile row — the vectorized form
+    of call_variants_at_locus (bit-identical; pinned by
+    tests/test_germline_standard.py::test_tile_row_confirm_bitwise)."""
+    valid = np.asarray(tile.valid[li])
+    if not valid.any():
+        return []
+    aid = np.asarray(tile.allele_id[li])
+    mapq = np.asarray(tile.mapq[li])
+    keep = valid & (mapq >= min_alignment_quality)
+    kept = np.flatnonzero(keep)
+    if not kept.size:
+        return []
+    kept_aid = aid[kept]
+    # Distinct dense ids are already in sorted-Allele rank order.
+    distinct = np.unique(kept_aid)
+    std_alt = np.asarray(tile.is_standard_alt[li])
+    std_ids = [int(k) for k in distinct if std_alt[int(k)]]
+    if not std_ids:
+        return []
+    pairs = [
+        (std_ids[i], std_ids[j])
+        for i in range(len(std_ids))
+        for j in range(i, len(std_ids))
+    ]
+    success = success_probabilities_of_quals(np.asarray(tile.qual[li])[kept])
+    lls = log_likelihoods_of_genotype_pairs(
+        kept_aid, success, pairs, normalize=True
+    )
+    best = int(np.argmax(lls))  # first max, like the oracle's max()
+    probability = math.exp(float(lls[best]))
+    alleles_row = tile.alleles[li]
+    genotype = Genotype.of(
+        alleles_row[pairs[best][0]], alleles_row[pairs[best][1]]
+    )
+
+    calls: List[CalledAllele] = []
+    if genotype.has_variant_allele:
+        # Evidence statistics over the UNFILTERED elements (parity with
+        # AlleleEvidence.from_pileup on the unfiltered sample pileup).
+        strand = np.asarray(tile.strand[li])
+        quals = np.asarray(tile.qual[li])
+        mismatches = np.asarray(tile.mismatches[li])
+        read_depth = int(valid.sum())
+        forward_depth = int((valid & strand).sum())
+        for allele in genotype.non_reference_alleles:
+            dense_id = pairs[best][0] if alleles_row[pairs[best][0]] == allele else pairs[best][1]
+            mask = valid & (aid == dense_id)
+            calls.append(
+                CalledAllele(
+                    sample_name=sample_name,
+                    reference_contig=tile.contig,
+                    start=int(tile.loci[li]),
+                    allele=allele,
+                    evidence=AlleleEvidence.from_arrays(
+                        probability,
+                        read_depth=read_depth,
+                        allele_read_depth=int(mask.sum()),
+                        forward_depth=forward_depth,
+                        allele_forward_depth=int((mask & strand).sum()),
+                        mapqs=mapq[mask],
+                        quals=quals[mask],
+                        mismatches=mismatches[mask],
                     ),
                 )
             )
@@ -122,10 +198,10 @@ def call_variants(
                         fields="likelihood",
                         min_mapq=min_alignment_quality,
                     ):
-                        yield sample_source, contig, tile
+                        yield sample_name, sample_source, contig, tile
 
     def launch(item):
-        tile = item[2]
+        tile = item[3]
         if not tile.L:
             return None
         if getattr(tile, "ll_pack", None) is not None:
@@ -145,7 +221,7 @@ def call_variants(
         )
 
     for item, pending in pipelined(tiles(), launch):
-        sample_source, contig, tile = item
+        sample_name, sample_source, contig, tile = item
         if pending is None:
             continue
         cand = candidates_of(pending.result())
@@ -156,8 +232,9 @@ def call_variants(
         ]
         if not candidate_loci:
             continue
-        # One sparse FULL tile over just the candidates: exact pileups come
-        # from its read indices instead of per-locus read scans.
+        # One sparse FULL tile over just the candidates: the exact f64
+        # confirm runs directly on its per-element tensors (object
+        # pileups are rebuilt only for overflow rows).
         sparse = sample_source.pack_sparse_tile(
             contig,
             candidate_loci,
@@ -165,20 +242,23 @@ def call_variants(
             reference_genome=reference_genome,
         )
         for si in range(sparse.L):
-            pileup = (
-                sample_source.pileup_at(
+            if sparse.overflow[si]:
+                pileup = sample_source.pileup_at(
                     contig,
                     int(sparse.loci[si]),
                     reference_base=int(sparse.ref_base[si]),
                 )
-                if sparse.overflow[si]
-                else sample_source.pileup_from_tile_row(sparse, si)
-            )
-            calls.extend(
-                call_variants_at_locus(
-                    pileup, min_alignment_quality, emit_ref
+                calls.extend(
+                    call_variants_at_locus(
+                        pileup, min_alignment_quality, emit_ref
+                    )
                 )
-            )
+            else:
+                calls.extend(
+                    calls_from_tile_row(
+                        sparse, si, sample_name, min_alignment_quality
+                    )
+                )
     calls.sort(
         key=lambda c: (c.reference_contig, c.start, c.sample_name or "", c.allele)
     )

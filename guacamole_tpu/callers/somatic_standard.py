@@ -29,8 +29,10 @@ from guacamole_tpu.filters.pileup_filters import filter_pileup
 from guacamole_tpu.gio.vcf import VcfRecord
 from guacamole_tpu.likelihood import (
     likelihoods_of_all_possible_genotypes_from_pileup,
+    log_likelihoods_of_genotype_pairs,
     probability_correct_ignoring_alignment,
     probability_correct_including_alignment,
+    success_probabilities_of_quals,
 )
 from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.pileup.pileup import Pileup
@@ -112,6 +114,186 @@ def find_potential_variant_at_locus(
             sample_name=tumor_pileup.sample_name,
             reference_contig=tumor_pileup.reference_name,
             start=tumor_pileup.locus,
+            allele=allele,
+            somatic_log_odds=math.log(somatic_odds),
+            tumor_variant_evidence=tumor_evidence,
+            normal_reference_evidence=normal_evidence,
+        )
+    ]
+
+
+def _row_filter_mask(tile, li, min_alignment_quality, filter_multi_allelic):
+    """The composite pileup filter over one FULL tile row, as a slot mask
+    (filter order parity with filter_pileup)."""
+    valid = np.asarray(tile.valid[li])
+    keep = valid.copy()
+    if filter_multi_allelic:
+        aid = np.asarray(tile.allele_id[li])
+        if len(np.unique(aid[valid])) > 2:
+            keep[:] = False
+            return keep
+    if min_alignment_quality > 0:
+        keep &= np.asarray(tile.mapq[li]) >= min_alignment_quality
+    return keep
+
+
+def _row_genotype_probs(tile, li, keep, include_alignment):
+    """(dense-id pairs, normalized probabilities) for the possible
+    genotypes over one filtered tile row — the array form of
+    likelihoods_of_all_possible_genotypes_from_pileup(normalize=True)."""
+    kept = np.flatnonzero(keep)
+    kept_aid = np.asarray(tile.allele_id[li])[kept]
+    distinct = np.unique(kept_aid)
+    std_alt = np.asarray(tile.is_standard_alt[li])
+    std_ids = [int(k) for k in distinct if std_alt[int(k)]]
+    if not std_ids:
+        return [], []
+    pairs = [
+        (std_ids[i], std_ids[j])
+        for i in range(len(std_ids))
+        for j in range(i, len(std_ids))
+    ]
+    success = success_probabilities_of_quals(np.asarray(tile.qual[li])[kept])
+    if include_alignment:
+        success = success * success_probabilities_of_quals(
+            np.asarray(tile.mapq[li])[kept]
+        )
+    lls = log_likelihoods_of_genotype_pairs(
+        kept_aid, success, pairs, normalize=True
+    )
+    return pairs, [math.exp(float(ll)) for ll in lls]
+
+
+def _row_evidence(tile, li, keep, likelihood, dense_id):
+    """AlleleEvidence over the FILTERED elements of one tile row (somatic
+    evidence statistics come from the filtered pileups,
+    SomaticStandardCaller.scala:196-210)."""
+    aid = np.asarray(tile.allele_id[li])
+    strand = np.asarray(tile.strand[li])
+    mask = (
+        keep & (aid == dense_id)
+        if dense_id is not None
+        else np.zeros_like(keep)
+    )
+    return AlleleEvidence.from_arrays(
+        likelihood,
+        read_depth=int(keep.sum()),
+        allele_read_depth=int(mask.sum()),
+        forward_depth=int((keep & strand).sum()),
+        allele_forward_depth=int((mask & strand).sum()),
+        mapqs=np.asarray(tile.mapq[li])[mask],
+        quals=np.asarray(tile.qual[li])[mask],
+        mismatches=np.asarray(tile.mismatches[li])[mask],
+    )
+
+
+def somatic_calls_from_tile_rows(
+    tumor_tile,
+    ti: int,
+    normal_tile,
+    ni: int,
+    tumor_source,
+    odds_threshold: int,
+    min_alignment_quality: int = 1,
+    filter_multi_allelic: bool = False,
+    max_read_depth: int = INT_MAX,
+) -> List[CalledSomaticAllele]:
+    """Vectorized exact f64 somatic kernel over one (tumor, normal) pair of
+    FULL tile rows — bit-identical to find_potential_variant_at_locus
+    (pinned by tests/test_somatic.py::test_tile_row_somatic_bitwise)."""
+    tumor_keep = _row_filter_mask(
+        tumor_tile, ti, min_alignment_quality, filter_multi_allelic
+    )
+    normal_keep = _row_filter_mask(
+        normal_tile, ni, min_alignment_quality, filter_multi_allelic
+    )
+    tumor_depth = int(tumor_keep.sum())
+    normal_depth = int(normal_keep.sum())
+    if (
+        tumor_depth == 0
+        or normal_depth == 0
+        or tumor_depth > max_read_depth
+        or normal_depth > max_read_depth
+    ):
+        return []
+    # reference_depth == depth gate: a "reference" element is a MATCH
+    # alignment — allele with ref == alt and a non-empty ref (clipped
+    # elements have the empty allele and are neither).
+    tumor_alleles = tumor_tile.alleles[ti]
+    tumor_aid = np.asarray(tumor_tile.allele_id[ti])
+    kept_ids = np.unique(tumor_aid[tumor_keep])
+    if all(
+        tumor_alleles[int(k)].ref_bases == tumor_alleles[int(k)].alt_bases
+        and tumor_alleles[int(k)].ref_bases != b""
+        for k in kept_ids
+    ):
+        return []
+
+    pairs, tumor_probs = _row_genotype_probs(
+        tumor_tile, ti, tumor_keep, include_alignment=True
+    )
+    if not pairs:
+        return []
+    is_variant_t = np.asarray(tumor_tile.is_variant[ti])
+    best = int(np.argmax(tumor_probs))
+    best_likelihood = tumor_probs[best]
+    best_pair = pairs[best]
+    if not (is_variant_t[best_pair[0]] or is_variant_t[best_pair[1]]):
+        return []
+
+    n_pairs, normal_probs = _row_genotype_probs(
+        normal_tile, ni, normal_keep, include_alignment=False
+    )
+    is_variant_n = np.asarray(normal_tile.is_variant[ni])
+    normal_variants_total = sum(
+        p
+        for (a, b), p in zip(n_pairs, normal_probs)
+        if is_variant_n[a] or is_variant_n[b]
+    )
+    somatic_odds = (
+        best_likelihood / normal_variants_total
+        if normal_variants_total != 0
+        else float("inf")
+    )
+    if somatic_odds * 100 < odds_threshold:
+        return []
+
+    allele = None
+    allele_id = None
+    for k in best_pair:
+        cand = tumor_alleles[k]
+        if cand.is_variant and cand.alt_bases:
+            allele = cand
+            allele_id = k
+            break
+    if allele is None:
+        return []
+    # sample name of the (unfiltered) tumor pileup's first element
+    first_slot = int(np.flatnonzero(np.asarray(tumor_tile.valid[ti]))[0])
+    sample_name = tumor_source.read(
+        int(tumor_tile.read_index[ti][first_slot])
+    ).sample_name
+    tumor_evidence = _row_evidence(
+        tumor_tile, ti, tumor_keep, best_likelihood, allele_id
+    )
+    ref_allele = Allele(allele.ref_bases, allele.ref_bases)
+    normal_alleles = normal_tile.alleles[ni]
+    normal_id = next(
+        (
+            k
+            for k in range(int(normal_tile.num_alleles[ni]))
+            if normal_alleles[k] == ref_allele
+        ),
+        None,
+    )
+    normal_evidence = _row_evidence(
+        normal_tile, ni, normal_keep, 1 - normal_variants_total, normal_id
+    )
+    return [
+        CalledSomaticAllele(
+            sample_name=sample_name,
+            reference_contig=tumor_tile.contig,
+            start=int(tumor_tile.loci[ti]),
             allele=allele,
             somatic_log_odds=math.log(somatic_odds),
             tumor_variant_evidence=tumor_evidence,
@@ -226,6 +408,24 @@ def call_variants(
                 continue
             locus = int(tile.loci[li])
             ti = tumor_row[locus]
+            ni = normal_row[locus]
+            if not (tumor_tile.overflow[ti] or normal_tile.overflow[ni]):
+                if not tumor_tile.valid[ti].any():
+                    continue
+                calls.extend(
+                    somatic_calls_from_tile_rows(
+                        tumor_tile,
+                        ti,
+                        normal_tile,
+                        ni,
+                        tumor,
+                        odds_threshold,
+                        min_alignment_quality,
+                        filter_multi_allelic,
+                        max_read_depth,
+                    )
+                )
+                continue
             tumor_pileup = (
                 tumor.pileup_at(
                     contig, locus, reference_base=int(tumor_tile.ref_base[ti])
@@ -233,7 +433,6 @@ def call_variants(
                 if tumor_tile.overflow[ti]
                 else tumor.pileup_from_tile_row(tumor_tile, ti)
             )
-            ni = normal_row[locus]
             normal_pileup = (
                 normal.pileup_at(
                     contig,

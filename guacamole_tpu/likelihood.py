@@ -23,6 +23,8 @@ from __future__ import annotations
 import math
 from typing import Callable, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from guacamole_tpu.pileup.element import PileupElement
 from guacamole_tpu.pileup.pileup import Pileup
 from guacamole_tpu.utils import bases as Bases
@@ -97,6 +99,93 @@ def likelihoods_of_genotypes(
     if log_space:
         return log_likelihoods
     return [math.exp(ll) for ll in log_likelihoods]
+
+
+_LOG_MEMO: dict = {}
+_SUCCESS_LUT = np.empty(0)
+
+
+def _exact_logs(values: np.ndarray) -> np.ndarray:
+    """Elementwise math.log via unique-value memoization.
+
+    np.log's SIMD implementation differs from libm's math.log by one ulp
+    on ~1% of inputs, which would break bit-identity with the scalar
+    oracle path; the log domain here (sums of phred-derived
+    probabilities) is tiny and repeats across loci, so memoized scalar
+    logs cost almost nothing."""
+    u, inv = np.unique(values, return_inverse=True)
+    logs = np.empty(len(u))
+    memo = _LOG_MEMO
+    for i in range(len(u)):
+        v = float(u[i])
+        lv = memo.get(v)
+        if lv is None:
+            lv = math.log(v)
+            memo[v] = lv
+        logs[i] = lv
+    return logs[inv].reshape(values.shape)
+
+
+def success_probabilities_of_quals(quals: np.ndarray) -> np.ndarray:
+    """phred_to_success_probability per element via an int LUT computed
+    with the scalar formula (bit-identical to the oracle's per-element
+    call; the numpy vectorized power can differ by an ulp)."""
+    global _SUCCESS_LUT
+    if quals.size == 0:
+        return np.empty(0)
+    m = int(quals.max())
+    if len(_SUCCESS_LUT) <= m:
+        _SUCCESS_LUT = np.array(
+            [phred_to_success_probability(q) for q in range(m + 1)]
+        )
+    return _SUCCESS_LUT[quals]
+
+
+def log_likelihoods_of_genotype_pairs(
+    element_allele_ids: np.ndarray,
+    success: np.ndarray,
+    genotype_id_pairs: Sequence[Tuple[int, int]],
+    normalize: bool = False,
+) -> np.ndarray:
+    """Vectorized exact-float64 genotype log-likelihoods at one locus.
+
+    element_allele_ids: [d] dense per-locus allele id of each element, in
+      pileup element order.
+    success: [d] float64 P(element correct) — the oracle's scalar values
+      (see success_probabilities_of_quals; multiply by the alignment
+      likelihood first for the alignment-included model).
+    genotype_id_pairs: (a1, a2) dense allele-id pairs, in the oracle's
+      genotype enumeration order.
+
+    Bit-identical to likelihoods_of_genotypes(log_space=True) with a
+    uniform prior: IEEE-754 addition is commutative, np.cumsum
+    accumulates strictly sequentially (so the reversed cumsum reproduces
+    the right-to-left Colt aggregate order, Likelihood.scala:181-188),
+    logs go through math.log (_exact_logs), and normalization repeats the
+    oracle's sequential exp-sum. Pinned bitwise against the scalar path
+    in tests/test_likelihood.py."""
+    depth = len(element_allele_ids)
+    ids = np.asarray(
+        [i for pair in genotype_id_pairs for i in pair]
+    ).reshape(len(genotype_id_pairs), 2)
+    # [G, 2, d] per-allele probabilities: success where the element carries
+    # the allele, 1 - success otherwise (same operands/order as the oracle).
+    carries = element_allele_ids[None, None, :] == ids[:, :, None]
+    probs = np.where(carries, success[None, None, :], 1.0 - success[None, None, :])
+    terms = _exact_logs(probs[:, 0, :] + probs[:, 1, :])  # [G, d]
+    if depth > 0:
+        acc = np.cumsum(terms[:, ::-1], axis=1)[:, -1]
+    else:
+        acc = np.zeros(len(ids))
+    log2 = math.log(2)
+    lls = (acc + math.log(1.0)) - log2 * depth
+    if normalize:
+        total = 0.0
+        for ll in lls:
+            total += math.exp(ll)
+        log_total = math.log(total)
+        lls = lls - log_total
+    return lls
 
 
 def likelihood_of_genotype(

@@ -60,6 +60,52 @@ class AlleleEvidence:
         return self.allele_read_depth / self.read_depth
 
     @staticmethod
+    def from_arrays(
+        likelihood: float,
+        read_depth: int,
+        allele_read_depth: int,
+        forward_depth: int,
+        allele_forward_depth: int,
+        mapqs,
+        quals,
+        mismatches,
+    ) -> "AlleleEvidence":
+        """Array form of from_pileup over packed tile rows (allele-element
+        stats passed as numpy slices in pileup element order). Bit-identical:
+        the sequential cumsum reproduces Python sum()'s left-to-right float64
+        accumulation and the median expression is repeated verbatim."""
+        import numpy as np
+
+        def mean(a):
+            a = np.asarray(a, dtype=np.float64)
+            if a.size == 0:
+                return float("nan")
+            return float(np.cumsum(a)[-1]) / len(a)
+
+        def median(a):
+            a = np.asarray(a, dtype=np.float64)
+            n = a.size
+            if n == 0:
+                return float("nan")
+            s = np.sort(a)
+            if n % 2 == 1:
+                return float(s[n // 2])
+            return 0.5 * (float(s[n // 2 - 1]) + float(s[n // 2]))
+
+        return AlleleEvidence(
+            likelihood=likelihood,
+            read_depth=read_depth,
+            allele_read_depth=allele_read_depth,
+            forward_depth=forward_depth,
+            allele_forward_depth=allele_forward_depth,
+            mean_mapping_quality=mean(mapqs),
+            median_mapping_quality=median(mapqs),
+            mean_base_quality=mean(quals),
+            median_base_quality=median(quals),
+            median_mismatches_per_read=median(mismatches),
+        )
+
+    @staticmethod
     def from_pileup(likelihood: float, allele, pileup) -> "AlleleEvidence":
         allele_read_depth, allele_forward_depth = (
             pileup.allele_read_depth_and_positive_depth(allele)

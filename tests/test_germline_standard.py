@@ -147,6 +147,46 @@ class TestTwoPhaseEquivalence:
         assert results[0] == results[1]
 
 
+def test_tile_row_confirm_bitwise():
+    """calls_from_tile_row (the vectorized exact f64 confirm) must equal
+    call_variants_at_locus bit-for-bit on EVERY evidence field, at every
+    covered chrM locus in the slice, for both the native-columnar and
+    object packers."""
+    import dataclasses
+
+    from guacamole_tpu.callers.common import load_read_source
+    from guacamole_tpu.callers.germline_standard import calls_from_tile_row
+    from guacamole_tpu.callers.source import ReadSource
+
+    filters = InputFilters.create(
+        overlaps_loci=parse_loci("all"), non_duplicate=True, has_mdtag=True
+    )
+    columnar, _ = load_read_source(resource_path("chrM.sorted.bam"), filters)
+    objects = ReadSource.from_reads(columnar.reads_list())
+    loci = list(range(0, 1200))
+    for source in (columnar, objects):
+        sparse = source.pack_sparse_tile("chrM", loci)
+        for si in range(sparse.L):
+            if not sparse.depth[si] or sparse.overflow[si]:
+                continue
+            fast = calls_from_tile_row(
+                sparse, si, "default", min_alignment_quality=1
+            )
+            pileup = source.pileup_at(
+                "chrM", int(sparse.loci[si]),
+                reference_base=int(sparse.ref_base[si]),
+            )
+            oracle = call_variants_at_locus(pileup, min_alignment_quality=1)
+            assert len(fast) == len(oracle)
+            for f, o in zip(fast, oracle):
+                assert (f.sample_name, f.reference_contig, f.start, f.allele) == (
+                    o.sample_name, o.reference_contig, o.start, o.allele
+                )
+                fe = dataclasses.asdict(f.evidence)
+                oe = dataclasses.asdict(o.evidence)
+                assert fe == oe, (int(sparse.loci[si]), fe, oe)
+
+
 def test_native_likelihood_screen_matches_oracle():
     """The device genotype-likelihood screen (native columnar path, csr/ll
     tiles) must reproduce the exact per-locus oracle, including f64

@@ -210,6 +210,73 @@ def test_insertions_and_deletions():
     check_locus(18, "ATC", "A")
 
 
+def test_tile_row_somatic_bitwise(resources_dir):
+    """somatic_calls_from_tile_rows (vectorized exact f64 kernel) must equal
+    find_potential_variant_at_locus bit-for-bit — every evidence field and
+    the somatic log odds — at every covered locus of the tough fixture."""
+    import dataclasses
+
+    import numpy as np
+
+    from guacamole_tpu.callers.somatic_standard import (
+        somatic_calls_from_tile_rows,
+    )
+    from guacamole_tpu.callers.source import ReadSource
+
+    tumor, normal = load_tumor_normal(
+        "tumor.chr20.tough.sam", "normal.chr20.tough.sam"
+    )
+    contig = tumor[0].reference_contig
+    covered = set()
+    for r in tumor + normal:
+        covered.update(range(r.start, r.end))
+    loci = sorted(covered)
+    tumor_src = ReadSource.from_reads(tumor)
+    normal_src = ReadSource.from_reads(normal)
+    tumor_tile = tumor_src.pack_sparse_tile(contig, loci)
+    normal_tile = normal_src.pack_sparse_tile(contig, loci)
+    checked = emitted = 0
+    for si in range(tumor_tile.L):
+        if (
+            not tumor_tile.depth[si]
+            or tumor_tile.overflow[si]
+            or normal_tile.overflow[si]
+        ):
+            continue
+        locus = int(tumor_tile.loci[si])
+        fast = somatic_calls_from_tile_rows(
+            tumor_tile, si, normal_tile, si, tumor_src,
+            LOG_ODDS_THRESHOLD, MIN_ALIGNMENT_QUALITY,
+        )
+        oracle = find_potential_variant_at_locus(
+            Pileup.from_reads(tumor, contig, locus),
+            Pileup.from_reads(normal, contig, locus),
+            LOG_ODDS_THRESHOLD,
+            MIN_ALIGNMENT_QUALITY,
+        )
+        checked += 1
+        emitted += len(oracle)
+        assert len(fast) == len(oracle), locus
+        for f, o in zip(fast, oracle):
+            assert (f.sample_name, f.reference_contig, f.start, f.allele) == (
+                o.sample_name, o.reference_contig, o.start, o.allele
+            )
+            assert f.somatic_log_odds == o.somatic_log_odds, locus
+
+            def fix(d):
+                # NaN-valued stats (no allele-supporting elements) compare
+                # unequal to themselves; normalize for the dict comparison.
+                return {k: ("nan" if v != v else v) for k, v in d.items()}
+
+            assert fix(dataclasses.asdict(f.tumor_variant_evidence)) == fix(
+                dataclasses.asdict(o.tumor_variant_evidence)
+            ), locus
+            assert fix(dataclasses.asdict(f.normal_reference_evidence)) == fix(
+                dataclasses.asdict(o.normal_reference_evidence)
+            ), locus
+    assert checked > 100 and emitted > 0
+
+
 def test_native_tumor_screen_matches_object_path(resources_dir):
     """somatic call_variants through the columnar/native path (tumor
     likelihood_mapq screen) must produce identical calls to the object-read
