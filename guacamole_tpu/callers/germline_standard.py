@@ -27,9 +27,8 @@ from guacamole_tpu.filters.genotype_filters import apply_genotype_filters
 from guacamole_tpu.filters.pileup_filters import quality_aligned_reads_filter
 from guacamole_tpu.gio.vcf import VcfRecord
 from guacamole_tpu.likelihood import (
+    genotype_probs_for_row,
     likelihoods_of_all_possible_genotypes_from_pileup,
-    log_likelihoods_of_genotype_pairs,
-    success_probabilities_of_quals,
 )
 from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.pileup.pileup import Pileup
@@ -45,7 +44,11 @@ def call_variants_at_locus(
     emit_ref: bool = False,
 ) -> List[CalledAllele]:
     """Exact per-pileup caller
-    (cf. GermlineStandardCaller.callVariantsAtLocus, :90-124)."""
+    (cf. GermlineStandardCaller.callVariantsAtLocus, :90-124).
+
+    emit_ref is accepted but has no effect — bug-for-bug parity: the
+    reference declares the parameter (:92) and the --emit-ref flag (:41)
+    but its kernel only ever maps getNonReferenceAlleles (:113)."""
     if not pileup.elements:
         return []
     calls: List[CalledAllele] = []
@@ -98,24 +101,16 @@ def calls_from_tile_row(
     kept = np.flatnonzero(keep)
     if not kept.size:
         return []
-    kept_aid = aid[kept]
-    # Distinct dense ids are already in sorted-Allele rank order.
-    distinct = np.unique(kept_aid)
-    std_alt = np.asarray(tile.is_standard_alt[li])
-    std_ids = [int(k) for k in distinct if std_alt[int(k)]]
-    if not std_ids:
-        return []
-    pairs = [
-        (std_ids[i], std_ids[j])
-        for i in range(len(std_ids))
-        for j in range(i, len(std_ids))
-    ]
-    success = success_probabilities_of_quals(np.asarray(tile.qual[li])[kept])
-    lls = log_likelihoods_of_genotype_pairs(
-        kept_aid, success, pairs, normalize=True
+    pairs, lls = genotype_probs_for_row(
+        aid[kept],
+        np.asarray(tile.qual[li])[kept],
+        np.asarray(tile.is_standard_alt[li]),
+        log_space=True,
     )
+    if not pairs:
+        return []
     best = int(np.argmax(lls))  # first max, like the oracle's max()
-    probability = math.exp(float(lls[best]))
+    probability = math.exp(lls[best])
     alleles_row = tile.alleles[li]
     genotype = Genotype.of(
         alleles_row[pairs[best][0]], alleles_row[pairs[best][1]]

@@ -28,11 +28,10 @@ import numpy as np
 from guacamole_tpu.filters.pileup_filters import filter_pileup
 from guacamole_tpu.gio.vcf import VcfRecord
 from guacamole_tpu.likelihood import (
+    genotype_probs_for_row,
     likelihoods_of_all_possible_genotypes_from_pileup,
-    log_likelihoods_of_genotype_pairs,
     probability_correct_ignoring_alignment,
     probability_correct_including_alignment,
-    success_probabilities_of_quals,
 )
 from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.pileup.pileup import Pileup
@@ -139,29 +138,15 @@ def _row_filter_mask(tile, li, min_alignment_quality, filter_multi_allelic):
 
 def _row_genotype_probs(tile, li, keep, include_alignment):
     """(dense-id pairs, normalized probabilities) for the possible
-    genotypes over one filtered tile row — the array form of
-    likelihoods_of_all_possible_genotypes_from_pileup(normalize=True)."""
+    genotypes over one filtered tile row (see
+    likelihood.genotype_probs_for_row)."""
     kept = np.flatnonzero(keep)
-    kept_aid = np.asarray(tile.allele_id[li])[kept]
-    distinct = np.unique(kept_aid)
-    std_alt = np.asarray(tile.is_standard_alt[li])
-    std_ids = [int(k) for k in distinct if std_alt[int(k)]]
-    if not std_ids:
-        return [], []
-    pairs = [
-        (std_ids[i], std_ids[j])
-        for i in range(len(std_ids))
-        for j in range(i, len(std_ids))
-    ]
-    success = success_probabilities_of_quals(np.asarray(tile.qual[li])[kept])
-    if include_alignment:
-        success = success * success_probabilities_of_quals(
-            np.asarray(tile.mapq[li])[kept]
-        )
-    lls = log_likelihoods_of_genotype_pairs(
-        kept_aid, success, pairs, normalize=True
+    return genotype_probs_for_row(
+        np.asarray(tile.allele_id[li])[kept],
+        np.asarray(tile.qual[li])[kept],
+        np.asarray(tile.is_standard_alt[li]),
+        mapqs=np.asarray(tile.mapq[li])[kept] if include_alignment else None,
     )
-    return pairs, [math.exp(float(ll)) for ll in lls]
 
 
 def _row_evidence(tile, li, keep, likelihood, dense_id):

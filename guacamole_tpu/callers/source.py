@@ -186,16 +186,30 @@ class ReadSource:
             )
         from guacamole_tpu.pack.fast import pack_tile_fast
 
-        contig_reads = [
-            r for r in self._reads if r.reference_contig == contig
+        contig_positions = [
+            i
+            for i, r in enumerate(self._reads)
+            if r.reference_contig == contig
         ]
-        return pack_tile_fast(
-            contig_reads,
+        tile = pack_tile_fast(
+            [self._reads[i] for i in contig_positions],
             contig,
             sorted(loci),
             max_alleles=max_alleles,
             reference_genome=reference_genome,
         )
+        # pack_tile_fast's read_index is relative to the list it was given;
+        # remap to this source's read() indices (full-list positions).
+        if tile.read_index is not None and len(contig_positions) != len(
+            self._reads
+        ):
+            full = np.asarray(contig_positions, dtype=np.int32)
+            ri = np.asarray(tile.read_index)
+            mapped = np.full_like(ri, -1)
+            mask = ri >= 0
+            mapped[mask] = full[ri[mask]]
+            tile.read_index = mapped
+        return tile
 
     # --- exact host fallback ---
 

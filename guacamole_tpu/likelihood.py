@@ -116,6 +116,8 @@ def _exact_logs(values: np.ndarray) -> np.ndarray:
     u, inv = np.unique(values, return_inverse=True)
     logs = np.empty(len(u))
     memo = _LOG_MEMO
+    if len(memo) > 1_000_000:  # bound resident memory on genome-scale runs
+        memo.clear()
     for i in range(len(u)):
         v = float(u[i])
         lv = memo.get(v)
@@ -186,6 +188,45 @@ def log_likelihoods_of_genotype_pairs(
         log_total = math.log(total)
         lls = lls - log_total
     return lls
+
+
+def genotype_probs_for_row(
+    element_allele_ids: np.ndarray,
+    quals: np.ndarray,
+    std_alt_flags: np.ndarray,
+    mapqs: Optional[np.ndarray] = None,
+    log_space: bool = False,
+) -> Tuple[List[Tuple[int, int]], List[float]]:
+    """(dense-id genotype pairs, likelihoods) over the possible genotypes
+    of one filtered tile row — the array form of
+    likelihoods_of_all_possible_genotypes_from_pileup(normalize=True),
+    shared by the germline and somatic vectorized confirms.
+
+    element_allele_ids/quals: per kept element, in pileup element order.
+    std_alt_flags: [K] per-dense-id standard-alt-bases flag (empty alts
+      pass vacuously, matching possible_genotypes_of_pileup).
+    mapqs: per kept element read MAPQ for the alignment-included model
+      (probability_correct_including_alignment), or None to ignore
+      alignment.
+    """
+    distinct = np.unique(element_allele_ids)
+    std_ids = [int(k) for k in distinct if std_alt_flags[int(k)]]
+    if not std_ids:
+        return [], []
+    pairs = [
+        (std_ids[i], std_ids[j])
+        for i in range(len(std_ids))
+        for j in range(i, len(std_ids))
+    ]
+    success = success_probabilities_of_quals(quals)
+    if mapqs is not None:
+        success = success * success_probabilities_of_quals(mapqs)
+    lls = log_likelihoods_of_genotype_pairs(
+        element_allele_ids, success, pairs, normalize=True
+    )
+    if log_space:
+        return pairs, [float(ll) for ll in lls]
+    return pairs, [math.exp(float(ll)) for ll in lls]
 
 
 def likelihood_of_genotype(

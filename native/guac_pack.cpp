@@ -602,19 +602,25 @@ void* guac_pack_tile(
   std::vector<std::vector<int32_t>> block_uniq((size_t)nblocks);
   std::vector<std::vector<int64_t>> block_counts((size_t)nblocks);
   int64_t n_keys = (int64_t)keyed.size();
-  parallel_blocks(nblocks, max_threads, [&](int64_t blk, int) {
+  // Distinct ranks per locus are found by marking a per-thread [n_keys]
+  // scratch (reset row-by-row via the touched list) instead of sorting all
+  // dn element ranks: O(dn + distinct*log distinct) per row instead of
+  // O(dn log dn) — the distinct-allele count is tiny (~ploidy + errors)
+  // while dn is the full read depth. Scratch lives for the whole pass
+  // (one allocation per thread, not per block).
+  int pass4_threads = thread_count(nblocks, max_threads);
+  std::vector<std::vector<uint8_t>> pass4_mark(
+      (size_t)pass4_threads, std::vector<uint8_t>((size_t)n_keys, 0));
+  std::vector<std::vector<int32_t>> pass4_rank2id(
+      (size_t)pass4_threads, std::vector<int32_t>((size_t)n_keys, -1));
+  parallel_blocks(nblocks, max_threads, [&](int64_t blk, int th) {
     int64_t bs = blk * block_size;
     int64_t be = std::min(bs + block_size, n_loci);
     auto& uniq = block_uniq[(size_t)blk];
     auto& cnts = block_counts[(size_t)blk];
     cnts.reserve((size_t)(be - bs));
-    // Distinct ranks per locus are found by marking a per-thread [n_keys]
-    // scratch (reset via the touched list) instead of sorting all dn
-    // element ranks: O(dn + distinct*log distinct) per row instead of
-    // O(dn log dn) — the distinct-allele count is tiny (~ploidy + errors)
-    // while dn is the full read depth.
-    std::vector<uint8_t> mark((size_t)n_keys, 0);
-    std::vector<int32_t> rank2id((size_t)n_keys, -1);
+    std::vector<uint8_t>& mark = pass4_mark[(size_t)th];
+    std::vector<int32_t>& rank2id = pass4_rank2id[(size_t)th];
     std::vector<int32_t> locus_ranks;
     for (int64_t row = bs; row < be; row++) {
       locus_ranks.clear();

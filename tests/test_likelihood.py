@@ -219,3 +219,91 @@ def test_evidence_no_read_supports():
     assert math.isnan(evidence.mean_mapping_quality)
     assert math.isnan(evidence.median_mapping_quality)
     assert math.isnan(evidence.median_mismatches_per_read)
+
+
+def test_vectorized_pairs_bitwise_vs_scalar_oracle():
+    """log_likelihoods_of_genotype_pairs (and the success-probability LUT)
+    must be bit-identical to likelihoods_of_genotypes across random
+    pileups, with and without the alignment term, normalized and not."""
+    import numpy as np
+
+    from guacamole_tpu.likelihood import (
+        likelihoods_of_genotypes,
+        log_likelihoods_of_genotype_pairs,
+        possible_genotypes_of_pileup,
+        probability_correct_including_alignment,
+        success_probabilities_of_quals,
+    )
+
+    rng = np.random.RandomState(7)
+    bases = "ACGT"
+    for trial in range(30):
+        # Quality/depth ranges bounded so normalized likelihoods stay in
+        # the oracle's domain (exp-sum underflowing to exactly 0.0 makes
+        # the scalar path raise on log(0); genuine pileups never get
+        # there with these caps).
+        depth = int(rng.randint(1, 45))
+        reads = []
+        for _ in range(depth):
+            ref = bases[rng.randint(4)]
+            alt = bases[rng.randint(4)]
+            md = "8" if alt == ref else "0%s7" % ref
+            seq = alt + "CGATCGA"
+            reads.append(
+                make_test_read(
+                    seq,
+                    "8M",
+                    md,
+                    1,
+                    quality_scores=[int(rng.randint(2, 46))] * 8,
+                    # MAPQ 0 makes the alignment-included probability
+                    # exactly 0.0 and the oracle raises on log(0); the
+                    # callers' MAPQ>=1 pileup filter excludes it first.
+                    alignment_quality=int(rng.randint(1, 90)),
+                )
+            )
+        pileup = Pileup.from_reads(reads, "chr1", 1)
+        genotypes = possible_genotypes_of_pileup(pileup)
+        if not genotypes:
+            continue
+        alleles = sorted({a for g in genotypes for a in g.alleles})
+        allele_index = {a: i for i, a in enumerate(alleles)}
+        # elements whose allele is not in the (standard-filtered) set get an
+        # id outside the pair id space, contributing 1-p to every row
+        element_ids = np.asarray(
+            [allele_index.get(e.allele, len(alleles)) for e in pileup.elements]
+        )
+        pairs = [
+            tuple(allele_index[a] for a in g.alleles) for g in genotypes
+        ]
+        quals = np.asarray([e.quality_score for e in pileup.elements])
+        mapqs = np.asarray(
+            [e.read.alignment_quality for e in pileup.elements]
+        )
+        for include_alignment in (False, True):
+            if include_alignment:
+                success = success_probabilities_of_quals(
+                    quals
+                ) * success_probabilities_of_quals(mapqs)
+                pc = probability_correct_including_alignment
+            else:
+                success = success_probabilities_of_quals(quals)
+                pc = None
+            for normalize in (False, True):
+                kwargs = dict(log_space=True, normalize=normalize)
+                if pc is not None:
+                    kwargs["probability_correct"] = pc
+                oracle = likelihoods_of_genotypes(
+                    pileup.elements, genotypes, **kwargs
+                )
+                fast = log_likelihoods_of_genotype_pairs(
+                    element_ids, success, pairs, normalize=normalize
+                )
+                assert [float(x) for x in fast] == oracle, (
+                    trial, include_alignment, normalize
+                )
+    # edge: no elements
+    empty = log_likelihoods_of_genotype_pairs(
+        np.empty(0, dtype=int), np.empty(0), [(0, 0)], normalize=False
+    )
+    assert list(empty) == [0.0]

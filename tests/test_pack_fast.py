@@ -108,3 +108,26 @@ def test_fast_with_reference(resources_dir):
         make_test_read("TCGCTCGA", "8M", "3A4", 1, chrom=contig),
     ]
     check(reads, contig, range(1, 9), reference_genome=ref)
+
+
+def test_sparse_tile_read_index_multi_contig():
+    """pack_sparse_tile's read_index must resolve through source.read()
+    (full-list positions) even when the object path filters to one contig
+    first (regression: subset-relative indices returned the wrong read,
+    crashing pileup_from_tile_row on multi-contig inputs)."""
+    from guacamole_tpu.callers.source import ReadSource
+
+    reads = [
+        make_test_read("ACGTACGT", "8M", "8", 0, chrom="chrA", sample_name="alpha"),
+        make_test_read("ACGTACGT", "8M", "8", 2, chrom="chrA", sample_name="alpha"),
+        make_test_read("TTTTCCCC", "8M", "8", 5, chrom="chrB", sample_name="beta"),
+    ]
+    source = ReadSource.from_reads(reads)
+    tile = source.pack_sparse_tile("chrB", [6, 7])
+    for li in range(tile.L):
+        for ri, ok in zip(tile.read_index[li], tile.valid[li]):
+            if ok and ri >= 0:
+                assert source.read(int(ri)).reference_contig == "chrB"
+                assert source.read(int(ri)).sample_name == "beta"
+        pileup = source.pileup_from_tile_row(tile, li)
+        assert all(e.read.reference_contig == "chrB" for e in pileup.elements)
