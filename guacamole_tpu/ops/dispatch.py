@@ -23,12 +23,14 @@ def use_pallas() -> bool:
     """Use the fused Pallas kernels for caller screening.
 
     Controlled by GUAC_USE_PALLAS: "1" forces Pallas (on TPU), "0" forces
-    XLA. Default is OFF in this deployment: the development TPU is reached
-    through a remote-compile tunnel where Mosaic compilations are not served
-    from the persistent cache, so each CLI process would pay minutes of
-    compile time for a kernel that saves fractions of a millisecond per
-    tile. On a production pod (local compiles, long-lived processes) set
-    GUAC_USE_PALLAS=1.
+    XLA. Default is OFF: the Pallas path consumes full per-element [L, D]
+    tensors, while the default XLA path ships the compact CSR/packed
+    encodings (4-16x less H2D traffic), which dominates end-to-end on any
+    transfer-bound link. The fused kernel itself is validated on real TPU
+    hardware (bit-equal counts/candidates vs the XLA kernel; ~2.6 s Mosaic
+    compile, ~14.5G pileup-elements/s steady state on v5e) — set
+    GUAC_USE_PALLAS=1 on compute-bound deployments where tiles are already
+    resident or packed densely.
     """
     import os
 
