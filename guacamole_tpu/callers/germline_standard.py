@@ -27,7 +27,7 @@ from guacamole_tpu.filters.genotype_filters import apply_genotype_filters
 from guacamole_tpu.filters.pileup_filters import quality_aligned_reads_filter
 from guacamole_tpu.gio.vcf import VcfRecord
 from guacamole_tpu.likelihood import (
-    genotype_probs_for_row,
+    genotype_probs_for_rows,
     likelihoods_of_all_possible_genotypes_from_pileup,
 )
 from guacamole_tpu.loci.locimap import LociMap
@@ -92,42 +92,60 @@ def calls_from_tile_row(
     """Exact per-locus caller over one FULL tile row — the vectorized form
     of call_variants_at_locus (bit-identical; pinned by
     tests/test_germline_standard.py::test_tile_row_confirm_bitwise)."""
-    valid = np.asarray(tile.valid[li])
-    if not valid.any():
+    return calls_from_tile_rows(tile, [li], sample_name, min_alignment_quality)
+
+
+def calls_from_tile_rows(
+    tile,
+    rows: List[int],
+    sample_name: str,
+    min_alignment_quality: int = 0,
+) -> List[CalledAllele]:
+    """Exact f64 confirm over many FULL tile rows in one batched pass
+    (genotype_probs_for_rows); bit-identical to per-row
+    calls_from_tile_row, which delegates here."""
+    if not rows:
         return []
-    aid = np.asarray(tile.allele_id[li])
-    mapq = np.asarray(tile.mapq[li])
+    idx = np.asarray(rows, dtype=np.int64)
+    valid = np.asarray(tile.valid)[idx].astype(bool)
+    aid = np.asarray(tile.allele_id)[idx]
+    mapq = np.asarray(tile.mapq)[idx]
+    quals = np.asarray(tile.qual)[idx]
     keep = valid & (mapq >= min_alignment_quality)
-    kept = np.flatnonzero(keep)
-    if not kept.size:
-        return []
-    pairs, lls = genotype_probs_for_row(
-        aid[kept],
-        np.asarray(tile.qual[li])[kept],
-        np.asarray(tile.is_standard_alt[li]),
-        log_space=True,
-    )
-    if not pairs:
-        return []
-    best = int(np.argmax(lls))  # first max, like the oracle's max()
-    probability = math.exp(lls[best])
-    alleles_row = tile.alleles[li]
-    genotype = Genotype.of(
-        alleles_row[pairs[best][0]], alleles_row[pairs[best][1]]
+    std_rows = np.asarray(tile.is_standard_alt)[idx].astype(bool)
+    per_row = genotype_probs_for_rows(
+        aid, quals, keep, std_rows, log_space=True
     )
 
     calls: List[CalledAllele] = []
-    if genotype.has_variant_allele:
+    strand_all = np.asarray(tile.strand)
+    mismatches_all = np.asarray(tile.mismatches)
+    for rpos, li in enumerate(rows):
+        pairs, lls = per_row[rpos]
+        if not pairs:
+            continue
+        best = int(np.argmax(lls))  # first max, like the oracle's max()
+        probability = math.exp(lls[best])
+        alleles_row = tile.alleles[li]
+        genotype = Genotype.of(
+            alleles_row[pairs[best][0]], alleles_row[pairs[best][1]]
+        )
+        if not genotype.has_variant_allele:
+            continue
         # Evidence statistics over the UNFILTERED elements (parity with
         # AlleleEvidence.from_pileup on the unfiltered sample pileup).
-        strand = np.asarray(tile.strand[li])
-        quals = np.asarray(tile.qual[li])
-        mismatches = np.asarray(tile.mismatches[li])
-        read_depth = int(valid.sum())
-        forward_depth = int((valid & strand).sum())
+        v = valid[rpos]
+        row_aid = aid[rpos]
+        strand = strand_all[li]
+        read_depth = int(v.sum())
+        forward_depth = int((v & strand).sum())
         for allele in genotype.non_reference_alleles:
-            dense_id = pairs[best][0] if alleles_row[pairs[best][0]] == allele else pairs[best][1]
-            mask = valid & (aid == dense_id)
+            dense_id = (
+                pairs[best][0]
+                if alleles_row[pairs[best][0]] == allele
+                else pairs[best][1]
+            )
+            mask = v & (row_aid == dense_id)
             calls.append(
                 CalledAllele(
                     sample_name=sample_name,
@@ -140,9 +158,9 @@ def calls_from_tile_row(
                         allele_read_depth=int(mask.sum()),
                         forward_depth=forward_depth,
                         allele_forward_depth=int((mask & strand).sum()),
-                        mapqs=mapq[mask],
-                        quals=quals[mask],
-                        mismatches=mismatches[mask],
+                        mapqs=mapq[rpos][mask],
+                        quals=quals[rpos][mask],
+                        mismatches=mismatches_all[li][mask],
                     ),
                 )
             )
@@ -236,6 +254,7 @@ def call_variants(
             max_alleles=max_alleles,
             reference_genome=reference_genome,
         )
+        dense_rows = [si for si in range(sparse.L) if not sparse.overflow[si]]
         for si in range(sparse.L):
             if sparse.overflow[si]:
                 pileup = sample_source.pileup_at(
@@ -248,12 +267,11 @@ def call_variants(
                         pileup, min_alignment_quality, emit_ref
                     )
                 )
-            else:
-                calls.extend(
-                    calls_from_tile_row(
-                        sparse, si, sample_name, min_alignment_quality
-                    )
-                )
+        calls.extend(
+            calls_from_tile_rows(
+                sparse, dense_rows, sample_name, min_alignment_quality
+            )
+        )
     calls.sort(
         key=lambda c: (c.reference_contig, c.start, c.sample_name or "", c.allele)
     )

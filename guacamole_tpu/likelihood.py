@@ -190,6 +190,182 @@ def log_likelihoods_of_genotype_pairs(
     return lls
 
 
+_PAIR_PATTERNS: dict = {}
+_TERM_LUT_Q: np.ndarray = np.zeros((1, 3))
+_TERM_LUT_QM: dict = {}
+
+
+def _log_or_neg_inf(v: float) -> float:
+    """math.log with JVM semantics at 0 (the reference's Math.log(0.0)
+    returns -Infinity rather than raising; Likelihood.scala:181-188)."""
+    return math.log(v) if v > 0.0 else float("-inf")
+
+
+def _term_rows(successes: np.ndarray) -> np.ndarray:
+    """[n, 3] log-term table: for each success probability s, the exact
+    oracle term log(p1 + p2) for carry count 0/1/2 — p is s for a carried
+    allele and 1.0 - s otherwise, composed with the oracle's operand
+    order, so every float is bit-identical to the scalar path."""
+    out = np.empty((len(successes), 3))
+    for i, s in enumerate(successes):
+        s = float(s)
+        ns = 1.0 - s
+        out[i, 0] = _log_or_neg_inf(ns + ns)
+        out[i, 1] = _log_or_neg_inf(s + ns)
+        out[i, 2] = _log_or_neg_inf(s + s)
+    return out
+
+
+def _term_lut_qual(max_q: int) -> np.ndarray:
+    """[max_q + 2, 3] table; row 0 is the padded-slot row (exact 0.0
+    terms), row q + 1 covers base quality q."""
+    global _TERM_LUT_Q
+    if _TERM_LUT_Q.shape[0] < max_q + 2:
+        succ = success_probabilities_of_quals(np.arange(max_q + 1))
+        _TERM_LUT_Q = np.vstack([np.zeros((1, 3)), _term_rows(succ)])
+    return _TERM_LUT_Q
+
+
+def _term_lut_qual_mapq(max_q: int, max_m: int) -> Tuple[np.ndarray, int]:
+    """Like _term_lut_qual for the alignment-included model: success is
+    s_qual * s_mapq (the oracle's multiply), addressed by
+    1 + q * (max_m + 1) + m, row 0 padded. Returns (table, width)."""
+    key = (max_q, max_m)
+    cached = _TERM_LUT_QM.get(key)
+    if cached is None:
+        sq = success_probabilities_of_quals(np.arange(max_q + 1))
+        sm = success_probabilities_of_quals(np.arange(max_m + 1))
+        combined = (sq[:, None] * sm[None, :]).reshape(-1)
+        cached = np.vstack([np.zeros((1, 3)), _term_rows(combined)])
+        _TERM_LUT_QM.clear()  # keep only the widest-seen table
+        _TERM_LUT_QM[key] = cached
+    return cached, max_m + 1
+
+
+def _pairs_of_id_mask(mask_code: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(a1s, a2s) dense-id arrays for all unordered pairs over the set ids
+    encoded in mask_code (bit k set = dense id k present), in the oracle's
+    enumeration order (ids ascending; (i, j) with i <= j)."""
+    cached = _PAIR_PATTERNS.get(mask_code)
+    if cached is None:
+        ids = [k for k in range(mask_code.bit_length()) if mask_code >> k & 1]
+        a1s = np.asarray(
+            [ids[i] for i in range(len(ids)) for _ in range(i, len(ids))],
+            dtype=np.int64,
+        )
+        a2s = np.asarray(
+            [ids[j] for i in range(len(ids)) for j in range(i, len(ids))],
+            dtype=np.int64,
+        )
+        cached = (a1s, a2s)
+        _PAIR_PATTERNS[mask_code] = cached
+    return cached
+
+
+def genotype_probs_for_rows(
+    allele_ids: np.ndarray,
+    quals: np.ndarray,
+    keeps: np.ndarray,
+    std_alt_flags: np.ndarray,
+    mapqs: Optional[np.ndarray] = None,
+    log_space: bool = False,
+    max_chunk_terms: int = 4_000_000,
+) -> List[Tuple[List[Tuple[int, int]], List[float]]]:
+    """Batched genotype_probs_for_row over R tile rows at once.
+
+    allele_ids/quals/mapqs: [R, D] per-slot tensors (slot order = pileup
+      element order); keeps: [R, D] bool element filter per row;
+      std_alt_flags: [R, K] per-dense-id standard-alt flags per row.
+
+    Returns a list of (pairs, lls) per row, bit-identical to calling
+    genotype_probs_for_row(aid[keep], quals[keep], ...) row by row
+    (pinned by tests/test_likelihood.py::test_genotype_probs_rows_bitwise):
+    non-kept slots contribute an exact +0.0 term (LUT row 0), and IEEE-754
+    addition of +0.0 is an exact identity (no partial sum here is -0.0:
+    log never returns -0.0 and zero-valued partial sums of +0.0 terms are
+    +0.0), so the sequential right-to-left per-genotype accumulation over
+    kept elements is unchanged.
+    """
+    allele_ids = np.asarray(allele_ids)
+    R, D = allele_ids.shape
+    results: List[Tuple[List[Tuple[int, int]], List[float]]] = [
+        ([], []) for _ in range(R)
+    ]
+    if R == 0:
+        return results
+    keeps = np.asarray(keeps, dtype=bool)
+    std_alt_flags = np.asarray(std_alt_flags, dtype=bool)
+    K = std_alt_flags.shape[1]
+    aid = np.where(keeps, allele_ids, -1)
+
+    # presence[r, k] = row r has a kept element carrying dense id k
+    presence = np.zeros((R, K), dtype=bool)
+    rr, cc = np.nonzero(aid >= 0)
+    presence[rr, aid[rr, cc]] = True
+    present_std = presence & std_alt_flags
+    mask_codes = present_std @ (1 << np.arange(K, dtype=np.int64))
+
+    # Flattened (row, a1, a2) pair lists in per-row enumeration order.
+    row_patterns = [_pairs_of_id_mask(int(c)) for c in mask_codes]
+    counts = np.asarray([len(p[0]) for p in row_patterns], dtype=np.int64)
+    P = int(counts.sum())
+    if P == 0:
+        return results
+    pair_row = np.repeat(np.arange(R, dtype=np.int64), counts)
+    a1 = np.concatenate([p[0] for p in row_patterns])
+    a2 = np.concatenate([p[1] for p in row_patterns])
+
+    # Each log term depends only on (base quality[, MAPQ], carry count):
+    # log(p1 + p2) with p = s for a carried allele, 1 - s otherwise. A
+    # tiny LUT of exact scalar-path floats replaces per-element logs;
+    # padded slots address row 0 (exact +0.0 terms — see docstring).
+    q = np.where(keeps, quals, 0).astype(np.int64)
+    if mapqs is None:
+        lut = _term_lut_qual(int(q.max()))
+        code = np.where(keeps, q + 1, 0)
+    else:
+        m = np.where(keeps, mapqs, 0).astype(np.int64)
+        lut, width = _term_lut_qual_mapq(int(q.max()), int(m.max()))
+        code = np.where(keeps, q * width + m + 1, 0)
+    depths = keeps.sum(axis=1).astype(np.float64)
+    log2 = math.log(2)
+
+    acc = np.empty(P)
+    chunk = max(1, max_chunk_terms // max(D, 1))
+    for lo in range(0, P, chunk):
+        hi = min(lo + chunk, P)
+        pr = pair_row[lo:hi]
+        ids = aid[pr]
+        ncarry = (ids == a1[lo:hi, None]).astype(np.int8) + (
+            ids == a2[lo:hi, None]
+        )
+        terms = lut[code[pr], ncarry]
+        # cumsum is a strictly sequential accumulation; reversed it equals
+        # the oracle's right-to-left Colt aggregate order.
+        acc[lo:hi] = np.cumsum(terms[:, ::-1], axis=1)[:, -1]
+    lls = (acc + math.log(1.0)) - log2 * depths[pair_row]
+
+    off = 0
+    for r in range(R):
+        n = int(counts[r])
+        if not n:
+            continue
+        row_lls = lls[off : off + n]
+        # Sequential normalization in enumeration order (oracle parity).
+        total = 0.0
+        for ll in row_lls:
+            total += math.exp(ll)
+        row_lls = row_lls - math.log(total)
+        a1s, a2s = row_patterns[r]
+        pairs = [(int(a1s[i]), int(a2s[i])) for i in range(n)]
+        if log_space:
+            results[r] = (pairs, [float(ll) for ll in row_lls])
+        else:
+            results[r] = (pairs, [math.exp(float(ll)) for ll in row_lls])
+        off += n
+    return results
+
+
 def genotype_probs_for_row(
     element_allele_ids: np.ndarray,
     quals: np.ndarray,

@@ -15,10 +15,13 @@ Prints one JSON report.
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CHRM_BAM = "/root/reference/src/test/resources/chrM.sorted.bam"
 

@@ -307,3 +307,51 @@ def test_vectorized_pairs_bitwise_vs_scalar_oracle():
         np.empty(0, dtype=int), np.empty(0), [(0, 0)], normalize=False
     )
     assert list(empty) == [0.0]
+
+
+def test_genotype_probs_rows_bitwise():
+    """genotype_probs_for_rows (batched across tile rows, with padded
+    slots interspersed) must be bit-identical to per-row
+    genotype_probs_for_row over random row batches, with and without the
+    alignment term."""
+    import numpy as np
+
+    from guacamole_tpu.likelihood import (
+        genotype_probs_for_row,
+        genotype_probs_for_rows,
+    )
+
+    rng = np.random.RandomState(11)
+    K = 8
+    for trial in range(20):
+        R = int(rng.randint(1, 12))
+        D = int(rng.randint(1, 60))
+        aid = rng.randint(0, K, size=(R, D)).astype(np.int16)
+        quals = rng.randint(2, 46, size=(R, D)).astype(np.int16)
+        mapqs = rng.randint(1, 90, size=(R, D)).astype(np.int16)
+        keeps = rng.rand(R, D) < rng.rand()  # some rows mostly empty
+        std = rng.rand(R, K) < 0.7
+        for use_mapq in (False, True):
+            for log_space in (False, True):
+                batched = genotype_probs_for_rows(
+                    aid,
+                    quals,
+                    keeps,
+                    std,
+                    mapqs=mapqs if use_mapq else None,
+                    log_space=log_space,
+                )
+                for r in range(R):
+                    kept = np.flatnonzero(keeps[r])
+                    pairs, lls = genotype_probs_for_row(
+                        aid[r][kept],
+                        quals[r][kept],
+                        std[r],
+                        mapqs=mapqs[r][kept] if use_mapq else None,
+                        log_space=log_space,
+                    )
+                    bpairs, blls = batched[r]
+                    assert bpairs == pairs, (trial, r)
+                    assert [float(x) for x in blls] == [
+                        float(x) for x in lls
+                    ], (trial, r, use_mapq, log_space)
