@@ -29,6 +29,7 @@ from guacamole_tpu.filters.pileup_filters import filter_pileup
 from guacamole_tpu.gio.vcf import VcfRecord
 from guacamole_tpu.likelihood import (
     genotype_probs_for_row,
+    genotype_probs_for_rows,
     likelihoods_of_all_possible_genotypes_from_pileup,
     probability_correct_ignoring_alignment,
     probability_correct_including_alignment,
@@ -186,105 +187,195 @@ def somatic_calls_from_tile_rows(
     """Vectorized exact f64 somatic kernel over one (tumor, normal) pair of
     FULL tile rows — bit-identical to find_potential_variant_at_locus
     (pinned by tests/test_somatic.py::test_tile_row_somatic_bitwise)."""
-    tumor_keep = _row_filter_mask(
-        tumor_tile, ti, min_alignment_quality, filter_multi_allelic
+    return somatic_calls_from_row_pairs(
+        tumor_tile,
+        [ti],
+        normal_tile,
+        [ni],
+        tumor_source,
+        odds_threshold,
+        min_alignment_quality,
+        filter_multi_allelic,
+        max_read_depth,
     )
-    normal_keep = _row_filter_mask(
-        normal_tile, ni, min_alignment_quality, filter_multi_allelic
-    )
-    tumor_depth = int(tumor_keep.sum())
-    normal_depth = int(normal_keep.sum())
-    if (
-        tumor_depth == 0
-        or normal_depth == 0
-        or tumor_depth > max_read_depth
-        or normal_depth > max_read_depth
-    ):
+
+
+def _filter_masks_batch(tile, idx, min_alignment_quality, filter_multi_allelic):
+    """Batched _row_filter_mask over tile rows idx: (valid, keep, aid)."""
+    valid = np.asarray(tile.valid)[idx].astype(bool)
+    aid = np.asarray(tile.allele_id)[idx]
+    keep = valid.copy()
+    if filter_multi_allelic:
+        K = np.asarray(tile.is_variant).shape[1]
+        presence = np.zeros((len(idx), K), dtype=bool)
+        masked = np.where(valid, aid, -1)
+        rr, cc = np.nonzero(masked >= 0)
+        presence[rr, masked[rr, cc]] = True
+        keep[presence.sum(axis=1) > 2] = False
+    if min_alignment_quality > 0:
+        keep &= np.asarray(tile.mapq)[idx] >= min_alignment_quality
+    return valid, keep, aid
+
+
+def somatic_calls_from_row_pairs(
+    tumor_tile,
+    tumor_rows: List[int],
+    normal_tile,
+    normal_rows: List[int],
+    tumor_source,
+    odds_threshold: int,
+    min_alignment_quality: int = 1,
+    filter_multi_allelic: bool = False,
+    max_read_depth: int = INT_MAX,
+) -> List[CalledSomaticAllele]:
+    """Exact f64 somatic kernel over many (tumor, normal) row pairs in one
+    batched pass (genotype_probs_for_rows); per-pair results are identical
+    to somatic_calls_from_tile_rows, which delegates here."""
+    R = len(tumor_rows)
+    if R == 0:
         return []
+    t_idx = np.asarray(tumor_rows, dtype=np.int64)
+    n_idx = np.asarray(normal_rows, dtype=np.int64)
+    t_valid, t_keep, t_aid = _filter_masks_batch(
+        tumor_tile, t_idx, min_alignment_quality, filter_multi_allelic
+    )
+    _, n_keep, n_aid = _filter_masks_batch(
+        normal_tile, n_idx, min_alignment_quality, filter_multi_allelic
+    )
+    t_depth = t_keep.sum(axis=1)
+    n_depth = n_keep.sum(axis=1)
+    alive = (
+        (t_depth > 0)
+        & (n_depth > 0)
+        & (t_depth <= max_read_depth)
+        & (n_depth <= max_read_depth)
+    )
+
     # reference_depth == depth gate: a "reference" element is a MATCH
     # alignment — allele with ref == alt and a non-empty ref (clipped
     # elements have the empty allele and are neither).
-    tumor_alleles = tumor_tile.alleles[ti]
-    tumor_aid = np.asarray(tumor_tile.allele_id[ti])
-    kept_ids = np.unique(tumor_aid[tumor_keep])
-    if all(
-        tumor_alleles[int(k)].ref_bases == tumor_alleles[int(k)].alt_bases
-        and tumor_alleles[int(k)].ref_bases != b""
-        for k in kept_ids
-    ):
+    is_variant_t = np.asarray(tumor_tile.is_variant)[t_idx].astype(bool)
+    K = is_variant_t.shape[1]
+    kept_masked = np.where(t_keep, t_aid, -1)
+    presence = np.zeros((R, K), dtype=bool)
+    rr, cc = np.nonzero(kept_masked >= 0)
+    presence[rr, kept_masked[rr, cc]] = True
+    pure_ref = np.zeros((R, K), dtype=bool)
+    for r in np.flatnonzero(alive):
+        alleles_row = tumor_tile.alleles[tumor_rows[r]]
+        for k in range(int(tumor_tile.num_alleles[tumor_rows[r]])):
+            a = alleles_row[k]
+            pure_ref[r, k] = (
+                a.ref_bases == a.alt_bases and a.ref_bases != b""
+            )
+    alive &= (presence & ~pure_ref).any(axis=1)
+    live = np.flatnonzero(alive)
+    if not len(live):
         return []
 
-    pairs, tumor_probs = _row_genotype_probs(
-        tumor_tile, ti, tumor_keep, include_alignment=True
+    # Batched exact tumor likelihoods (alignment-included).
+    t_quals = np.asarray(tumor_tile.qual)[t_idx]
+    t_mapqs = np.asarray(tumor_tile.mapq)[t_idx]
+    t_std = np.asarray(tumor_tile.is_standard_alt)[t_idx].astype(bool)
+    tumor_res = genotype_probs_for_rows(
+        t_aid[live],
+        t_quals[live],
+        t_keep[live],
+        t_std[live],
+        mapqs=t_mapqs[live],
     )
-    if not pairs:
-        return []
-    is_variant_t = np.asarray(tumor_tile.is_variant[ti])
-    best = int(np.argmax(tumor_probs))
-    best_likelihood = tumor_probs[best]
-    best_pair = pairs[best]
-    if not (is_variant_t[best_pair[0]] or is_variant_t[best_pair[1]]):
+    # Tumor argmax gate: best genotype must carry a variant allele.
+    survivors: List[int] = []  # positions into `live`
+    best_info: Dict[int, Tuple[Tuple[int, int], float]] = {}
+    for pos, r in enumerate(live):
+        pairs, tumor_probs = tumor_res[pos]
+        if not pairs:
+            continue
+        best = int(np.argmax(tumor_probs))
+        best_pair = pairs[best]
+        if not (
+            is_variant_t[r][best_pair[0]] or is_variant_t[r][best_pair[1]]
+        ):
+            continue
+        survivors.append(pos)
+        best_info[pos] = (best_pair, tumor_probs[best])
+    if not survivors:
         return []
 
-    n_pairs, normal_probs = _row_genotype_probs(
-        normal_tile, ni, normal_keep, include_alignment=False
+    # Batched exact normal likelihoods (alignment ignored) at survivors.
+    sur_rows = np.asarray([live[pos] for pos in survivors])
+    n_quals = np.asarray(normal_tile.qual)[n_idx]
+    n_std = np.asarray(normal_tile.is_standard_alt)[n_idx].astype(bool)
+    is_variant_n = np.asarray(normal_tile.is_variant)[n_idx].astype(bool)
+    normal_res = genotype_probs_for_rows(
+        n_aid[sur_rows], n_quals[sur_rows], n_keep[sur_rows], n_std[sur_rows]
     )
-    is_variant_n = np.asarray(normal_tile.is_variant[ni])
-    normal_variants_total = sum(
-        p
-        for (a, b), p in zip(n_pairs, normal_probs)
-        if is_variant_n[a] or is_variant_n[b]
-    )
-    somatic_odds = (
-        best_likelihood / normal_variants_total
-        if normal_variants_total != 0
-        else float("inf")
-    )
-    if somatic_odds * 100 < odds_threshold:
-        return []
 
-    allele = None
-    allele_id = None
-    for k in best_pair:
-        cand = tumor_alleles[k]
-        if cand.is_variant and cand.alt_bases:
-            allele = cand
-            allele_id = k
-            break
-    if allele is None:
-        return []
-    # sample name of the (unfiltered) tumor pileup's first element
-    first_slot = int(np.flatnonzero(np.asarray(tumor_tile.valid[ti]))[0])
-    sample_name = tumor_source.read(
-        int(tumor_tile.read_index[ti][first_slot])
-    ).sample_name
-    tumor_evidence = _row_evidence(
-        tumor_tile, ti, tumor_keep, best_likelihood, allele_id
-    )
-    ref_allele = Allele(allele.ref_bases, allele.ref_bases)
-    normal_alleles = normal_tile.alleles[ni]
-    normal_id = next(
-        (
-            k
-            for k in range(int(normal_tile.num_alleles[ni]))
-            if normal_alleles[k] == ref_allele
-        ),
-        None,
-    )
-    normal_evidence = _row_evidence(
-        normal_tile, ni, normal_keep, 1 - normal_variants_total, normal_id
-    )
-    return [
-        CalledSomaticAllele(
-            sample_name=sample_name,
-            reference_contig=tumor_tile.contig,
-            start=int(tumor_tile.loci[ti]),
-            allele=allele,
-            somatic_log_odds=math.log(somatic_odds),
-            tumor_variant_evidence=tumor_evidence,
-            normal_reference_evidence=normal_evidence,
+    calls: List[CalledSomaticAllele] = []
+    for spos, pos in enumerate(survivors):
+        r = int(live[pos])
+        best_pair, best_likelihood = best_info[pos]
+        n_pairs, normal_probs = normal_res[spos]
+        iv_n = is_variant_n[r]
+        normal_variants_total = sum(
+            p
+            for (a, b), p in zip(n_pairs, normal_probs)
+            if iv_n[a] or iv_n[b]
         )
-    ]
+        somatic_odds = (
+            best_likelihood / normal_variants_total
+            if normal_variants_total != 0
+            else float("inf")
+        )
+        if somatic_odds * 100 < odds_threshold:
+            continue
+
+        ti = int(tumor_rows[r])
+        ni = int(normal_rows[r])
+        tumor_alleles = tumor_tile.alleles[ti]
+        allele = None
+        allele_id = None
+        for k in best_pair:
+            cand = tumor_alleles[k]
+            if cand.is_variant and cand.alt_bases:
+                allele = cand
+                allele_id = k
+                break
+        if allele is None:
+            continue
+        # sample name of the (unfiltered) tumor pileup's first element
+        first_slot = int(np.flatnonzero(t_valid[r])[0])
+        sample_name = tumor_source.read(
+            int(tumor_tile.read_index[ti][first_slot])
+        ).sample_name
+        tumor_evidence = _row_evidence(
+            tumor_tile, ti, t_keep[r], best_likelihood, allele_id
+        )
+        ref_allele = Allele(allele.ref_bases, allele.ref_bases)
+        normal_alleles = normal_tile.alleles[ni]
+        normal_id = next(
+            (
+                k
+                for k in range(int(normal_tile.num_alleles[ni]))
+                if normal_alleles[k] == ref_allele
+            ),
+            None,
+        )
+        normal_evidence = _row_evidence(
+            normal_tile, ni, n_keep[r], 1 - normal_variants_total, normal_id
+        )
+        calls.append(
+            CalledSomaticAllele(
+                sample_name=sample_name,
+                reference_contig=tumor_tile.contig,
+                start=int(tumor_tile.loci[ti]),
+                allele=allele,
+                somatic_log_odds=math.log(somatic_odds),
+                tumor_variant_evidence=tumor_evidence,
+                normal_reference_evidence=normal_evidence,
+            )
+        )
+    return calls
 
 
 def call_variants(
@@ -388,6 +479,8 @@ def call_variants(
         normal_row = {
             int(normal_tile.loci[i]): i for i in range(normal_tile.L)
         }
+        batch_t: List[int] = []
+        batch_n: List[int] = []
         for li in candidates:
             if tile.depth[li] == 0:
                 continue
@@ -397,19 +490,8 @@ def call_variants(
             if not (tumor_tile.overflow[ti] or normal_tile.overflow[ni]):
                 if not tumor_tile.valid[ti].any():
                     continue
-                calls.extend(
-                    somatic_calls_from_tile_rows(
-                        tumor_tile,
-                        ti,
-                        normal_tile,
-                        ni,
-                        tumor,
-                        odds_threshold,
-                        min_alignment_quality,
-                        filter_multi_allelic,
-                        max_read_depth,
-                    )
-                )
+                batch_t.append(ti)
+                batch_n.append(ni)
                 continue
             tumor_pileup = (
                 tumor.pileup_at(
@@ -437,6 +519,19 @@ def call_variants(
                     max_read_depth,
                 )
             )
+        calls.extend(
+            somatic_calls_from_row_pairs(
+                tumor_tile,
+                batch_t,
+                normal_tile,
+                batch_n,
+                tumor,
+                odds_threshold,
+                min_alignment_quality,
+                filter_multi_allelic,
+                max_read_depth,
+            )
+        )
     calls.sort(key=lambda c: (c.reference_contig, c.start, c.allele))
     return calls
 

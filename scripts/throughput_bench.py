@@ -116,9 +116,22 @@ def main() -> int:
         "workload": f"chrM x{args.replicas} contigs, {cols.n} reads",
         "tasks": args.tasks,
     }
+    from guacamole_tpu.callers.somatic_standard import (
+        call_variants as somatic_call,
+    )
+
+    normal_source = ReadSource.from_columnar(cols)
+
+    def somatic(src, parts, **kw):
+        # tumor == normal: zero emissions, but the tumor screen + exact
+        # two-sample confirm run at every germline-variant locus, which is
+        # the representative somatic workload shape.
+        return somatic_call(src, normal_source, parts, **kw)
+
     for name, fn, kwargs in (
         ("germline-threshold", threshold_call, {"threshold_percent": 8}),
         ("germline-standard", standard_call, {}),
+        ("somatic-standard", somatic, {}),
     ):
         calls = fn(source, partitions, **kwargs)  # warm (compile cache)
         best = float("inf")
