@@ -51,7 +51,7 @@ def main() -> int:
     # Measured section: full pipeline including BAM decode + packing +
     # device kernels + classification (end-to-end minus VCF write).
     best_wall = float("inf")
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.time()
         source, contig_lengths = load_read_source(CHRM_BAM, filters)
         loci = parse_loci("all").result(contig_lengths)

@@ -83,18 +83,23 @@ def likelihoods_of_genotypes(
         row1 = probabilities[allele_to_index[genotype.alleles[0]]]
         row2 = probabilities[allele_to_index[genotype.alleles[1]]]
         # Right-to-left accumulation (parity with Colt aggregate order).
+        # Zero probabilities (base quality 0, or MAPQ 0 in the
+        # alignment-included model) follow JVM semantics: Math.log(0.0)
+        # is -Infinity, not an error (Likelihood.scala:181-188).
         acc = 0.0
         if depth > 0:
-            acc = math.log(row1[depth - 1] + row2[depth - 1])
+            acc = _log_or_neg_inf(row1[depth - 1] + row2[depth - 1])
             for j in range(depth - 2, -1, -1):
-                acc = math.log(row1[j] + row2[j]) + acc
-        log_likelihoods.append(acc + math.log(prior(genotype)) - log2 * depth)
+                acc = _log_or_neg_inf(row1[j] + row2[j]) + acc
+        log_likelihoods.append(
+            acc + _log_or_neg_inf(prior(genotype)) - log2 * depth
+        )
 
     if normalize:
         total = 0.0
         for ll in log_likelihoods:
             total += math.exp(ll)
-        log_total = math.log(total)
+        log_total = _log_or_neg_inf(total)
         log_likelihoods = [ll - log_total for ll in log_likelihoods]
     if log_space:
         return log_likelihoods
@@ -122,7 +127,7 @@ def _exact_logs(values: np.ndarray) -> np.ndarray:
         v = float(u[i])
         lv = memo.get(v)
         if lv is None:
-            lv = math.log(v)
+            lv = _log_or_neg_inf(v)
             memo[v] = lv
         logs[i] = lv
     return logs[inv].reshape(values.shape)
@@ -185,7 +190,7 @@ def log_likelihoods_of_genotype_pairs(
         total = 0.0
         for ll in lls:
             total += math.exp(ll)
-        log_total = math.log(total)
+        log_total = _log_or_neg_inf(total)
         lls = lls - log_total
     return lls
 
@@ -355,7 +360,7 @@ def genotype_probs_for_rows(
         total = 0.0
         for ll in row_lls:
             total += math.exp(ll)
-        row_lls = row_lls - math.log(total)
+        row_lls = row_lls - _log_or_neg_inf(total)
         a1s, a2s = row_patterns[r]
         pairs = [(int(a1s[i]), int(a2s[i])) for i in range(n)]
         if log_space:

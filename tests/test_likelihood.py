@@ -355,3 +355,45 @@ def test_genotype_probs_rows_bitwise():
                     assert [float(x) for x in blls] == [
                         float(x) for x in lls
                     ], (trial, r, use_mapq, log_space)
+
+
+def test_zero_probability_jvm_log_semantics():
+    """Base quality 0 gives a zero success probability; the reference's
+    Math.log(0.0) is -Infinity (not an error), and every likelihood path
+    (scalar oracle, per-row, batched rows) must agree bitwise."""
+    import numpy as np
+
+    from guacamole_tpu.likelihood import (
+        genotype_probs_for_row,
+        genotype_probs_for_rows,
+        likelihoods_of_all_possible_genotypes_from_pileup,
+    )
+
+    # two reads supporting alt 'T' at qual 0 and one ref at qual 30
+    reads = [
+        make_test_read("TCGATCGA", "8M", "0A7", 1, quality_scores=[0] * 8),
+        make_test_read("TCGATCGA", "8M", "0A7", 1, quality_scores=[0] * 8),
+        make_test_read("ACGATCGA", "8M", "8", 1, quality_scores=[30] * 8),
+    ]
+    pileup = Pileup.from_reads(reads, "chr1", 1)
+    oracle = likelihoods_of_all_possible_genotypes_from_pileup(
+        pileup, log_space=True, normalize=True
+    )
+    assert len(oracle) == 3  # AA, AT, TT
+    values = [ll for _, ll in oracle]
+    # hom-alt TT multiplies the qual-0 ref element's 0.0 probability in
+    assert any(v == float("-inf") for v in values)
+
+    aid = np.asarray([[1, 1, 0]], dtype=np.int16)  # A < T dense order
+    quals = np.asarray([[0, 0, 30]], dtype=np.int16)
+    keeps = np.ones((1, 3), dtype=bool)
+    std = np.ones((1, 2), dtype=bool)
+    pairs, row_lls = genotype_probs_for_row(
+        aid[0], quals[0], std[0], log_space=True
+    )
+    (bpairs, batch_lls), = genotype_probs_for_rows(
+        aid, quals, keeps, std, log_space=True
+    )
+    assert bpairs == pairs
+    assert [float(x) for x in batch_lls] == [float(x) for x in row_lls]
+    assert sorted(map(float, row_lls)) == sorted(map(float, values))

@@ -314,3 +314,52 @@ def test_native_tumor_screen_matches_object_path(resources_dir):
 
     assert len(object_calls) > 0
     assert sorted(map(key, object_calls)) == sorted(map(key, columnar_calls))
+
+
+def test_row_pair_batch_equals_single_rows(resources_dir):
+    """somatic_calls_from_row_pairs over ALL candidate rows at once must
+    equal per-row somatic_calls_from_tile_rows, with and without the
+    multi-allelic pileup filter."""
+    from guacamole_tpu.callers.somatic_standard import (
+        somatic_calls_from_row_pairs,
+        somatic_calls_from_tile_rows,
+    )
+    from guacamole_tpu.callers.source import ReadSource
+
+    tumor, normal = load_tumor_normal(
+        "tumor.chr20.tough.sam", "normal.chr20.tough.sam"
+    )
+    contig = tumor[0].reference_contig
+    covered = set()
+    for r in tumor + normal:
+        covered.update(range(r.start, r.end))
+    loci = sorted(covered)
+    tumor_src = ReadSource.from_reads(tumor)
+    normal_src = ReadSource.from_reads(normal)
+    tumor_tile = tumor_src.pack_sparse_tile(contig, loci)
+    normal_tile = normal_src.pack_sparse_tile(contig, loci)
+    rows = [
+        si
+        for si in range(tumor_tile.L)
+        if tumor_tile.depth[si]
+        and not tumor_tile.overflow[si]
+        and not normal_tile.overflow[si]
+        and tumor_tile.valid[si].any()
+    ]
+    assert len(rows) > 100
+    for multi_allelic in (False, True):
+        batched = somatic_calls_from_row_pairs(
+            tumor_tile, rows, normal_tile, rows, tumor_src,
+            LOG_ODDS_THRESHOLD, MIN_ALIGNMENT_QUALITY,
+            filter_multi_allelic=multi_allelic,
+        )
+        single = []
+        for si in rows:
+            single.extend(
+                somatic_calls_from_tile_rows(
+                    tumor_tile, si, normal_tile, si, tumor_src,
+                    LOG_ODDS_THRESHOLD, MIN_ALIGNMENT_QUALITY,
+                    filter_multi_allelic=multi_allelic,
+                )
+            )
+        assert batched == single, multi_allelic
