@@ -15,7 +15,9 @@
 // Compiled into libguac_runtime.so together with guac_runtime.cpp.
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <functional>
@@ -134,6 +136,22 @@ static int thread_count(int64_t nblocks, int max_threads) {
   return (int)std::min<int64_t>(std::max(max_threads, 1), nblocks);
 }
 
+// GUAC_PACK_TIMING=1 prints per-pass wall times to stderr (perf tooling).
+struct PassTimer {
+  bool on;
+  std::chrono::steady_clock::time_point last;
+  explicit PassTimer()
+      : on(getenv("GUAC_PACK_TIMING") != nullptr),
+        last(std::chrono::steady_clock::now()) {}
+  void mark(const char* name) {
+    if (!on) return;
+    auto now = std::chrono::steady_clock::now();
+    fprintf(stderr, "[guac_pack] %-12s %7.3f ms\n", name,
+            std::chrono::duration<double, std::milli>(now - last).count());
+    last = now;
+  }
+};
+
 static void parallel_blocks(int64_t nblocks, int max_threads,
                             const std::function<void(int64_t, int)>& fn) {
   if (nblocks <= 0) return;
@@ -191,6 +209,7 @@ void* guac_pack_tile(
     int64_t min_mapq,
     // optional reference contig bytes (null = resolve from reads)
     const uint8_t* ref_contig, int64_t ref_contig_len) {
+  PassTimer timer_;
   PackedTile* t = new PackedTile();
   int64_t L_out = std::max(l_pad, n_loci);
   t->L = L_out;
@@ -249,6 +268,7 @@ void* guac_pack_tile(
       return start[a] < start[b];
     });
 
+  timer_.mark("select");
   // Row range per read via binary search into loci.
   auto row_lo = [&](int64_t s) {
     return std::lower_bound(loci, loci + n_loci, s) - loci;
@@ -274,6 +294,7 @@ void* guac_pack_tile(
       block_members[(size_t)b].push_back((int64_t)i);
   }
 
+  timer_.mark("read_rows");
   // Pass 1: depth per locus via an interval diff array — O(reads + loci),
   // not O(elements): each read covers a contiguous row range.
   t->depth.assign(L_out, 0);
@@ -300,6 +321,7 @@ void* guac_pack_tile(
   if (mode == 2 || mode == 3) D = std::min<int64_t>(D, 16384);
   t->D = D;
 
+  timer_.mark("depth");
   // Pass 2: reference base per locus. Sentinel rows (>= n_loci) stay 0 to
   // match pad_tile_loci's zero fill.
   t->ref_base.assign(L_out, 0);
@@ -326,6 +348,7 @@ void* guac_pack_tile(
     });
   }
 
+  timer_.mark("ref_base");
   // Specials lookup: read -> (offset -> special index).
   std::unordered_map<int64_t, std::unordered_map<int64_t, int64_t>>
       special_by_read;
@@ -384,6 +407,7 @@ void* guac_pack_tile(
       if (t->depth[r] > 32767) t->overflow[r] = 1;
   }
 
+  timer_.mark("alloc");
   // Per-element allele keys: most are 2-byte (ref, alt); store compactly as
   // int32 codes; special/long keys in a side map.
   // Code scheme: BASE/MATCH: 0x10000 | ref<<8 | alt ; MID_DEL: 0x20000|ref ;
@@ -394,6 +418,7 @@ void* guac_pack_tile(
   raw_vector<int32_t> elem_code(csr ? elem_off[n_loci] : n_loci * D);
   std::vector<int32_t> fill(n_loci, 0);
 
+  timer_.mark("codes_alloc");
   // Parallel padding pass (dense modes only — CSR has no padding):
   // every cell at slot >= min(depth, D) gets the sentinel fill (and
   // sentinel L-pad rows are fully padded). Runs over ALL L_out rows,
@@ -432,6 +457,7 @@ void* guac_pack_tile(
     });
   }
 
+  timer_.mark("padding");
   // Distinct short codes (< 0x40000) are collected during the fill with
   // per-thread seen bitmaps — long codes need no tracking, since every
   // interned long key is by construction used by some element.
@@ -540,6 +566,7 @@ void* guac_pack_tile(
     }
   });
 
+  timer_.mark("pass3_fill");
   // Global key table: decode every distinct code to its byte-pair key and
   // sort (rank order == Allele ordering).
   auto decode = [&](int32_t code) -> AlleleKey {
@@ -593,6 +620,7 @@ void* guac_pack_tile(
     t->key_ref_off.push_back((int64_t)t->key_blob.size());
   }
 
+  timer_.mark("key_table");
   // Pass 4: per-locus dense allele ids + uniq table + variant flags
   // (parallel over blocks with per-block uniq buffers, stitched serially).
   t->num_alleles.assign(L_out, 0);
@@ -702,6 +730,7 @@ void* guac_pack_tile(
       }
     }
   });
+  timer_.mark("pass4_ids");
   // Stitch per-block uniq tables into the global offsets/values.
   int64_t total_uniq = 0;
   for (auto& u : block_uniq) total_uniq += (int64_t)u.size();
@@ -719,6 +748,7 @@ void* guac_pack_tile(
   for (int64_t row = row_cursor; row < L_out; row++)
     t->uniq_off[row + 1] = t->uniq_off[row];
 
+  timer_.mark("stitch");
   return t;
 }
 
