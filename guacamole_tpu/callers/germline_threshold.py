@@ -29,6 +29,7 @@ from guacamole_tpu.gio.vcf import VcfRecord
 from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.loci.lociset import LociSet
 from guacamole_tpu.ops.dispatch import (
+    CompactScreen,
     pipelined_batched_screens,
     screen_tile_for,
 )
@@ -47,6 +48,11 @@ HET = ("Ref", "Alt")
 COMPOUND = ("Alt", "OtherAlt")
 
 ALT_PLACEHOLDER = Bases.ALT.decode("ascii")
+
+# Device-side candidate compaction width for variant-only runs: each tile
+# fetches [cap+1, K+1] int32 instead of the full [L, K] counts. Tiles with
+# more candidates than this refetch the full screen (rare).
+COMPACT_CAP = 512
 
 
 @dataclass(frozen=True)
@@ -179,56 +185,108 @@ def call_tile(
         stats = pending.result()
     else:
         stats = screen_tile_for(tile, threshold_percent=threshold_percent)
+    depth_arr = np.asarray(tile.depth)[: tile.L]
+    overflow_arr = np.asarray(tile.overflow).astype(bool)[: tile.L]
+    if isinstance(stats, CompactScreen):
+        if stats.overflowed:
+            # More candidates than the compaction cap: refetch the full
+            # [L, K] screen for this tile (rare).
+            stats = screen_tile_for(tile, threshold_percent=threshold_percent)
+        else:
+            assert not (emit_ref or emit_no_call), (
+                "compact screens only carry candidate rows"
+            )
+            counts_by_row = {
+                int(r): stats.counts[i] for i, r in enumerate(stats.idx)
+            }
+            calls = []
+            rows = np.union1d(
+                stats.idx.astype(np.int64),
+                np.nonzero(overflow_arr & (depth_arr > 0))[0],
+            )
+            for li in rows:
+                li = int(li)
+                row_counts = (
+                    None if overflow_arr[li] else counts_by_row.get(li)
+                )
+                calls.extend(
+                    _classify_tile_locus(
+                        tile, li, int(depth_arr[li]), row_counts,
+                        sample_name, sample_reads, source,
+                        threshold_percent, emit_ref, emit_no_call,
+                    )
+                )
+            return calls
     counts = stats.counts
     variant_evidence = stats.candidates
     calls: List[ThresholdCall] = []
     # Only loci flagged by the device screen (exact thresholded passing
     # rule) or needing the exact host fallback can produce output; with
     # emit flags set every covered locus can.
-    depth_arr = np.asarray(tile.depth)[: tile.L]
-    overflow_arr = np.asarray(tile.overflow).astype(bool)[: tile.L]
     active = depth_arr > 0
     if not (emit_ref or emit_no_call):
         evidence = np.asarray(variant_evidence).astype(bool)[: tile.L]
         active &= evidence | overflow_arr
     for li in np.nonzero(active)[0]:
-        total = int(depth_arr[li])
-        locus = int(tile.loci[li])
-        if tile.overflow[li]:
-            # Exact host fallback for >K-allele or >D-depth loci.
-            if source is not None:
-                pileup = source.pileup_at(tile.contig, locus)
-            else:
-                assert sample_reads is not None, (
-                    "overflow locus requires reads for exact host fallback"
-                )
-                pileup = Pileup.from_reads(sample_reads, tile.contig, locus)
-            counts_map: Dict[Allele, int] = {}
-            for e in pileup.elements:
-                counts_map[e.allele] = counts_map.get(e.allele, 0) + 1
-            alleles_and_counts = sorted(counts_map.items())
-            total = pileup.depth
-            reference_base = pileup.reference_base
-        else:
-            n = int(tile.num_alleles[li])
-            alleles_and_counts = [
-                (tile.alleles[li][k], int(counts[li, k])) for k in range(n)
-            ]
-            reference_base = int(tile.ref_base[li])
+        li = int(li)
+        row_counts = None if tile.overflow[li] else counts[li]
         calls.extend(
-            classify_locus(
-                alleles_and_counts,
-                total,
-                reference_base,
-                sample_name,
-                tile.contig,
-                locus,
-                threshold_percent,
-                emit_ref,
+            _classify_tile_locus(
+                tile, li, int(depth_arr[li]), row_counts, sample_name,
+                sample_reads, source, threshold_percent, emit_ref,
                 emit_no_call,
             )
         )
     return calls
+
+
+def _classify_tile_locus(
+    tile: LocusTile,
+    li: int,
+    total: int,
+    row_counts,
+    sample_name: str,
+    sample_reads,
+    source,
+    threshold_percent: int,
+    emit_ref: bool,
+    emit_no_call: bool,
+) -> List[ThresholdCall]:
+    """Classify one tile row from its device counts (row_counts, [K]) or,
+    when row_counts is None (overflow row), via the exact host pileup."""
+    locus = int(tile.loci[li])
+    if row_counts is None:
+        # Exact host fallback for >K-allele or >D-depth loci.
+        if source is not None:
+            pileup = source.pileup_at(tile.contig, locus)
+        else:
+            assert sample_reads is not None, (
+                "overflow locus requires reads for exact host fallback"
+            )
+            pileup = Pileup.from_reads(sample_reads, tile.contig, locus)
+        counts_map: Dict[Allele, int] = {}
+        for e in pileup.elements:
+            counts_map[e.allele] = counts_map.get(e.allele, 0) + 1
+        alleles_and_counts = sorted(counts_map.items())
+        total = pileup.depth
+        reference_base = pileup.reference_base
+    else:
+        n = int(tile.num_alleles[li])
+        alleles_and_counts = [
+            (tile.alleles[li][k], int(row_counts[k])) for k in range(n)
+        ]
+        reference_base = int(tile.ref_base[li])
+    return classify_locus(
+        alleles_and_counts,
+        total,
+        reference_base,
+        sample_name,
+        tile.contig,
+        locus,
+        threshold_percent,
+        emit_ref,
+        emit_no_call,
+    )
 
 
 def call_variants(
@@ -291,6 +349,9 @@ def _screen_and_classify(
         tile_items,
         tile_of=lambda item: item[0],
         threshold_percent=threshold_percent,
+        # Variant-only runs read counts at candidate loci alone: compact
+        # them on device so each tile's fetch is one small array.
+        compact_cap=None if (emit_ref or emit_no_call) else COMPACT_CAP,
     ):
         calls.extend(
             call_tile(

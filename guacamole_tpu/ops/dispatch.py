@@ -337,6 +337,70 @@ def screen_csr_launch(
     )
 
 
+class CompactScreen(NamedTuple):
+    """Candidate-compacted screen result (decoded on host).
+
+    idx/counts carry ONLY candidate rows; total is the device's candidate
+    count. When total > len(idx) the compaction overflowed and the caller
+    must refetch the full screen (CompactScreen carries no usable rows in
+    that case beyond the first cap candidates)."""
+
+    idx: np.ndarray  # [n] int32 ascending candidate rows
+    counts: np.ndarray  # [n, K] int32 counts at those rows
+    total: int
+
+    @property
+    def overflowed(self) -> bool:
+        return self.total > len(self.idx)
+
+
+class PendingCompact:
+    """Dispatched-but-unfetched compact screen (one device array)."""
+
+    __slots__ = ("_arr",)
+
+    def __init__(self, arr):
+        self._arr = arr
+        if isinstance(arr, jax.Array):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+
+    def result(self) -> CompactScreen:
+        raw = np.asarray(self._arr)  # [cap+1, K+1]
+        total = int(raw[-1, 0])
+        body = raw[:-1]
+        n = min(total, len(body))
+        return CompactScreen(body[:n, 0], body[:n, 1:], total)
+
+
+def screen_csr_compact_launch(
+    csr_nib: np.ndarray,  # [B] uint8
+    row_off: np.ndarray,  # [L+1] int32
+    is_variant: np.ndarray,  # [L, K] bool
+    max_alleles: int,
+    threshold_percent=None,
+    cap: int = 512,
+) -> PendingCompact:
+    """Dispatch the CSR screen with device-side candidate compaction: the
+    host fetch is one small [cap+1, K+1] array instead of the full [L, K]
+    counts + [L] mask (one tunnel round trip, ~5x fewer bytes)."""
+    from guacamole_tpu.ops.kernels import tile_stats_csr_compact
+
+    pad = _bucket_bytes(len(csr_nib)) - len(csr_nib)
+    if pad:
+        csr_nib = np.concatenate(
+            [csr_nib, np.full(pad, 0xFF, np.uint8)]
+        )
+    return PendingCompact(
+        tile_stats_csr_compact(
+            csr_nib, row_off, is_variant, max_alleles,
+            threshold_percent=threshold_percent, cap=cap,
+        )
+    )
+
+
 def screen_tile(
     allele_id, qual, mapq, strand, valid, is_variant, max_alleles: int,
     threshold_percent=None,
@@ -436,11 +500,17 @@ def pipelined_batched_screens(
     max_in_flight: int = 8,
     threshold_percent=None,
     valid_of=None,
+    compact_cap=None,
 ):
     """Like pipelined(), but stacks up to `batch` same-shape tiles along
     the locus axis into ONE kernel launch (the per-locus kernels don't
     care which tile a row came from). Cuts dispatch + transfer round
     trips by the batch factor — significant over a remote-device link.
+
+    compact_cap: when set, CSR tiles dispatch the candidate-compacted
+    kernel (yielding PendingCompact results) — only valid when the
+    consumer reads counts at candidate rows alone (no emit-ref /
+    emit-no-call paths).
 
     Yields (item, pending-with-.result() or None-for-empty-tile)."""
     from collections import deque
@@ -538,9 +608,24 @@ def pipelined_batched_screens(
                 # (Measured: deferring CSR launches to batch like dense
                 # tiles does not beat the async overlap, even over the
                 # high-latency tunnel.)
-                key = ("csr", tile.L)
-                groups.setdefault(key, []).append(item)
-                flush(key)
+                if compact_cap is not None:
+                    in_flight.append(
+                        (
+                            item,
+                            screen_csr_compact_launch(
+                                np.asarray(tile.csr_nib),
+                                np.asarray(tile.csr_off, dtype=np.int32),
+                                np.asarray(tile.is_variant),
+                                tile.K,
+                                threshold_percent=threshold_percent,
+                                cap=compact_cap,
+                            ),
+                        )
+                    )
+                else:
+                    key = ("csr", tile.L)
+                    groups.setdefault(key, []).append(item)
+                    flush(key)
             else:
                 key = (tile.L, tile.D)
                 groups.setdefault(key, []).append(item)

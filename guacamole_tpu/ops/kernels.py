@@ -148,26 +148,12 @@ def tile_stats_nibble(
     return PackedScreen(counts, candidates)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_alleles", "threshold_percent")
-)
-def tile_stats_csr(
-    packed: jnp.ndarray,  # [B] uint8 nibble pairs, rows byte-aligned
-    row_off: jnp.ndarray,  # [L+1] int32 byte offsets per row
-    is_variant: jnp.ndarray,  # [L, K] bool
-    max_alleles: int,
-    threshold_percent=None,
-) -> PackedScreen:
-    """Counting screen over CSR nibble-packed elements (no depth axis).
-
-    Each locus row's elements occupy bytes [row_off[r], row_off[r+1]) of
-    packed (0xF = pad nibble). Counts come from a per-byte one-hot prefix
-    sum differenced at row boundaries — dense, deterministic math with no
-    scatters, and zero transfer padding beyond one nibble per odd-depth
-    row. Depth (valid elements) is recovered as the row sum of counts,
-    exactly matching tile_stats semantics on the unpacked arrays.
-    """
-    assert max_alleles <= 15, "nibble packing reserves 0xF for empty slots"
+def _csr_counts_candidates(
+    packed, row_off, is_variant, max_alleles, threshold_percent
+):
+    """Shared math of the CSR counting screens: [L, K] int32 counts and
+    the [L] bool candidate mask (thresholded when threshold_percent is
+    given, else any-variant-evidence)."""
     lo = packed & jnp.uint8(0xF)
     hi = packed >> jnp.uint8(4)
     k_range = jnp.arange(max_alleles, dtype=jnp.uint8)
@@ -192,10 +178,77 @@ def tile_stats_csr(
         candidates = jnp.any(passing & is_variant, axis=1) | (
             jnp.sum(passing & ~is_variant, axis=1) >= 2
         )
+    return counts, candidates
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_alleles", "threshold_percent")
+)
+def tile_stats_csr(
+    packed: jnp.ndarray,  # [B] uint8 nibble pairs, rows byte-aligned
+    row_off: jnp.ndarray,  # [L+1] int32 byte offsets per row
+    is_variant: jnp.ndarray,  # [L, K] bool
+    max_alleles: int,
+    threshold_percent=None,
+) -> PackedScreen:
+    """Counting screen over CSR nibble-packed elements (no depth axis).
+
+    Each locus row's elements occupy bytes [row_off[r], row_off[r+1]) of
+    packed (0xF = pad nibble). Counts come from a per-byte one-hot prefix
+    sum differenced at row boundaries — dense, deterministic math with no
+    scatters, and zero transfer padding beyond one nibble per odd-depth
+    row. Depth (valid elements) is recovered as the row sum of counts,
+    exactly matching tile_stats semantics on the unpacked arrays.
+    """
+    assert max_alleles <= 15, "nibble packing reserves 0xF for empty slots"
+    counts, candidates = _csr_counts_candidates(
+        packed, row_off, is_variant, max_alleles, threshold_percent
+    )
     # int16 halves the device->host transfer. Values only wrap at rows
     # deeper than 32767 elements, which the packer flags as overflow
     # (exact host fallback) — their device counts are never read.
     return PackedScreen(counts.astype(jnp.int16), candidates)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_alleles", "threshold_percent", "cap")
+)
+def tile_stats_csr_compact(
+    packed: jnp.ndarray,  # [B] uint8 nibble pairs, rows byte-aligned
+    row_off: jnp.ndarray,  # [L+1] int32 byte offsets per row
+    is_variant: jnp.ndarray,  # [L, K] bool
+    max_alleles: int,
+    threshold_percent=None,
+    cap: int = 512,
+) -> jnp.ndarray:
+    """tile_stats_csr with device-side candidate compaction.
+
+    Callers that emit only variant calls (no --emit-ref/--emit-no-call)
+    read counts solely at candidate loci, so shipping the whole [L, K]
+    count matrix to host wastes device->host bandwidth — and over a
+    remote-TPU link each fetched array is a round trip. This kernel
+    gathers the candidate rows into a fixed [cap, K] buffer on device and
+    returns ONE int32 array [cap + 1, K + 1]:
+
+      row r < cap:  [candidate locus row (-1 = unused), counts[k]...]
+      row cap:      [total candidate count, 0...]   (overflow detector)
+
+    When total > cap the host falls back to the full tile_stats_csr fetch
+    (rare: candidates are a small superset of emitted calls).
+    """
+    assert max_alleles <= 15, "nibble packing reserves 0xF for empty slots"
+    counts, candidates = _csr_counts_candidates(
+        packed, row_off, is_variant, max_alleles, threshold_percent
+    )
+    idx = jnp.nonzero(candidates, size=cap, fill_value=-1)[0]  # [cap]
+    cand_counts = counts[jnp.maximum(idx, 0)]  # [cap, K]
+    cand_counts = jnp.where(idx[:, None] >= 0, cand_counts, 0)
+    body = jnp.concatenate(
+        [idx[:, None].astype(jnp.int32), cand_counts], axis=1
+    )  # [cap, K+1]
+    total = jnp.sum(candidates, dtype=jnp.int32)
+    footer = jnp.zeros((1, max_alleles + 1), jnp.int32).at[0, 0].set(total)
+    return jnp.concatenate([body, footer], axis=0)
 
 
 @functools.partial(

@@ -164,6 +164,28 @@ class TestTilePathEquivalence:
         assert [(c.start, c.allele) for c in a] == [(c.start, c.allele) for c in b]
 
 
+def test_compact_cap_overflow_falls_back(chrm_cached, monkeypatch):
+    """With the compaction cap forced below the candidate count, the full
+    [L, K] refetch fallback must yield identical calls."""
+    import guacamole_tpu.callers.germline_threshold as gt
+
+    reads = [r for r in chrm_cached.mapped_reads if r.start < 2000]
+    loci = parse_loci("chrM:0-2000").result()
+    partitions = partition_loci_uniformly(2, loci)
+    normal = call_variants(reads, partitions, threshold_percent=8)
+    monkeypatch.setattr(gt, "COMPACT_CAP", 1)
+    tiny = call_variants(reads, partitions, threshold_percent=8)
+    assert [(c.start, c.allele, c.labels) for c in normal] == [
+        (c.start, c.allele, c.labels) for c in tiny
+    ]
+    assert normal  # the slice has calls, so the fallback actually ran
+
+
+@pytest.fixture(scope="module")
+def chrm_cached(resources_dir):
+    return chrm_reads(resources_dir)
+
+
 def test_streaming_matches_whole_file():
     """Per-task .bai-pushdown streaming must call identically to a single
     whole-file load (byte-range decode + per-task sources vs one source)."""

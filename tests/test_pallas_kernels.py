@@ -167,6 +167,69 @@ def test_csr_screen_matches_dense(seed, threshold_percent):
     np.testing.assert_array_equal(out.candidates, ref.variant_evidence)
 
 
+@pytest.mark.parametrize("threshold_percent", [None, 8])
+@pytest.mark.parametrize("cap", [4, 64])
+def test_csr_compact_matches_full(threshold_percent, cap):
+    """The compact CSR screen's candidate rows/counts must equal the full
+    screen's, and its footer total must be the true candidate count (so
+    cap overflow is always detectable)."""
+    from guacamole_tpu.ops.kernels import tile_stats_csr, tile_stats_csr_compact
+
+    K = 8
+    aid, _q, _m, _s, valid, is_variant = random_tile(L=64, D=17, K=K, seed=3)
+    depth = valid.sum(axis=1)
+    packed, row_off = _csr_encode(aid, valid, depth)
+    full = tile_stats_csr(
+        packed, row_off, is_variant, K, threshold_percent=threshold_percent
+    )
+    raw = np.asarray(
+        tile_stats_csr_compact(
+            packed, row_off, is_variant, K,
+            threshold_percent=threshold_percent, cap=cap,
+        )
+    )
+    cand_rows = np.nonzero(np.asarray(full.candidates))[0]
+    total = int(raw[-1, 0])
+    assert total == len(cand_rows)
+    n = min(total, cap)
+    np.testing.assert_array_equal(raw[:n, 0], cand_rows[:n])
+    np.testing.assert_array_equal(
+        raw[:n, 1:], np.asarray(full.counts)[cand_rows[:n]]
+    )
+    # Unused body rows are inert: idx -1, zero counts.
+    assert (raw[n:cap, 0] == -1).all()
+    assert (raw[n:cap, 1:] == 0).all()
+
+
+def test_compact_launch_roundtrip_and_overflow_flag():
+    from guacamole_tpu.ops.dispatch import screen_csr_compact_launch
+    from guacamole_tpu.ops.kernels import tile_stats_csr
+
+    K = 8
+    aid, _q, _m, _s, valid, is_variant = random_tile(L=48, D=12, K=K, seed=9)
+    depth = valid.sum(axis=1)
+    packed, row_off = _csr_encode(aid, valid, depth)
+    full = tile_stats_csr(packed, row_off, is_variant, K)
+    n_cand = int(np.asarray(full.candidates).sum())
+    assert n_cand > 2  # random tiles have variant evidence
+
+    roomy = screen_csr_compact_launch(
+        packed, row_off, is_variant, K, cap=n_cand + 8
+    ).result()
+    assert not roomy.overflowed and roomy.total == n_cand
+    np.testing.assert_array_equal(
+        roomy.idx, np.nonzero(np.asarray(full.candidates))[0]
+    )
+    np.testing.assert_array_equal(
+        roomy.counts, np.asarray(full.counts)[roomy.idx]
+    )
+
+    tight = screen_csr_compact_launch(
+        packed, row_off, is_variant, K, cap=n_cand - 1
+    ).result()
+    assert tight.overflowed and tight.total == n_cand
+
+
 def test_csr_screen_bucket_padding_is_inert():
     from guacamole_tpu.ops.dispatch import screen_csr_launch
     from guacamole_tpu.ops.kernels import tile_stats_csr
