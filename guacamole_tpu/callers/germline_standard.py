@@ -233,27 +233,7 @@ def call_variants(
             tile.is_variant, tile.K,
         )
 
-    for item, pending in pipelined(tiles(), launch):
-        sample_name, sample_source, contig, tile = item
-        if pending is None:
-            continue
-        cand = candidates_of(pending.result())
-        candidate_loci = [
-            int(tile.loci[li])
-            for li in np.flatnonzero(cand | np.asarray(tile.overflow))
-            if tile.depth[li] > 0
-        ]
-        if not candidate_loci:
-            continue
-        # One sparse FULL tile over just the candidates: the exact f64
-        # confirm runs directly on its per-element tensors (object
-        # pileups are rebuilt only for overflow rows).
-        sparse = sample_source.pack_sparse_tile(
-            contig,
-            candidate_loci,
-            max_alleles=max_alleles,
-            reference_genome=reference_genome,
-        )
+    def confirm(sample_name, sample_source, contig, sparse):
         dense_rows = [si for si in range(sparse.L) if not sparse.overflow[si]]
         for si in range(sparse.L):
             if sparse.overflow[si]:
@@ -272,6 +252,54 @@ def call_variants(
                 sparse, dense_rows, sample_name, min_alignment_quality
             )
         )
+
+    # Screen tiles pack on a prefetch thread and the sparse confirm tile
+    # packs on an executor thread (the native packer releases the GIL),
+    # overlapping the previous tile's exact f64 confirm on the main thread.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from guacamole_tpu.ops.dispatch import prefetch_iter
+
+    deferred = deque()
+    with ThreadPoolExecutor(max_workers=1) as executor:
+        for item, pending in pipelined(
+            prefetch_iter(tiles(), ahead=2), launch
+        ):
+            sample_name, sample_source, contig, tile = item
+            if pending is None:
+                continue
+            cand = candidates_of(pending.result())
+            candidate_loci = [
+                int(tile.loci[li])
+                for li in np.flatnonzero(cand | np.asarray(tile.overflow))
+                if tile.depth[li] > 0
+            ]
+            if not candidate_loci:
+                continue
+            # One sparse FULL tile over just the candidates: the exact f64
+            # confirm runs directly on its per-element tensors (object
+            # pileups are rebuilt only for overflow rows).
+            deferred.append(
+                (
+                    sample_name,
+                    sample_source,
+                    contig,
+                    executor.submit(
+                        sample_source.pack_sparse_tile,
+                        contig,
+                        candidate_loci,
+                        max_alleles=max_alleles,
+                        reference_genome=reference_genome,
+                    ),
+                )
+            )
+            while len(deferred) > 1:
+                name, src, ctg, fut = deferred.popleft()
+                confirm(name, src, ctg, fut.result())
+        while deferred:
+            name, src, ctg, fut = deferred.popleft()
+            confirm(name, src, ctg, fut.result())
     calls.sort(
         key=lambda c: (c.reference_contig, c.start, c.sample_name or "", c.allele)
     )

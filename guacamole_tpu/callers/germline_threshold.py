@@ -344,9 +344,14 @@ def _screen_and_classify(
     async), classify once a bounded window of tiles is in flight, so host
     packing/classification overlaps the device kernels and the tunnel's
     device->host latency. Returns calls in deterministic order."""
+    from guacamole_tpu.ops.dispatch import prefetch_iter
+
     calls: List[ThresholdCall] = []
     for (tile, name, src), pending in pipelined_batched_screens(
-        tile_items,
+        # Pack tiles on a background thread: the native packer releases
+        # the GIL, so packing tile i+1 overlaps tile i's screen fetch +
+        # classification.
+        prefetch_iter(tile_items, ahead=2),
         tile_of=lambda item: item[0],
         threshold_percent=threshold_percent,
         # Variant-only runs read counts at candidate loci alone: compact

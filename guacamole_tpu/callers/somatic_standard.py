@@ -446,36 +446,10 @@ def call_variants(
             tile.is_variant, tile.K,
         )
 
-    # Device screen over the tumor sample; exact host kernel at survivors.
-    for (contig, tile), pending in pipelined(tiles(), launch):
-        if pending is None:
-            continue
-        cand = candidates_of(pending.result())
-        candidates = np.flatnonzero(cand | np.asarray(tile.overflow))
-        if len(candidates) == 0:
-            continue
-        candidate_loci = [
-            int(tile.loci[li]) for li in candidates if tile.depth[li] > 0
-        ]
-        if not candidate_loci:
-            continue
-        # Sparse FULL tiles over just the candidate loci for both samples
-        # (the normal one also resolves its own reference bases).
-        tumor_tile = tumor.pack_sparse_tile(
-            contig,
-            candidate_loci,
-            max_alleles=max_alleles,
-            reference_genome=reference_genome,
-        )
+    def confirm(contig, tile, candidates, tumor_tile, normal_tile):
         tumor_row = {
             int(tumor_tile.loci[i]): i for i in range(tumor_tile.L)
         }
-        normal_tile = normal.pack_sparse_tile(
-            contig,
-            candidate_loci,
-            max_alleles=max_alleles,
-            reference_genome=reference_genome,
-        )
         normal_row = {
             int(normal_tile.loci[i]): i for i in range(normal_tile.L)
         }
@@ -532,6 +506,58 @@ def call_variants(
                 max_read_depth,
             )
         )
+
+    # Device screen over the tumor sample; exact host kernel at survivors.
+    # Three-way overlap: screen tiles pack on a prefetch thread, the two
+    # sparse confirm tiles pack concurrently on executor threads (the
+    # native packer releases the GIL), and the main thread runs the
+    # previous tile's exact confirm meanwhile.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from guacamole_tpu.ops.dispatch import prefetch_iter
+
+    def sparse_pack(src, contig, candidate_loci):
+        return src.pack_sparse_tile(
+            contig,
+            candidate_loci,
+            max_alleles=max_alleles,
+            reference_genome=reference_genome,
+        )
+
+    deferred = deque()
+    with ThreadPoolExecutor(max_workers=2) as executor:
+        for (contig, tile), pending in pipelined(
+            prefetch_iter(tiles(), ahead=2), launch
+        ):
+            if pending is None:
+                continue
+            cand = candidates_of(pending.result())
+            candidates = np.flatnonzero(cand | np.asarray(tile.overflow))
+            if len(candidates) == 0:
+                continue
+            candidate_loci = [
+                int(tile.loci[li]) for li in candidates if tile.depth[li] > 0
+            ]
+            if not candidate_loci:
+                continue
+            deferred.append(
+                (
+                    contig,
+                    tile,
+                    candidates,
+                    executor.submit(sparse_pack, tumor, contig, candidate_loci),
+                    executor.submit(
+                        sparse_pack, normal, contig, candidate_loci
+                    ),
+                )
+            )
+            while len(deferred) > 1:
+                c, t, cd, tf, nf = deferred.popleft()
+                confirm(c, t, cd, tf.result(), nf.result())
+        while deferred:
+            c, t, cd, tf, nf = deferred.popleft()
+            confirm(c, t, cd, tf.result(), nf.result())
     calls.sort(key=lambda c: (c.reference_contig, c.start, c.allele))
     return calls
 

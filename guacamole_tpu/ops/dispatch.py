@@ -439,6 +439,66 @@ def screen_tile_for(tile, threshold_percent=None, valid=None) -> ScreenResult:
     ).result()
 
 
+def prefetch_iter(iterable, ahead: int = 2):
+    """Run `iterable` on a background thread, buffering up to `ahead`
+    items. Tile packing dominates caller wall time and the native packer
+    releases the GIL for its whole ctypes call, so producing tiles on a
+    side thread overlaps packing with the consumer's device fetches and
+    exact-confirm math (both mostly GIL-released numpy as well).
+
+    Items are yielded in production order. Exceptions raised by the
+    producer re-raise at the consumer's next pull. If the consumer
+    abandons the generator, the producer thread notices within 100 ms of
+    its next put and exits."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, ahead))
+    done = object()
+    stop = False
+
+    def worker():
+        try:
+            it = iter(iterable)
+            while True:
+                try:
+                    item = next(it)
+                except StopIteration:
+                    payload = (done, None)
+                    break
+                while not stop:
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop:
+                    return
+        except BaseException as exc:  # re-raised at the consumer
+            payload = (done, exc)
+        while not stop:
+            try:
+                q.put(payload, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
+    thread = threading.Thread(
+        target=worker, name="guac-prefetch", daemon=True
+    )
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is done:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        stop = True
+
+
 def pipelined(items, launch, max_in_flight: int = 8):
     """Yield (item, launch(item)) with a bounded window of launches in
     flight ahead of consumption, so async device dispatches (and their
