@@ -117,9 +117,8 @@ def calls_from_tile_rows(
         aid, quals, keep, std_rows, log_space=True
     )
 
-    calls: List[CalledAllele] = []
-    strand_all = np.asarray(tile.strand)
-    mismatches_all = np.asarray(tile.mismatches)
+    # Pass 1: argmax gate + allele selection for every emitting row.
+    emit: List[tuple] = []  # (rpos, li, probability, allele, dense_id)
     for rpos, li in enumerate(rows):
         pairs, lls = per_row[rpos]
         if not pairs:
@@ -132,38 +131,55 @@ def calls_from_tile_rows(
         )
         if not genotype.has_variant_allele:
             continue
-        # Evidence statistics over the UNFILTERED elements (parity with
-        # AlleleEvidence.from_pileup on the unfiltered sample pileup).
-        v = valid[rpos]
-        row_aid = aid[rpos]
-        strand = strand_all[li]
-        read_depth = int(v.sum())
-        forward_depth = int((v & strand).sum())
         for allele in genotype.non_reference_alleles:
             dense_id = (
                 pairs[best][0]
                 if alleles_row[pairs[best][0]] == allele
                 else pairs[best][1]
             )
-            mask = v & (row_aid == dense_id)
-            calls.append(
-                CalledAllele(
-                    sample_name=sample_name,
-                    reference_contig=tile.contig,
-                    start=int(tile.loci[li]),
-                    allele=allele,
-                    evidence=AlleleEvidence.from_arrays(
-                        probability,
-                        read_depth=read_depth,
-                        allele_read_depth=int(mask.sum()),
-                        forward_depth=forward_depth,
-                        allele_forward_depth=int((mask & strand).sum()),
-                        mapqs=mapq[rpos][mask],
-                        quals=quals[rpos][mask],
-                        mismatches=mismatches_all[li][mask],
-                    ),
-                )
+            emit.append((rpos, li, probability, allele, dense_id))
+    if not emit:
+        return []
+
+    # Pass 2: evidence statistics over the UNFILTERED elements (parity
+    # with AlleleEvidence.from_pileup on the unfiltered sample pileup),
+    # batched across all emitting rows (AlleleEvidence.stats_batch is
+    # bit-identical to the per-row from_arrays form).
+    strand_all = np.asarray(tile.strand)
+    mismatches_all = np.asarray(tile.mismatches)
+    e_rpos = np.asarray([e[0] for e in emit])
+    e_li = [e[1] for e in emit]
+    e_valid = valid[e_rpos]
+    masks = np.stack(
+        [valid[rpos] & (aid[rpos] == dense_id) for rpos, _, _, _, dense_id in emit]
+    )
+    e_strand = strand_all[e_li]
+    stats = AlleleEvidence.stats_batch(
+        masks, mapq[e_rpos], quals[e_rpos], mismatches_all[e_li]
+    )
+
+    calls: List[CalledAllele] = []
+    for j, (rpos, li, probability, allele, dense_id) in enumerate(emit):
+        calls.append(
+            CalledAllele(
+                sample_name=sample_name,
+                reference_contig=tile.contig,
+                start=int(tile.loci[li]),
+                allele=allele,
+                evidence=AlleleEvidence(
+                    likelihood=probability,
+                    read_depth=int(e_valid[j].sum()),
+                    allele_read_depth=int(masks[j].sum()),
+                    forward_depth=int((e_valid[j] & e_strand[j]).sum()),
+                    allele_forward_depth=int((masks[j] & e_strand[j]).sum()),
+                    mean_mapping_quality=float(stats[0][j]),
+                    median_mapping_quality=float(stats[1][j]),
+                    mean_base_quality=float(stats[2][j]),
+                    median_base_quality=float(stats[3][j]),
+                    median_mismatches_per_read=float(stats[4][j]),
+                ),
             )
+        )
     return calls
 
 

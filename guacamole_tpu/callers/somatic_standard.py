@@ -28,7 +28,6 @@ import numpy as np
 from guacamole_tpu.filters.pileup_filters import filter_pileup
 from guacamole_tpu.gio.vcf import VcfRecord
 from guacamole_tpu.likelihood import (
-    genotype_probs_for_row,
     genotype_probs_for_rows,
     likelihoods_of_all_possible_genotypes_from_pileup,
     probability_correct_ignoring_alignment,
@@ -120,57 +119,6 @@ def find_potential_variant_at_locus(
             normal_reference_evidence=normal_evidence,
         )
     ]
-
-
-def _row_filter_mask(tile, li, min_alignment_quality, filter_multi_allelic):
-    """The composite pileup filter over one FULL tile row, as a slot mask
-    (filter order parity with filter_pileup)."""
-    valid = np.asarray(tile.valid[li])
-    keep = valid.copy()
-    if filter_multi_allelic:
-        aid = np.asarray(tile.allele_id[li])
-        if len(np.unique(aid[valid])) > 2:
-            keep[:] = False
-            return keep
-    if min_alignment_quality > 0:
-        keep &= np.asarray(tile.mapq[li]) >= min_alignment_quality
-    return keep
-
-
-def _row_genotype_probs(tile, li, keep, include_alignment):
-    """(dense-id pairs, normalized probabilities) for the possible
-    genotypes over one filtered tile row (see
-    likelihood.genotype_probs_for_row)."""
-    kept = np.flatnonzero(keep)
-    return genotype_probs_for_row(
-        np.asarray(tile.allele_id[li])[kept],
-        np.asarray(tile.qual[li])[kept],
-        np.asarray(tile.is_standard_alt[li]),
-        mapqs=np.asarray(tile.mapq[li])[kept] if include_alignment else None,
-    )
-
-
-def _row_evidence(tile, li, keep, likelihood, dense_id):
-    """AlleleEvidence over the FILTERED elements of one tile row (somatic
-    evidence statistics come from the filtered pileups,
-    SomaticStandardCaller.scala:196-210)."""
-    aid = np.asarray(tile.allele_id[li])
-    strand = np.asarray(tile.strand[li])
-    mask = (
-        keep & (aid == dense_id)
-        if dense_id is not None
-        else np.zeros_like(keep)
-    )
-    return AlleleEvidence.from_arrays(
-        likelihood,
-        read_depth=int(keep.sum()),
-        allele_read_depth=int(mask.sum()),
-        forward_depth=int((keep & strand).sum()),
-        allele_forward_depth=int((mask & strand).sum()),
-        mapqs=np.asarray(tile.mapq[li])[mask],
-        quals=np.asarray(tile.qual[li])[mask],
-        mismatches=np.asarray(tile.mismatches[li])[mask],
-    )
 
 
 def somatic_calls_from_tile_rows(
@@ -311,7 +259,9 @@ def somatic_calls_from_row_pairs(
         n_aid[sur_rows], n_quals[sur_rows], n_keep[sur_rows], n_std[sur_rows]
     )
 
-    calls: List[CalledSomaticAllele] = []
+    # Pass 1: odds gate + allele selection; collect evidence masks of the
+    # emitting rows so the stats run as ONE batched pass (below).
+    emit: List[dict] = []
     for spos, pos in enumerate(survivors):
         r = int(live[pos])
         best_pair, best_likelihood = best_info[pos]
@@ -348,9 +298,6 @@ def somatic_calls_from_row_pairs(
         sample_name = tumor_source.read(
             int(tumor_tile.read_index[ti][first_slot])
         ).sample_name
-        tumor_evidence = _row_evidence(
-            tumor_tile, ti, t_keep[r], best_likelihood, allele_id
-        )
         ref_allele = Allele(allele.ref_bases, allele.ref_bases)
         normal_alleles = normal_tile.alleles[ni]
         normal_id = next(
@@ -361,16 +308,91 @@ def somatic_calls_from_row_pairs(
             ),
             None,
         )
-        normal_evidence = _row_evidence(
-            normal_tile, ni, n_keep[r], 1 - normal_variants_total, normal_id
+        emit.append(
+            dict(
+                r=r,
+                ti=ti,
+                ni=ni,
+                allele=allele,
+                allele_id=allele_id,
+                normal_id=normal_id,
+                best_likelihood=best_likelihood,
+                normal_variants_total=normal_variants_total,
+                somatic_odds=somatic_odds,
+                sample_name=sample_name,
+            )
+        )
+    if not emit:
+        return []
+
+    # Pass 2: batched evidence statistics (bit-identical to _row_evidence;
+    # see AlleleEvidence.stats_batch) over all emitting rows at once.
+    e_rows = np.asarray([e["r"] for e in emit])
+    t_mask = np.stack(
+        [t_keep[e["r"]] & (t_aid[e["r"]] == e["allele_id"]) for e in emit]
+    )
+    n_mask = np.stack(
+        [
+            (
+                n_keep[e["r"]] & (n_aid[e["r"]] == e["normal_id"])
+                if e["normal_id"] is not None
+                else np.zeros_like(n_keep[e["r"]])
+            )
+            for e in emit
+        ]
+    )
+    e_ti = [e["ti"] for e in emit]
+    e_ni = [e["ni"] for e in emit]
+    t_strand = np.asarray(tumor_tile.strand)[e_ti]
+    n_strand = np.asarray(normal_tile.strand)[e_ni]
+    t_stats = AlleleEvidence.stats_batch(
+        t_mask,
+        t_mapqs[e_rows],
+        t_quals[e_rows],
+        np.asarray(tumor_tile.mismatches)[e_ti],
+    )
+    n_stats = AlleleEvidence.stats_batch(
+        n_mask,
+        np.asarray(normal_tile.mapq)[e_ni],
+        n_quals[e_rows],
+        np.asarray(normal_tile.mismatches)[e_ni],
+    )
+    t_keep_e = t_keep[e_rows]
+    n_keep_e = n_keep[e_rows]
+
+    calls: List[CalledSomaticAllele] = []
+    for j, e in enumerate(emit):
+        tumor_evidence = AlleleEvidence(
+            likelihood=e["best_likelihood"],
+            read_depth=int(t_keep_e[j].sum()),
+            allele_read_depth=int(t_mask[j].sum()),
+            forward_depth=int((t_keep_e[j] & t_strand[j]).sum()),
+            allele_forward_depth=int((t_mask[j] & t_strand[j]).sum()),
+            mean_mapping_quality=float(t_stats[0][j]),
+            median_mapping_quality=float(t_stats[1][j]),
+            mean_base_quality=float(t_stats[2][j]),
+            median_base_quality=float(t_stats[3][j]),
+            median_mismatches_per_read=float(t_stats[4][j]),
+        )
+        normal_evidence = AlleleEvidence(
+            likelihood=1 - e["normal_variants_total"],
+            read_depth=int(n_keep_e[j].sum()),
+            allele_read_depth=int(n_mask[j].sum()),
+            forward_depth=int((n_keep_e[j] & n_strand[j]).sum()),
+            allele_forward_depth=int((n_mask[j] & n_strand[j]).sum()),
+            mean_mapping_quality=float(n_stats[0][j]),
+            median_mapping_quality=float(n_stats[1][j]),
+            mean_base_quality=float(n_stats[2][j]),
+            median_base_quality=float(n_stats[3][j]),
+            median_mismatches_per_read=float(n_stats[4][j]),
         )
         calls.append(
             CalledSomaticAllele(
-                sample_name=sample_name,
+                sample_name=e["sample_name"],
                 reference_contig=tumor_tile.contig,
-                start=int(tumor_tile.loci[ti]),
-                allele=allele,
-                somatic_log_odds=math.log(somatic_odds),
+                start=int(tumor_tile.loci[e["ti"]]),
+                allele=e["allele"],
+                somatic_log_odds=math.log(e["somatic_odds"]),
                 tumor_variant_evidence=tumor_evidence,
                 normal_reference_evidence=normal_evidence,
             )

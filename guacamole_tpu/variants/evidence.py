@@ -106,6 +106,50 @@ class AlleleEvidence:
         )
 
     @staticmethod
+    def stats_batch(mask, mapqs, quals, mismatches):
+        """Masked row-wise evidence statistics for R rows at once:
+        (mean_mapq, median_mapq, mean_qual, median_qual, median_mismatch),
+        each a float64 [R] array (nan where a row's mask is empty).
+
+        Bit-identical to from_arrays per row: masked-out slots contribute
+        exact +0.0 terms to the left-to-right cumsum (x + 0.0 == x for the
+        non-negative quality values), and medians index the row sort with
+        +inf padding, selecting the same order statistics."""
+        import numpy as np
+
+        mask = np.asarray(mask, dtype=bool)
+        R, D = mask.shape
+        cnt = mask.sum(axis=1)
+        has = cnt > 0
+        safe_cnt = np.maximum(cnt, 1)
+
+        def mean_of(field):
+            vals = np.where(mask, np.asarray(field, dtype=np.float64), 0.0)
+            if D == 0:
+                return np.full(R, np.nan)
+            sums = np.cumsum(vals, axis=1)[:, -1]
+            return np.where(has, sums / safe_cnt, np.nan)
+
+        def median_of(field):
+            if D == 0:
+                return np.full(R, np.nan)
+            vals = np.where(mask, np.asarray(field, dtype=np.float64), np.inf)
+            s = np.sort(vals, axis=1)
+            rows = np.arange(R)
+            hi = s[rows, np.minimum(cnt // 2, D - 1)]
+            lo = s[rows, np.maximum(safe_cnt - 1, 0) // 2]
+            med = np.where(cnt % 2 == 1, hi, 0.5 * (lo + hi))
+            return np.where(has, med, np.nan)
+
+        return (
+            mean_of(mapqs),
+            median_of(mapqs),
+            mean_of(quals),
+            median_of(quals),
+            median_of(mismatches),
+        )
+
+    @staticmethod
     def from_pileup(likelihood: float, allele, pileup) -> "AlleleEvidence":
         allele_read_depth, allele_forward_depth = (
             pileup.allele_read_depth_and_positive_depth(allele)

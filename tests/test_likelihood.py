@@ -397,3 +397,48 @@ def test_zero_probability_jvm_log_semantics():
     assert bpairs == pairs
     assert [float(x) for x in batch_lls] == [float(x) for x in row_lls]
     assert sorted(map(float, row_lls)) == sorted(map(float, values))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_evidence_stats_batch_bitwise(seed):
+    """AlleleEvidence.stats_batch must equal the scalar from_arrays form
+    bit-for-bit across random masked rows (incl. empty masks -> nan and
+    odd/even counts)."""
+    import numpy as np
+
+    from guacamole_tpu.variants.evidence import AlleleEvidence
+
+    rng = np.random.RandomState(seed)
+    R, D = 37, 23
+    mask = rng.rand(R, D) < rng.rand(R, 1)  # some rows near-empty
+    mask[0] = False  # guaranteed empty row
+    mapqs = rng.randint(0, 61, size=(R, D)).astype(np.int16)
+    quals = rng.randint(2, 41, size=(R, D)).astype(np.int16)
+    mismatches = rng.randint(0, 9, size=(R, D)).astype(np.int16)
+
+    batch = AlleleEvidence.stats_batch(mask, mapqs, quals, mismatches)
+    for j in range(R):
+        ref = AlleleEvidence.from_arrays(
+            0.5,
+            read_depth=D,
+            allele_read_depth=int(mask[j].sum()),
+            forward_depth=0,
+            allele_forward_depth=0,
+            mapqs=mapqs[j][mask[j]],
+            quals=quals[j][mask[j]],
+            mismatches=mismatches[j][mask[j]],
+        )
+        got = (
+            float(batch[0][j]), float(batch[1][j]), float(batch[2][j]),
+            float(batch[3][j]), float(batch[4][j]),
+        )
+        want = (
+            ref.mean_mapping_quality, ref.median_mapping_quality,
+            ref.mean_base_quality, ref.median_base_quality,
+            ref.median_mismatches_per_read,
+        )
+        for g, w in zip(got, want):
+            if math.isnan(w):
+                assert math.isnan(g)
+            else:
+                assert g == w, (j, got, want)

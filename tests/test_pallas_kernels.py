@@ -309,3 +309,57 @@ def test_likelihood_screen_superset_of_f64_argmax(seed, include_alignment):
         )
         if argmax_variant:
             assert got[li], f"screen missed f64-argmax-variant locus {li}"
+
+
+class TestPrefetchIter:
+    """prefetch_iter: background-thread tile production semantics."""
+
+    def test_order_and_completeness(self):
+        from guacamole_tpu.ops.dispatch import prefetch_iter
+
+        assert list(prefetch_iter(iter(range(100)), ahead=3)) == list(range(100))
+        assert list(prefetch_iter([], ahead=2)) == []
+
+    def test_producer_exception_reraises(self):
+        import pytest
+
+        from guacamole_tpu.ops.dispatch import prefetch_iter
+
+        def gen():
+            yield 1
+            yield 2
+            raise ValueError("boom")
+
+        it = prefetch_iter(gen(), ahead=1)
+        assert next(it) == 1
+        assert next(it) == 2
+        with pytest.raises(ValueError, match="boom"):
+            next(it)
+
+    def test_abandoned_consumer_stops_producer(self):
+        import threading
+        import time
+
+        from guacamole_tpu.ops.dispatch import prefetch_iter
+
+        produced = []
+
+        def gen():
+            for i in range(10_000):
+                produced.append(i)
+                yield i
+
+        it = prefetch_iter(gen(), ahead=1)
+        assert next(it) == 0
+        it.close()  # abandon: the producer must notice and exit
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            threads = [
+                t for t in threading.enumerate() if t.name == "guac-prefetch"
+            ]
+            if not threads:
+                break
+            time.sleep(0.05)
+        # Bounded production: at most the buffered window, never the
+        # whole generator.
+        assert len(produced) < 100
