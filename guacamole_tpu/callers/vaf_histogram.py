@@ -216,6 +216,7 @@ def main(argv, _add_fns) -> int:
     _add_fns["base"](p)
     _add_fns["loci"](p)
     _add_fns["distributed"](p)
+    _add_fns["read_config"](p)
     p.add_argument("--out", default="", help="File path for the histogram")
     p.add_argument("--local-out", default="", dest="local_out")
     p.add_argument("--bins", type=int, default=20)
@@ -229,14 +230,24 @@ def main(argv, _add_fns) -> int:
     args = p.parse_args(argv)
 
     loci_builder = resolve_loci_builder(args.loci, args.loci_from_file)
+    # Bug-for-bug parity: the reference builds these filters and then
+    # loads every ReadSet with InputFilters.empty anyway — the filters
+    # variable is dead code there (VAFHistogram.scala:91-103). Reads are
+    # therefore NOT filtered here either.
     filters = InputFilters.create(
         overlaps_loci=loci_builder,
         non_duplicate=True,
         passed_vendor_quality_checks=True,
         has_mdtag=True,
     )
+    del filters
     sources = [
-        load_read_source(bam, InputFilters.empty)
+        load_read_source(
+            bam,
+            InputFilters.empty,
+            recompute_mdtags=args.recompute_md_tags,
+            use_native=args.bam_reader_api in ("best", "native"),
+        )
         for bam in args.bams
     ]
     loci_set = loci_builder.result(sources[0][1])

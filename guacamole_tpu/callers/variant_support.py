@@ -115,7 +115,13 @@ def main(argv, _add_fns) -> int:
         description="Find number of reads that support each variant across BAMs",
     )
     _add_fns["base"](p)
+    # --loci/--loci-from-file come with the distributed arg trait but are
+    # unused: sites come from the input VCF (parity with the reference,
+    # whose Arguments extend DistributedUtil.Arguments but whose run()
+    # builds its LociSet from the variants, VariantSupport.scala:83-89).
+    _add_fns["loci"](p)
     _add_fns["distributed"](p)
+    _add_fns["read_config"](p)
     p.add_argument("--input-variant", "-v", required=True, dest="variants")
     p.add_argument("--output", "-o", required=True)
     p.add_argument("bams", nargs="+")
@@ -125,7 +131,15 @@ def main(argv, _add_fns) -> int:
     progress(f"Variant sites cover {loci.count} loci.")
     lines: List[str] = []
     for token, bam in enumerate(args.bams):
-        source, _ = load_read_source(bam, InputFilters.empty)
+        # contigLengthsFromDictionary is hardcoded false in the reference
+        # (VariantSupport.scala:77) and the lengths are unused here.
+        source, _ = load_read_source(
+            bam,
+            InputFilters.empty,
+            contig_lengths_from_dictionary=False,
+            recompute_mdtags=args.recompute_md_tags,
+            use_native=args.bam_reader_api in ("best", "native"),
+        )
         counts = pileup_allele_counts(
             source, loci, tile_size=args.tile_size
         )

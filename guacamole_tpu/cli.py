@@ -113,6 +113,13 @@ def _add_output_args(p: argparse.ArgumentParser) -> None:
     # into before the driver's serial JSON write; the output is identical.
     # Our JSON writer streams in one pass, so the knob has no effect.
     p.add_argument("--out-chunks", type=int, default=1, help=argparse.SUPPRESS)
+    # Also accepted-but-inert: the reference's Arguments.Reference trait
+    # (Common.scala:122-129) declares these, but no command mixes it in —
+    # dead config there; accepted here so invocations carry over verbatim.
+    p.add_argument("--reference", default="", help=argparse.SUPPRESS)
+    p.add_argument(
+        "--fragment-length", type=int, default=10000, help=argparse.SUPPRESS
+    )
 
 
 def _add_distributed_args(p: argparse.ArgumentParser) -> None:
@@ -334,6 +341,7 @@ ARG_HELPERS = {
     "output": _add_output_args,
     "distributed": _add_distributed_args,
     "concordance": _add_concordance_args,
+    "read_config": _add_read_loading_args,
     "print_concordance": _print_concordance,
     "partition": _partition,
     "default_parallelism": _default_parallelism,

@@ -96,3 +96,90 @@ def test_threshold_golden_with_python_decoder(resources_dir, tmp_path):
         out,
     )
     assert_matches_golden(out, "chrM.germline-threshold.vcf")
+
+
+def test_reference_flag_parity():
+    """Every CLI option the reference's args4j traits declare must be
+    accepted by the corresponding command here (inert ones — --out-chunks,
+    --reference, --fragment-length — parse but have no effect; cf.
+    DEVIATIONS.md and Common.scala:105-129). The reverse direction
+    (extensions like --tile-size) is allowed."""
+    import argparse
+
+    from guacamole_tpu import cli
+
+    # Reference arg-trait composition per command (args4j name=
+    # occurrences in /root/reference/src/main/scala):
+    #   DistributedUtil.Arguments extends Base with Loci (+parallelism)
+    #   Reads = Base + NoSequenceDictionary + ReadLoadingConfigArgs
+    #   GermlineCallerArgs = GenotypeOutput + Reads + Concordance + Dist
+    #   SomaticCallerArgs = GenotypeOutput + TumorNormalReads + Dist
+    base_loci_dist = ["--debug", "--loci", "--loci-from-file",
+                      "--parallelism", "--partition-accuracy"]
+    read_cfg = ["--bam-reader-api", "--recompute-md-tags"]
+    reads = ["--reads", "--no-sequence-dictionary"] + read_cfg
+    tn_reads = ["--tumor-reads", "--normal-reads",
+                "--no-sequence-dictionary"] + read_cfg
+    output = ["--out", "--out-chunks", "--max-genotypes"]
+    concord = ["--truth", "--exclude-snv", "--exclude-indel", "--chr"]
+    germline_filters = ["--min-read-depth", "--max-read-depth",
+                        "--min-alternate-read-depth", "--min-likelihood",
+                        "--debug-genotype-filters"]
+    somatic_filters = ["--min-likelihood", "--min-vaf", "--min-lod",
+                       "--min-average-mapping-quality",
+                       "--min-average-base-quality",
+                       "--min-tumor-read-depth", "--min-normal-read-depth",
+                       "--max-tumor-read-depth",
+                       "--min-tumor-alternate-read-depth",
+                       "--max-median-mismatches", "--debug-genotype-filters"]
+    pileup_filters = ["--min-mapq", "--filter-multi-allelic",
+                      "--min-edge-distance"]
+    per_command = {
+        "germline-threshold": base_loci_dist + output + reads + concord
+        + ["--threshold", "--emit-ref", "--emit-no-call"],
+        "germline-standard": base_loci_dist + output + reads + concord
+        + pileup_filters + germline_filters + ["--emit-ref"],
+        "somatic-standard": base_loci_dist + output + tn_reads
+        + somatic_filters + pileup_filters
+        + ["--odds", "--dbsnp-vcf", "--reference-fasta"],
+        "variant-support": base_loci_dist + read_cfg
+        + ["--input-variant", "--output"],
+        "vaf-histogram": base_loci_dist + read_cfg
+        + ["--bins", "--cluster", "--num-clusters", "--min-read-depth",
+           "--min-vaf", "--print-stats", "--sample-percent", "--out",
+           "--local-out"],
+        "structural-variant": base_loci_dist + reads
+        + ["--filter-contig", "--output"],
+    }
+
+    for command, flags in per_command.items():
+        help_text = _command_help(cli, command)
+        parser_flags = set(help_text)
+        missing = [f for f in flags if f not in parser_flags]
+        assert not missing, f"{command} missing reference flags: {missing}"
+
+
+def _command_help(cli, command):
+    """All option strings a command's parser accepts (including
+    help-suppressed ones), without running the command."""
+    import argparse
+    import unittest.mock as mock
+
+    captured = []
+    real_add = argparse.ArgumentParser.add_argument
+
+    def spy(self, *args, **kwargs):
+        captured.extend(a for a in args if isinstance(a, str) and a.startswith("--"))
+        return real_add(self, *args, **kwargs)
+
+    real_parse = argparse.ArgumentParser.parse_args
+    with mock.patch.object(argparse.ArgumentParser, "add_argument", spy), \
+         mock.patch.object(
+             argparse.ArgumentParser, "parse_args",
+             lambda self, argv=None: (_ for _ in ()).throw(SystemExit(0)),
+         ):
+        try:
+            cli.main([command])
+        except SystemExit:
+            pass
+    return captured
