@@ -271,14 +271,13 @@ def call_variants(
 
     # Screen tiles pack on a prefetch thread and the sparse confirm tile
     # packs on an executor thread (the native packer releases the GIL),
-    # overlapping the previous tile's exact f64 confirm on the main thread.
-    from collections import deque
+    # overlapping the previous tile's exact f64 confirm on the main thread
+    # (a second pipelined() stage, one pack in flight).
     from concurrent.futures import ThreadPoolExecutor
 
     from guacamole_tpu.ops.dispatch import prefetch_iter
 
-    deferred = deque()
-    with ThreadPoolExecutor(max_workers=1) as executor:
+    def screened():
         for item, pending in pipelined(
             prefetch_iter(tiles(), ahead=2), launch
         ):
@@ -291,30 +290,27 @@ def call_variants(
                 for li in np.flatnonzero(cand | np.asarray(tile.overflow))
                 if tile.depth[li] > 0
             ]
-            if not candidate_loci:
-                continue
+            if candidate_loci:
+                yield sample_name, sample_source, contig, candidate_loci
+
+    with ThreadPoolExecutor(max_workers=1) as executor:
+
+        def launch_pack(item):
             # One sparse FULL tile over just the candidates: the exact f64
             # confirm runs directly on its per-element tensors (object
             # pileups are rebuilt only for overflow rows).
-            deferred.append(
-                (
-                    sample_name,
-                    sample_source,
-                    contig,
-                    executor.submit(
-                        sample_source.pack_sparse_tile,
-                        contig,
-                        candidate_loci,
-                        max_alleles=max_alleles,
-                        reference_genome=reference_genome,
-                    ),
-                )
+            _, sample_source, contig, candidate_loci = item
+            return executor.submit(
+                sample_source.pack_sparse_tile,
+                contig,
+                candidate_loci,
+                max_alleles=max_alleles,
+                reference_genome=reference_genome,
             )
-            while len(deferred) > 1:
-                name, src, ctg, fut = deferred.popleft()
-                confirm(name, src, ctg, fut.result())
-        while deferred:
-            name, src, ctg, fut = deferred.popleft()
+
+        for (name, src, ctg, _), fut in pipelined(
+            screened(), launch_pack, max_in_flight=1
+        ):
             confirm(name, src, ctg, fut.result())
     calls.sort(
         key=lambda c: (c.reference_contig, c.start, c.sample_name or "", c.allele)

@@ -149,7 +149,8 @@ def somatic_calls_from_tile_rows(
 
 
 def _filter_masks_batch(tile, idx, min_alignment_quality, filter_multi_allelic):
-    """Batched _row_filter_mask over tile rows idx: (valid, keep, aid)."""
+    """Batched composite pileup filter over tile rows idx (filter order
+    parity with filter_pileup): (valid, keep, aid) slot masks."""
     valid = np.asarray(tile.valid)[idx].astype(bool)
     aid = np.asarray(tile.allele_id)[idx]
     keep = valid.copy()
@@ -325,8 +326,10 @@ def somatic_calls_from_row_pairs(
     if not emit:
         return []
 
-    # Pass 2: batched evidence statistics (bit-identical to _row_evidence;
-    # see AlleleEvidence.stats_batch) over all emitting rows at once.
+    # Pass 2: batched evidence statistics over all emitting rows at once
+    # (AlleleEvidence.stats_batch — bit-identical to the scalar
+    # from_arrays form; somatic evidence comes from the FILTERED pileups,
+    # SomaticStandardCaller.scala:196-210).
     e_rows = np.asarray([e["r"] for e in emit])
     t_mask = np.stack(
         [t_keep[e["r"]] & (t_aid[e["r"]] == e["allele_id"]) for e in emit]
@@ -533,22 +536,13 @@ def call_variants(
     # Three-way overlap: screen tiles pack on a prefetch thread, the two
     # sparse confirm tiles pack concurrently on executor threads (the
     # native packer releases the GIL), and the main thread runs the
-    # previous tile's exact confirm meanwhile.
-    from collections import deque
+    # previous tile's exact confirm meanwhile (a second pipelined() stage,
+    # one tile's pack pair in flight).
     from concurrent.futures import ThreadPoolExecutor
 
     from guacamole_tpu.ops.dispatch import prefetch_iter
 
-    def sparse_pack(src, contig, candidate_loci):
-        return src.pack_sparse_tile(
-            contig,
-            candidate_loci,
-            max_alleles=max_alleles,
-            reference_genome=reference_genome,
-        )
-
-    deferred = deque()
-    with ThreadPoolExecutor(max_workers=2) as executor:
+    def screened():
         for (contig, tile), pending in pipelined(
             prefetch_iter(tiles(), ahead=2), launch
         ):
@@ -556,30 +550,31 @@ def call_variants(
                 continue
             cand = candidates_of(pending.result())
             candidates = np.flatnonzero(cand | np.asarray(tile.overflow))
-            if len(candidates) == 0:
-                continue
             candidate_loci = [
                 int(tile.loci[li]) for li in candidates if tile.depth[li] > 0
             ]
-            if not candidate_loci:
-                continue
-            deferred.append(
-                (
+            if candidate_loci:
+                yield contig, tile, candidates, candidate_loci
+
+    with ThreadPoolExecutor(max_workers=2) as executor:
+
+        def launch_packs(item):
+            contig, _, _, candidate_loci = item
+            return tuple(
+                executor.submit(
+                    src.pack_sparse_tile,
                     contig,
-                    tile,
-                    candidates,
-                    executor.submit(sparse_pack, tumor, contig, candidate_loci),
-                    executor.submit(
-                        sparse_pack, normal, contig, candidate_loci
-                    ),
+                    candidate_loci,
+                    max_alleles=max_alleles,
+                    reference_genome=reference_genome,
                 )
+                for src in (tumor, normal)
             )
-            while len(deferred) > 1:
-                c, t, cd, tf, nf = deferred.popleft()
-                confirm(c, t, cd, tf.result(), nf.result())
-        while deferred:
-            c, t, cd, tf, nf = deferred.popleft()
-            confirm(c, t, cd, tf.result(), nf.result())
+
+        for (contig, tile, candidates, _), (tf, nf) in pipelined(
+            screened(), launch_packs, max_in_flight=1
+        ):
+            confirm(contig, tile, candidates, tf.result(), nf.result())
     calls.sort(key=lambda c: (c.reference_contig, c.start, c.allele))
     return calls
 

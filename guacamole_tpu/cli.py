@@ -114,9 +114,11 @@ def _add_output_args(p: argparse.ArgumentParser) -> None:
     # Our JSON writer streams in one pass, so the knob has no effect.
     p.add_argument("--out-chunks", type=int, default=1, help=argparse.SUPPRESS)
     # Also accepted-but-inert: the reference's Arguments.Reference trait
-    # (Common.scala:122-129) declares these, but no command mixes it in —
-    # dead config there; accepted here so invocations carry over verbatim.
-    p.add_argument("--reference", default="", help=argparse.SUPPRESS)
+    # (Common.scala:122-129) declares --fragment-length, but no command
+    # mixes the trait in — dead config there. Its sibling --reference is
+    # deliberately NOT accepted: an exact --reference option would
+    # silently shadow argparse's --reference(-fasta) abbreviation in the
+    # callers that take a FASTA (see DEVIATIONS.md).
     p.add_argument(
         "--fragment-length", type=int, default=10000, help=argparse.SUPPRESS
     )
