@@ -401,6 +401,29 @@ def screen_csr_compact_launch(
     )
 
 
+def _cat_csr(tiles):
+    """Concatenate CSR tiles: one blob, row offsets rebased per tile, and
+    the stacked is_variant table."""
+    blobs = [np.asarray(t.csr_nib) for t in tiles]
+    offs = [np.asarray(t.csr_off, dtype=np.int32) for t in tiles]
+    if len(tiles) == 1:
+        packed, row_off = blobs[0], offs[0]
+    else:
+        packed = np.concatenate(blobs)
+        base = 0
+        parts = [offs[0]]
+        for blob, off in zip(blobs[:-1], offs[1:]):
+            base += len(blob)
+            parts.append(off[1:] + base)
+        row_off = np.concatenate(parts)
+    is_variant = (
+        np.asarray(tiles[0].is_variant)
+        if len(tiles) == 1
+        else np.concatenate([np.asarray(t.is_variant) for t in tiles])
+    )
+    return packed, row_off, is_variant
+
+
 def screen_tile(
     allele_id, qual, mapq, strand, valid, is_variant, max_alleles: int,
     threshold_percent=None,
@@ -609,23 +632,7 @@ def pipelined_batched_screens(
         elif key[0] == "csr":
             # CSR tiles batch regardless of their depth profile: blobs
             # concatenate, offsets rebase by each tile's blob length.
-            blobs = [np.asarray(t.csr_nib) for t in tiles]
-            offs = [np.asarray(t.csr_off, dtype=np.int32) for t in tiles]
-            if len(tiles) == 1:
-                packed, row_off = blobs[0], offs[0]
-            else:
-                packed = np.concatenate(blobs)
-                base = 0
-                parts = [offs[0]]
-                for blob, off in zip(blobs[:-1], offs[1:]):
-                    base += len(blob)
-                    parts.append(off[1:] + base)
-                row_off = np.concatenate(parts)
-            is_variant = (
-                np.asarray(tiles[0].is_variant)
-                if len(tiles) == 1
-                else np.concatenate([np.asarray(t.is_variant) for t in tiles])
-            )
+            packed, row_off, is_variant = _cat_csr(tiles)
             launched = screen_csr_launch(
                 packed, row_off, is_variant, t0.K,
                 threshold_percent=threshold_percent,
@@ -669,6 +676,13 @@ def pipelined_batched_screens(
                 # tiles does not beat the async overlap, even over the
                 # high-latency tunnel.)
                 if compact_cap is not None:
+                    # Launch immediately, like the full CSR screens:
+                    # measured on the remote TPU, deferring compact
+                    # launches to batch (one fused launch + one fetch per
+                    # 4 tiles) LOSES to per-tile async overlap at chrM
+                    # scale (87 ms -> 111-163 ms end-to-end) — the batch
+                    # barrier stalls both the device and classification
+                    # behind the slowest tile's packing.
                     in_flight.append(
                         (
                             item,
