@@ -436,7 +436,24 @@ def _dispatch(argv: List[str]) -> int:
         print(f"Unknown command: {command}", file=sys.stderr)
         print(f"Valid commands: {', '.join(COMMANDS)}", file=sys.stderr)
         return 1
-    return COMMANDS[command][0](argv[1:])
+    try:
+        return COMMANDS[command][0](argv[1:])
+    except BrokenPipeError:
+        return 1  # e.g. `guacamole ... | head`
+    except KeyboardInterrupt:
+        print("interrupted", file=sys.stderr)
+        return 130
+    except Exception as exc:
+        # One-line operational errors (bad paths, malformed inputs);
+        # --debug (anywhere in argv) keeps the full traceback.
+        if "--debug" in argv:
+            raise
+        print(
+            f"guacamole {command}: error: {type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
+        print("(re-run with --debug for the full traceback)", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -101,8 +101,8 @@ def test_threshold_golden_with_python_decoder(resources_dir, tmp_path):
 def test_reference_flag_parity():
     """Every CLI option the reference's args4j traits declare must be
     accepted by the corresponding command here (inert ones — --out-chunks,
-    --reference, --fragment-length — parse but have no effect; cf.
-    DEVIATIONS.md and Common.scala:105-129). The reverse direction
+    --fragment-length — parse but have no effect; --reference is the one
+    deliberate omission, see DEVIATIONS.md #10). The reverse direction
     (extensions like --tile-size) is allowed."""
     import argparse
 
@@ -183,3 +183,26 @@ def _command_help(cli, command):
         except SystemExit:
             pass
     return captured
+
+
+def test_cli_error_reporting(tmp_path):
+    """Operational errors exit 1 with a one-line message; --debug keeps
+    the full traceback."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    def run(extra):
+        return subprocess.run(
+            [sys.executable, "-m", "guacamole_tpu.cli", "germline-threshold",
+             "--reads", "/nonexistent.bam", "--out", str(tmp_path / "x.vcf")]
+            + extra,
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+
+    clean = run([])
+    assert clean.returncode == 1
+    assert "error: FileNotFoundError" in clean.stderr
+    assert "Traceback" not in clean.stderr
+
+    debug = run(["--debug"])
+    assert debug.returncode != 0
+    assert "Traceback" in debug.stderr
