@@ -251,6 +251,44 @@ def tile_stats_csr_compact(
     return jnp.concatenate([body, footer], axis=0)
 
 
+def _screen_from_allele_sums(
+    c: jnp.ndarray,  # [L, K] per-allele sum of m=0 log terms
+    g: jnp.ndarray,  # [L, K] per-allele sum of m=2 log terms
+    is_variant: jnp.ndarray,  # [L, K] bool
+    is_standard_alt: jnp.ndarray,  # [L, K] bool
+    max_alleles: int,
+    margin: float,
+) -> jnp.ndarray:
+    """Shared tail of the likelihood screens: pair scores from per-allele
+    sums (score(i,j) = -c_i - c_j for i != j, score(i,i) = -c_i + g_i;
+    the common all-elements term is dropped — it cancels from the
+    comparison), then flag loci where the best variant genotype comes
+    within `margin` of the best reference genotype.
+
+    Genotypes enumerate only standard-alt alleles (parity with
+    possible_genotypes_of_pileup / Likelihood.scala:106); table entries
+    beyond num_alleles carry False flags, so this also bounds the pairs.
+    """
+    i_idx, j_idx = genotype_pairs(max_alleles)
+    i_idx = jnp.asarray(i_idx)
+    j_idx = jnp.asarray(j_idx)
+    het = (i_idx != j_idx).astype(jnp.float32)
+    # i == j: -c_i + g_i; i != j: -c_i - c_j.
+    score = -c[:, i_idx] + jnp.where(
+        het > 0, -c[:, j_idx], g[:, i_idx]
+    )  # [L, P]
+    pair_exists = is_standard_alt[:, i_idx] & is_standard_alt[:, j_idx]
+    pair_variant = is_variant[:, i_idx] | is_variant[:, j_idx]
+    neg_inf = jnp.float32(-jnp.inf)
+    best_variant = jnp.max(
+        jnp.where(pair_exists & pair_variant, score, neg_inf), axis=1
+    )
+    best_ref = jnp.max(
+        jnp.where(pair_exists & ~pair_variant, score, neg_inf), axis=1
+    )
+    return best_variant >= best_ref - margin
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_alleles", "margin")
 )
@@ -276,38 +314,34 @@ def germline_likelihood_screen(
     Numerical form: for an element with allele a and error probability
     err = 10^(-q/10), p_i + p_j = m + (2 - 2m)*err where m = [i==a]+[j==a]
     (0, 1, or 2) — no catastrophic cancellation even at q>=70 where f32
-    rounds 1-err to 1.
+    rounds 1-err to 1. Because the m=1 term is log(1) = exactly 0, each
+    pair's log-likelihood FACTORS into per-allele sums:
+
+        ll(i,j) = T - C_i - C_j   (i != j)
+        ll(i,i) = T - C_i + G_i
+
+    with T = sum over all elements of log(2*err), C_k = that sum over
+    elements whose allele is k, and G_k = sum over those elements of
+    log(2-2*err). T is common to every pair and cancels from the
+    variant-vs-reference argmax comparison, so the kernel computes only
+    C and G (2 logs + K masked row-sums per element) instead of a
+    [L, D, P] term tensor — P/2 = ~18x less transcendental work, and
+    smaller partial-sum magnitudes (f32 rounding error well under the
+    screen margin even at the LIKELIHOOD_DEPTH_CAP row depth).
     """
     aid = (ll_pack & jnp.uint16(0xF)).astype(jnp.uint8)  # 0xF when empty
     q = (ll_pack >> jnp.uint16(4)).astype(jnp.float32)
     valid = ll_pack != jnp.uint16(0xFFFF)
     err = jnp.power(10.0, q / -10.0)
-    i_idx, j_idx = genotype_pairs(max_alleles)
-    i_idx = jnp.asarray(i_idx)
-    j_idx = jnp.asarray(j_idx)
+    x = jnp.log(2.0 * err)  # m=0 term (finite: q is capped, err > 0)
+    y = jnp.log(2.0 - 2.0 * err)  # m=2 term (-inf only at q == 0)
     k_range = jnp.arange(max_alleles, dtype=jnp.uint8)
-    matches = aid[:, :, None] == k_range  # [L, D, K]
-    m = (
-        matches[:, :, i_idx].astype(jnp.float32)
-        + matches[:, :, j_idx].astype(jnp.float32)
-    )  # [L, D, P]
-    term = jnp.log(m + (2.0 - 2.0 * m) * err[:, :, None])
-    ll = jnp.sum(
-        jnp.where(valid[:, :, None], term, 0.0), axis=1
-    )  # [L, P]
-    # Genotypes enumerate only standard-alt alleles (parity with
-    # possible_genotypes_of_pileup / Likelihood.scala:106); table entries
-    # beyond num_alleles carry False flags, so this also bounds the pairs.
-    pair_exists = is_standard_alt[:, i_idx] & is_standard_alt[:, j_idx]
-    pair_variant = is_variant[:, i_idx] | is_variant[:, j_idx]  # [L, P]
-    neg_inf = jnp.float32(-jnp.inf)
-    ll_variant = jnp.max(
-        jnp.where(pair_exists & pair_variant, ll, neg_inf), axis=1
-    )
-    ll_ref = jnp.max(
-        jnp.where(pair_exists & ~pair_variant, ll, neg_inf), axis=1
-    )
-    return jnp.any(valid, axis=1) & (ll_variant >= ll_ref - margin)
+    hit = (aid[:, :, None] == k_range) & valid[:, :, None]  # [L, D, K]
+    c = jnp.sum(jnp.where(hit, x[:, :, None], 0.0), axis=1)  # [L, K]
+    g = jnp.sum(jnp.where(hit, y[:, :, None], 0.0), axis=1)  # [L, K]
+    return _screen_from_allele_sums(
+        c, g, is_variant, is_standard_alt, max_alleles, margin
+    ) & jnp.any(valid, axis=1)
 
 
 @functools.partial(
@@ -330,6 +364,11 @@ def tumor_likelihood_screen(
     variant allele — every other gate in the somatic kernel (odds ratio,
     depth bounds, normal evidence) only removes emissions, so this flag
     set is a superset of emitted loci.
+
+    Uses the same factored form as germline_likelihood_screen: with
+    m*pc + (2-m)*(1-pc) equal to exactly 1 at m=1, ll(i,j) decomposes
+    into per-allele sums of log(2*(1-pc)) (m=0) and log(2*pc) (m=2),
+    and the all-elements term cancels from the argmax comparison.
     """
     aid = (ll_pack & jnp.uint16(0xF)).astype(jnp.uint8)
     q = (ll_pack >> jnp.uint16(4)).astype(jnp.float32)
@@ -338,29 +377,15 @@ def tumor_likelihood_screen(
     err_m = jnp.power(10.0, ll_mapq.astype(jnp.float32) / -10.0)
     pc = (1.0 - err_q) * (1.0 - err_m)
     one_minus_pc = err_q + err_m - err_q * err_m  # stable complement
-    i_idx, j_idx = genotype_pairs(max_alleles)
-    i_idx = jnp.asarray(i_idx)
-    j_idx = jnp.asarray(j_idx)
+    x = jnp.log(2.0 * one_minus_pc)  # m=0 term (finite: err_q > 0)
+    y = jnp.log(2.0 * pc)  # m=2 term (-inf only at q == 0 in f32)
     k_range = jnp.arange(max_alleles, dtype=jnp.uint8)
-    matches = aid[:, :, None] == k_range  # [L, D, K]
-    m = (
-        matches[:, :, i_idx].astype(jnp.float32)
-        + matches[:, :, j_idx].astype(jnp.float32)
-    )  # [L, D, P]
-    term = jnp.log(
-        m * pc[:, :, None] + (2.0 - m) * one_minus_pc[:, :, None]
-    )
-    ll = jnp.sum(jnp.where(valid[:, :, None], term, 0.0), axis=1)
-    pair_exists = is_standard_alt[:, i_idx] & is_standard_alt[:, j_idx]
-    pair_variant = is_variant[:, i_idx] | is_variant[:, j_idx]
-    neg_inf = jnp.float32(-jnp.inf)
-    ll_variant = jnp.max(
-        jnp.where(pair_exists & pair_variant, ll, neg_inf), axis=1
-    )
-    ll_ref = jnp.max(
-        jnp.where(pair_exists & ~pair_variant, ll, neg_inf), axis=1
-    )
-    return jnp.any(valid, axis=1) & (ll_variant >= ll_ref - margin)
+    hit = (aid[:, :, None] == k_range) & valid[:, :, None]  # [L, D, K]
+    c = jnp.sum(jnp.where(hit, x[:, :, None], 0.0), axis=1)  # [L, K]
+    g = jnp.sum(jnp.where(hit, y[:, :, None], 0.0), axis=1)  # [L, K]
+    return _screen_from_allele_sums(
+        c, g, is_variant, is_standard_alt, max_alleles, margin
+    ) & jnp.any(valid, axis=1)
 
 
 class TileStats(NamedTuple):
