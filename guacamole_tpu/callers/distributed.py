@@ -1,58 +1,28 @@
-"""Mesh-distributed calling: one shard_map step over all shards at once.
+"""Mesh-distributed calling: the production multi-chip execution path.
 
-The single-device callers iterate loci shards sequentially; this module
-runs the device phase of germline-threshold for ALL shards in one
-shard_map'd step over the loci mesh (each device gets its shard's tile),
-then classifies on host from the gathered counts. On a pod this is the
-production execution shape: N chips process N loci shards concurrently,
-with only the global counters crossing ICI.
+Each caller's device screen runs ONE shard_map step per group of
+n_devices tiles (each chip screens its own loci shard's tile; only psum'd
+global counters cross ICI), replacing the reference's Spark task
+scheduling (cf. /root/reference .../DistributedUtil.scala:288-364: the
+pileupFlatMap family serving every caller through one distributed
+engine). Host-side classification / exact-f64 confirmation is unchanged,
+so mesh output is identical to the sequential path by construction (and
+by tests/test_distributed_caller.py).
 
-Equivalent by construction (and by test) to the sequential caller.
+These wrappers delegate to the callers' own `mesh=` parameter — the mesh
+path lives inside each caller (wired from the CLI via --mesh), not in a
+separate engine; this module is the stable API for tests and tools.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List
 
-import numpy as np
-
-from guacamole_tpu.callers.germline_threshold import (
-    ThresholdCall,
-    classify_locus,
-)
-from guacamole_tpu.callers.source import ReadSource
+from guacamole_tpu.callers import germline_standard, germline_threshold
+from guacamole_tpu.callers import somatic_standard
+from guacamole_tpu.callers.germline_threshold import ThresholdCall
 from guacamole_tpu.loci.locimap import LociMap
-from guacamole_tpu.pack.tiles import LocusTile, pad_tile_loci
-from guacamole_tpu.parallel.mesh import (
-    ShardedBatch,
-    loci_mesh,
-    make_sharded_call_step,
-)
-
-
-def _pad_tile_depth(tile: LocusTile, target_d: int) -> LocusTile:
-    import dataclasses
-
-    pad = target_d - tile.D
-    if pad <= 0:
-        return tile
-
-    def pad_d(a, fill=0):
-        return np.concatenate(
-            [a, np.full((a.shape[0], pad), fill, dtype=a.dtype)], axis=1
-        )
-
-    return dataclasses.replace(
-        tile,
-        allele_id=pad_d(tile.allele_id, -1),
-        qual=pad_d(tile.qual),
-        mapq=pad_d(tile.mapq),
-        strand=pad_d(tile.strand),
-        mismatches=pad_d(tile.mismatches),
-        edge_distance=pad_d(tile.edge_distance),
-        read_index=pad_d(tile.read_index, -1),
-        valid=pad_d(tile.valid),
-    )
+from guacamole_tpu.parallel.mesh import loci_mesh
 
 
 def call_variants_mesh(
@@ -66,102 +36,71 @@ def call_variants_mesh(
     reference_genome=None,
     mesh=None,
 ) -> List[ThresholdCall]:
-    """germline-threshold over a device mesh: pack each shard's tiles,
-    stack them [n_shards, L, D], run one sharded step, classify on host."""
-    source = (
-        reads if isinstance(reads, ReadSource) else ReadSource.from_reads(reads)
+    """germline-threshold over a device mesh (one tile per chip per step)."""
+    return germline_threshold.call_variants(
+        reads,
+        loci_partitions,
+        threshold_percent=threshold_percent,
+        emit_ref=emit_ref,
+        emit_no_call=emit_no_call,
+        tile_size=tile_size,
+        max_alleles=max_alleles,
+        reference_genome=reference_genome,
+        mesh=mesh if mesh is not None else loci_mesh(),
     )
-    if mesh is None:
-        mesh = loci_mesh()
-    n_devices = len(mesh.devices.flat)
 
-    inverse = loci_partitions.inverse_map()
-    sample_sources = {
-        name: source.for_sample(name) for name in source.sample_names()
-    }
 
-    # Pack every (task, sample, contig) into tiles, tracking shard metadata.
-    all_tiles: List[Tuple[str, "ReadSource", LocusTile]] = []
-    for task in sorted(inverse):
-        task_loci = inverse[task]
-        for sample_name, sample_source in sorted(sample_sources.items()):
-            for contig in task_loci.contigs:
-                for tile in sample_source.pack_tiles(
-                    contig,
-                    task_loci.on_contig(contig),
-                    tile_size=tile_size,
-                    max_alleles=max_alleles,
-                    reference_genome=reference_genome,
-                ):
-                    all_tiles.append((sample_name, sample_source, tile))
+def call_standard_mesh(
+    reads,
+    loci_partitions: LociMap,
+    min_alignment_quality: int = 0,
+    emit_ref: bool = False,
+    tile_size: int = 4096,
+    max_alleles: int = 8,
+    reference_genome=None,
+    mesh=None,
+):
+    """germline-standard over a device mesh: the f32 genotype-likelihood
+    screen runs under shard_map; exact f64 confirm on host per shard."""
+    return germline_standard.call_variants(
+        reads,
+        loci_partitions,
+        min_alignment_quality=min_alignment_quality,
+        emit_ref=emit_ref,
+        tile_size=tile_size,
+        max_alleles=max_alleles,
+        reference_genome=reference_genome,
+        mesh=mesh if mesh is not None else loci_mesh(),
+    )
 
-    calls: List[ThresholdCall] = []
-    step_cache: Dict[Tuple[int, int], object] = {}
 
-    # Process tiles in groups of n_devices with one sharded step per group;
-    # pad depth to the group max so the stack is rectangular.
-    for group_start in range(0, len(all_tiles), n_devices):
-        group = all_tiles[group_start : group_start + n_devices]
-        real = len(group)
-        target_d = max(t.D for _, _, t in group)
-        tiles = [_pad_tile_depth(t, target_d) for _, _, t in group]
-        while len(tiles) < n_devices:
-            tiles.append(tiles[-1])  # replicate to fill the mesh
-        batch = ShardedBatch(
-            allele_id=np.stack([t.allele_id for t in tiles]),
-            qual=np.stack([t.qual for t in tiles]),
-            mapq=np.stack([t.mapq for t in tiles]),
-            strand=np.stack([t.strand for t in tiles]),
-            valid=np.stack([t.valid for t in tiles]),
-            is_variant=np.stack([t.is_variant for t in tiles]),
-        )
-        key = (tiles[0].L, target_d)
-        step = step_cache.get(key)
-        if step is None:
-            step = make_sharded_call_step(mesh, max_alleles)
-            step_cache[key] = step
-        out = step(batch)
-        counts_all = np.asarray(out.counts)
-        candidates_all = np.asarray(out.candidates)
-
-        for shard in range(real):
-            sample_name, sample_source, tile = group[shard]
-            counts = counts_all[shard]
-            variant_evidence = candidates_all[shard]
-            for li in range(tile.L):
-                total = int(tile.depth[li])
-                if total == 0:
-                    continue
-                if not (emit_ref or emit_no_call) and not variant_evidence[li]:
-                    if not tile.overflow[li]:
-                        continue
-                locus = int(tile.loci[li])
-                if tile.overflow[li]:
-                    pileup = sample_source.pileup_at(tile.contig, locus)
-                    counts_map = {}
-                    for e in pileup.elements:
-                        counts_map[e.allele] = counts_map.get(e.allele, 0) + 1
-                    alleles_and_counts = sorted(counts_map.items())
-                    total = pileup.depth
-                    reference_base = pileup.reference_base
-                else:
-                    n = int(tile.num_alleles[li])
-                    alleles_and_counts = [
-                        (tile.alleles[li][k], int(counts[li, k]))
-                        for k in range(n)
-                    ]
-                    reference_base = int(tile.ref_base[li])
-                calls.extend(
-                    classify_locus(
-                        alleles_and_counts,
-                        total,
-                        reference_base,
-                        sample_name,
-                        tile.contig,
-                        locus,
-                        threshold_percent,
-                        emit_ref,
-                        emit_no_call,
-                    )
-                )
-    return calls
+def call_somatic_mesh(
+    tumor_reads,
+    normal_reads,
+    loci_partitions: LociMap,
+    odds_threshold: int = 20,
+    min_alignment_quality: int = 1,
+    filter_multi_allelic: bool = False,
+    max_read_depth: int = 2**31 - 1,
+    tile_size: int = 4096,
+    max_alleles: int = 8,
+    reference_genome=None,
+    mesh=None,
+):
+    """somatic-standard over a device mesh: the alignment-included tumor
+    screen runs under shard_map (tumor/normal stay a host-side pair — the
+    exact confirm packs both samples' sparse tiles per shard, the analog of
+    the two-sample tile axis in DistributedUtil.scala:316-364)."""
+    return somatic_standard.call_variants(
+        tumor_reads,
+        normal_reads,
+        loci_partitions,
+        odds_threshold=odds_threshold,
+        min_alignment_quality=min_alignment_quality,
+        filter_multi_allelic=filter_multi_allelic,
+        max_read_depth=max_read_depth,
+        tile_size=tile_size,
+        max_alleles=max_alleles,
+        reference_genome=reference_genome,
+        mesh=mesh if mesh is not None else loci_mesh(),
+    )

@@ -191,10 +191,15 @@ def call_variants(
     tile_size: int = 4096,
     max_alleles: int = 8,
     reference_genome=None,
+    mesh=None,
 ) -> List[CalledAllele]:
     """Two-phase (device screen -> exact host confirm) over a partitioning.
 
-    reads: a list of MappedReads or a ReadSource (columnar or object)."""
+    reads: a list of MappedReads or a ReadSource (columnar or object).
+    mesh: a jax.sharding.Mesh — when given, the genotype-likelihood screen
+    runs ONE shard_map step per group of n_devices tiles (each chip screens
+    its own tile); the exact f64 confirm is unchanged, so output is
+    identical (pinned by tests/test_distributed_caller.py)."""
     from guacamole_tpu.callers.source import ReadSource
 
     source = (
@@ -278,9 +283,18 @@ def call_variants(
     from guacamole_tpu.ops.dispatch import prefetch_iter
 
     def screened():
-        for item, pending in pipelined(
-            prefetch_iter(tiles(), ahead=2), launch
-        ):
+        if mesh is not None:
+            from guacamole_tpu.parallel.mesh import mesh_ll_screens
+
+            screen_iter = mesh_ll_screens(
+                prefetch_iter(tiles(), ahead=2),
+                tile_of=lambda item: item[3],
+                mesh=mesh,
+                min_mapq=min_alignment_quality,
+            )
+        else:
+            screen_iter = pipelined(prefetch_iter(tiles(), ahead=2), launch)
+        for item, pending in screen_iter:
             sample_name, sample_source, contig, tile = item
             if pending is None:
                 continue
@@ -398,6 +412,7 @@ def main(argv, _add_fns) -> int:
     progress("Loaded %d mapped non-duplicate reads." % source.n)
     loci_set = loci_builder.result(contig_lengths)
     partitions = _add_fns["partition"](args, loci_set, source)
+    resolve_mesh = _add_fns.get("resolve_mesh")
     calls = call_variants(
         source,
         partitions,
@@ -405,6 +420,7 @@ def main(argv, _add_fns) -> int:
         emit_ref=args.emit_ref,
         tile_size=args.tile_size,
         reference_genome=reference,
+        mesh=resolve_mesh(args) if resolve_mesh else None,
     )
     filtered = apply_genotype_filters(
         calls,

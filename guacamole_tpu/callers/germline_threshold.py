@@ -298,10 +298,16 @@ def call_variants(
     tile_size: int = 4096,
     max_alleles: int = 8,
     reference_genome=None,
+    mesh=None,
 ) -> List[ThresholdCall]:
     """Call variants over a loci partitioning (shard -> loci).
 
-    reads: a list of MappedReads or a ReadSource (columnar or object)."""
+    reads: a list of MappedReads or a ReadSource (columnar or object).
+    mesh: a jax.sharding.Mesh — when given, the device screens run ONE
+    shard_map step per group of n_devices tiles (each chip screens its own
+    tile; psum'd global counters) instead of sequential per-tile kernels.
+    Output is identical by construction (pinned by
+    tests/test_distributed_caller.py)."""
     from guacamole_tpu.callers.source import ReadSource
 
     source = (
@@ -330,34 +336,47 @@ def call_variants(
 
     calls.extend(
         _screen_and_classify(
-            tiles(), threshold_percent, emit_ref, emit_no_call
+            tiles(), threshold_percent, emit_ref, emit_no_call, mesh=mesh
         )
     )
     return calls
 
 
 def _screen_and_classify(
-    tile_items, threshold_percent, emit_ref, emit_no_call
+    tile_items, threshold_percent, emit_ref, emit_no_call, mesh=None
 ) -> List[ThresholdCall]:
     """Pipelined execution over (tile, sample_name, source) items: launch
     the screen kernel for each packed tile immediately (JAX dispatch is
     async), classify once a bounded window of tiles is in flight, so host
     packing/classification overlaps the device kernels and the tunnel's
-    device->host latency. Returns calls in deterministic order."""
+    device->host latency. With a mesh, groups of n_devices tiles screen in
+    ONE shard_map step each (one tile per chip). Returns calls in
+    deterministic order."""
     from guacamole_tpu.ops.dispatch import prefetch_iter
 
+    if mesh is not None:
+        from guacamole_tpu.parallel.mesh import mesh_csr_screens
+
+        screen_iter = mesh_csr_screens(
+            prefetch_iter(tile_items, ahead=2),
+            tile_of=lambda item: item[0],
+            mesh=mesh,
+            threshold_percent=threshold_percent,
+        )
+    else:
+        screen_iter = pipelined_batched_screens(
+            # Pack tiles on a background thread: the native packer releases
+            # the GIL, so packing tile i+1 overlaps tile i's screen fetch +
+            # classification.
+            prefetch_iter(tile_items, ahead=2),
+            tile_of=lambda item: item[0],
+            threshold_percent=threshold_percent,
+            # Variant-only runs read counts at candidate loci alone: compact
+            # them on device so each tile's fetch is one small array.
+            compact_cap=None if (emit_ref or emit_no_call) else COMPACT_CAP,
+        )
     calls: List[ThresholdCall] = []
-    for (tile, name, src), pending in pipelined_batched_screens(
-        # Pack tiles on a background thread: the native packer releases
-        # the GIL, so packing tile i+1 overlaps tile i's screen fetch +
-        # classification.
-        prefetch_iter(tile_items, ahead=2),
-        tile_of=lambda item: item[0],
-        threshold_percent=threshold_percent,
-        # Variant-only runs read counts at candidate loci alone: compact
-        # them on device so each tile's fetch is one small array.
-        compact_cap=None if (emit_ref or emit_no_call) else COMPACT_CAP,
-    ):
+    for (tile, name, src), pending in screen_iter:
         calls.extend(
             call_tile(
                 tile,
@@ -384,6 +403,7 @@ def call_variants_streaming(
     tile_size: int = 4096,
     max_alleles: int = 8,
     reference_genome=None,
+    mesh=None,
 ) -> Optional[List[ThresholdCall]]:
     """Streaming variant: each partition task decodes only its own BAM
     byte ranges (.bai pushdown), with task i+1's IO + decode on a
@@ -421,5 +441,5 @@ def call_variants_streaming(
                         yield tile, sample_name, sample_source
 
     return _screen_and_classify(
-        tiles(), threshold_percent, emit_ref, emit_no_call
+        tiles(), threshold_percent, emit_ref, emit_no_call, mesh=mesh
     )

@@ -414,8 +414,14 @@ def call_variants(
     tile_size: int = 4096,
     max_alleles: int = 8,
     reference_genome=None,
+    mesh=None,
 ) -> List[CalledSomaticAllele]:
-    """tumor_reads/normal_reads: MappedRead lists or ReadSources."""
+    """tumor_reads/normal_reads: MappedRead lists or ReadSources.
+
+    mesh: a jax.sharding.Mesh — when given, the tumor likelihood screen
+    runs ONE shard_map step per group of n_devices tiles (each chip screens
+    its own tumor tile); the exact f64 confirm is unchanged, so output is
+    identical (pinned by tests/test_distributed_caller.py)."""
     from guacamole_tpu.callers.source import ReadSource
 
     tumor = (
@@ -543,9 +549,19 @@ def call_variants(
     from guacamole_tpu.ops.dispatch import prefetch_iter
 
     def screened():
-        for (contig, tile), pending in pipelined(
-            prefetch_iter(tiles(), ahead=2), launch
-        ):
+        if mesh is not None:
+            from guacamole_tpu.parallel.mesh import mesh_ll_screens
+
+            screen_iter = mesh_ll_screens(
+                prefetch_iter(tiles(), ahead=2),
+                tile_of=lambda item: item[1],
+                mesh=mesh,
+                include_alignment=True,
+                min_mapq=min_alignment_quality,
+            )
+        else:
+            screen_iter = pipelined(prefetch_iter(tiles(), ahead=2), launch)
+        for (contig, tile), pending in screen_iter:
             if pending is None:
                 continue
             cand = candidates_of(pending.result())
@@ -719,6 +735,7 @@ def main(argv, _add_fns) -> int:
     partitions = _add_fns["partition"](
         args, loci_set, tumor_source, normal_source
     )
+    resolve_mesh = _add_fns.get("resolve_mesh")
     potential = call_variants(
         tumor_source,
         normal_source,
@@ -729,6 +746,7 @@ def main(argv, _add_fns) -> int:
         max_read_depth=args.max_tumor_read_depth,
         tile_size=args.tile_size,
         reference_genome=reference,
+        mesh=resolve_mesh(args) if resolve_mesh else None,
     )
     progress("Computed %d potential genotypes." % len(potential))
     # Pre-filters applied before dbSNP annotation (driver order parity).

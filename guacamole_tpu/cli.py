@@ -144,6 +144,15 @@ def _add_distributed_args(p: argparse.ArgumentParser) -> None:
         default=4096,
         help="Loci per device tile",
     )
+    p.add_argument(
+        "--mesh",
+        default="auto",
+        choices=["auto", "on", "off"],
+        help="Run device screens as one shard_map step per tile group over "
+        "all devices (one tile per chip). 'auto' enables it on multi-chip "
+        "accelerator platforms; 'on' forces it (e.g. on the virtual CPU "
+        "mesh in tests); 'off' screens tiles sequentially on one device.",
+    )
 
 
 def _default_parallelism() -> int:
@@ -153,6 +162,26 @@ def _default_parallelism() -> int:
         return max(1, len(jax.devices()))
     except Exception:
         return 1
+
+
+def _resolve_mesh(args):
+    """The device mesh for this run, or None for sequential screening.
+
+    'auto' uses the mesh exactly when >1 accelerator chip is attached (on
+    CPU the extra devices are virtual test shards, not parallel hardware —
+    force with --mesh on there)."""
+    if getattr(args, "mesh", "off") == "off":
+        return None
+    import jax
+
+    devices = jax.devices()
+    if args.mesh == "auto" and (
+        len(devices) < 2 or devices[0].platform == "cpu"
+    ):
+        return None
+    from guacamole_tpu.parallel.mesh import loci_mesh
+
+    return loci_mesh(devices)
 
 
 def _partition(args, loci_set, *read_lists):
@@ -167,7 +196,7 @@ def _partition(args, loci_set, *read_lists):
     )
 
 
-def _try_streaming_threshold(args, loci_builder, reference):
+def _try_streaming_threshold(args, loci_builder, reference, mesh=None):
     """Streaming germline-threshold (per-task BAM pushdown); None when
     the streaming path is unavailable or unprofitable."""
     from guacamole_tpu.callers.germline_threshold import (
@@ -201,6 +230,7 @@ def _try_streaming_threshold(args, loci_builder, reference):
         emit_no_call=args.emit_no_call,
         tile_size=args.tile_size,
         reference_genome=reference,
+        mesh=mesh,
     )
 
 
@@ -251,6 +281,7 @@ def cmd_germline_threshold(argv: List[str]) -> int:
     filters = InputFilters.create(
         overlaps_loci=loci_builder, non_duplicate=True, has_mdtag=True
     )
+    mesh = _resolve_mesh(args)
     calls = None
     contig_lengths = None
     if (
@@ -262,7 +293,7 @@ def cmd_germline_threshold(argv: List[str]) -> int:
         # Uniform partitioning needs only the header's contig lengths, so
         # each task can decode just its own BAM byte ranges (.bai
         # pushdown), overlapping the next task's IO with device screens.
-        calls = _try_streaming_threshold(args, loci_builder, reference)
+        calls = _try_streaming_threshold(args, loci_builder, reference, mesh)
         if calls is not None:
             from guacamole_tpu.gio.bam import BamFile
 
@@ -290,6 +321,7 @@ def cmd_germline_threshold(argv: List[str]) -> int:
             emit_no_call=args.emit_no_call,
             tile_size=args.tile_size,
             reference_genome=reference,
+            mesh=mesh,
         )
     progress("Called %d genotypes." % len(calls))
     records = [c.to_vcf_record() for c in calls]
@@ -347,6 +379,7 @@ ARG_HELPERS = {
     "print_concordance": _print_concordance,
     "partition": _partition,
     "default_parallelism": _default_parallelism,
+    "resolve_mesh": _resolve_mesh,
 }
 
 def cmd_index(argv: List[str]) -> int:

@@ -267,6 +267,21 @@ def ll_pack_of(tile, min_mapq: int = 0) -> np.ndarray:
     ).astype(np.uint16)
 
 
+def ll_mapq_of(tile, min_mapq: int = 0) -> np.ndarray:
+    """A tile's per-element read-MAPQ plane for the alignment-included
+    tumor screen ([L, D] uint8), from the native packer when present, else
+    derived from the full per-element tensors. Values are only read at
+    slots valid in ll_pack, so fill values for empty slots are irrelevant."""
+    mq = getattr(tile, "ll_mapq", None)
+    if mq is not None:
+        return np.asarray(mq)
+    if tile.mapq is None:
+        raise ValueError(
+            "tile has neither a native ll_mapq nor per-element tensors"
+        )
+    return np.clip(np.asarray(tile.mapq), 0, 255).astype(np.uint8)
+
+
 def germline_screen_launch(
     tile, min_mapq: int = 0, margin: float = 0.5
 ) -> PendingCandidates:

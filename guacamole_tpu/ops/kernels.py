@@ -148,12 +148,14 @@ def tile_stats_nibble(
     return PackedScreen(counts, candidates)
 
 
-def _csr_counts_candidates(
+def csr_screen_math(
     packed, row_off, is_variant, max_alleles, threshold_percent
 ):
     """Shared math of the CSR counting screens: [L, K] int32 counts and
     the [L] bool candidate mask (thresholded when threshold_percent is
-    given, else any-variant-evidence)."""
+    given, else any-variant-evidence). Called by the jitted single-device
+    kernels below AND by the shard_map'd mesh screen (parallel/mesh.py) —
+    ONE source of truth for the counting/candidate semantics."""
     lo = packed & jnp.uint8(0xF)
     hi = packed >> jnp.uint8(4)
     k_range = jnp.arange(max_alleles, dtype=jnp.uint8)
@@ -201,7 +203,7 @@ def tile_stats_csr(
     exactly matching tile_stats semantics on the unpacked arrays.
     """
     assert max_alleles <= 15, "nibble packing reserves 0xF for empty slots"
-    counts, candidates = _csr_counts_candidates(
+    counts, candidates = csr_screen_math(
         packed, row_off, is_variant, max_alleles, threshold_percent
     )
     # int16 halves the device->host transfer. Values only wrap at rows
@@ -237,7 +239,7 @@ def tile_stats_csr_compact(
     (rare: candidates are a small superset of emitted calls).
     """
     assert max_alleles <= 15, "nibble packing reserves 0xF for empty slots"
-    counts, candidates = _csr_counts_candidates(
+    counts, candidates = csr_screen_math(
         packed, row_off, is_variant, max_alleles, threshold_percent
     )
     idx = jnp.nonzero(candidates, size=cap, fill_value=-1)[0]  # [cap]
@@ -289,10 +291,7 @@ def _screen_from_allele_sums(
     return best_variant >= best_ref - margin
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_alleles", "margin")
-)
-def germline_likelihood_screen(
+def germline_screen_math(
     ll_pack: jnp.ndarray,  # [L, D] uint16: allele_id | qual << 4
     is_variant: jnp.ndarray,  # [L, K] bool
     is_standard_alt: jnp.ndarray,  # [L, K] bool (genotype-eligible alleles)
@@ -300,6 +299,10 @@ def germline_likelihood_screen(
     margin: float = 0.5,
 ) -> jnp.ndarray:
     """Candidate loci for the Bayesian germline caller: [L] bool.
+
+    The un-jitted math shared by the single-device screen
+    (germline_likelihood_screen) and the shard_map'd mesh screen
+    (parallel/mesh.py) — ONE source of truth for the semantics.
 
     Computes all K(K+1)/2 diploid genotype log-likelihoods in f32
     (identical math to the exact host model, likelihood.py: per element
@@ -344,10 +347,12 @@ def germline_likelihood_screen(
     ) & jnp.any(valid, axis=1)
 
 
-@functools.partial(
+germline_likelihood_screen = functools.partial(
     jax.jit, static_argnames=("max_alleles", "margin")
-)
-def tumor_likelihood_screen(
+)(germline_screen_math)
+
+
+def tumor_screen_math(
     ll_pack: jnp.ndarray,  # [L, D] uint16: allele_id | qual << 4
     ll_mapq: jnp.ndarray,  # [L, D] uint8 per-element read MAPQ
     is_variant: jnp.ndarray,  # [L, K] bool
@@ -355,7 +360,8 @@ def tumor_likelihood_screen(
     max_alleles: int,
     margin: float = 0.5,
 ) -> jnp.ndarray:
-    """Somatic tumor candidate screen: [L] bool.
+    """Somatic tumor candidate screen: [L] bool. Un-jitted shared math
+    (see germline_screen_math).
 
     Same construction as germline_likelihood_screen but with
     alignment-included correctness (pc = (1-err_q)(1-err_m), cf.
@@ -386,6 +392,11 @@ def tumor_likelihood_screen(
     return _screen_from_allele_sums(
         c, g, is_variant, is_standard_alt, max_alleles, margin
     ) & jnp.any(valid, axis=1)
+
+
+tumor_likelihood_screen = functools.partial(
+    jax.jit, static_argnames=("max_alleles", "margin")
+)(tumor_screen_math)
 
 
 class TileStats(NamedTuple):

@@ -83,6 +83,54 @@ def test_somatic_standard_golden(resources_dir, tmp_path):
     assert_matches_golden(out, "chr20.somatic-standard.vcf")
 
 
+def test_golden_with_mesh_forced(resources_dir, tmp_path):
+    """The shard_map mesh execution path (--mesh on, over the 8-device
+    virtual mesh) must reproduce the same golden bytes for all three main
+    callers — the mesh is a production execution shape, not a fork."""
+    out = str(tmp_path / "thresh.vcf")
+    run_cli(
+        [
+            "germline-threshold",
+            "--reads", resource_path("chrM.sorted.bam"),
+            "--parallelism", "2",
+            "--mesh", "on",
+        ],
+        out,
+    )
+    assert_matches_golden(out, "chrM.germline-threshold.vcf")
+
+    out = str(tmp_path / "standard.vcf")
+    run_cli(
+        [
+            "germline-standard",
+            "--reads", resource_path("chrM.sorted.bam"),
+            "--parallelism", "2",
+            "--mesh", "on",
+        ],
+        out,
+    )
+    assert_matches_golden(out, "chrM.germline-standard.vcf")
+
+    out = str(tmp_path / "somatic.vcf")
+    run_cli(
+        [
+            "somatic-standard",
+            "--tumor-reads", resource_path("tumor.chr20.tough.sam"),
+            "--normal-reads", resource_path("normal.chr20.tough.sam"),
+            "--odds", "120",
+            "--min-tumor-read-depth", "8",
+            "--min-normal-read-depth", "4",
+            "--max-tumor-read-depth", "200",
+            "--min-tumor-alternate-read-depth", "3",
+            "--min-vaf", "5",
+            "--min-likelihood", "70",
+            "--mesh", "on",
+        ],
+        out,
+    )
+    assert_matches_golden(out, "chr20.somatic-standard.vcf")
+
+
 def test_threshold_golden_with_python_decoder(resources_dir, tmp_path):
     """The pure-Python decoding backend must produce the same bytes."""
     out = str(tmp_path / "out.vcf")
