@@ -393,6 +393,14 @@ def main(argv, _add_fns) -> int:
 
     validate_output_path(args.out)
     loci_builder = resolve_loci_builder(args.loci, args.loci_from_file)
+    mh = _add_fns["bootstrap_multihost"](args)
+    loci_builder, empty_shard = _add_fns["multihost_shard_builder"](
+        mh, loci_builder, args.reads
+    )
+    if empty_shard:
+        from guacamole_tpu.loci.lociset import parse_loci
+
+        loci_builder = parse_loci("")  # no loci: loads nothing, calls nothing
     reference = (
         ReferenceGenome.from_fasta(args.reference_fasta)
         if args.reference_fasta
@@ -410,6 +418,12 @@ def main(argv, _add_fns) -> int:
         use_native=args.bam_reader_api in ("best", "native"),
     )
     progress("Loaded %d mapped non-duplicate reads." % source.n)
+    if mh.active:
+        totals = _add_fns["multihost_counters"](mh, reads=source.n)
+        progress(
+            "Global: %d reads across %d processes."
+            % (totals["reads"], mh.process_count)
+        )
     loci_set = loci_builder.result(contig_lengths)
     partitions = _add_fns["partition"](args, loci_set, source)
     resolve_mesh = _add_fns.get("resolve_mesh")
@@ -431,13 +445,16 @@ def main(argv, _add_fns) -> int:
         debug=args.debug_genotype_filters,
     )
     progress("Called %d genotypes after filtering." % len(filtered))
-    records = [called_allele_to_vcf_record(c) for c in filtered]
-    write_variants(
-        records,
-        args.out,
-        contig_lengths=contig_lengths,
-        max_genotypes=args.max_genotypes,
+    records = _add_fns["multihost_finalize"](
+        mh, [called_allele_to_vcf_record(c) for c in filtered]
     )
-    if args.truth:
-        _add_fns["print_concordance"](args, records)
+    if mh.is_writer:
+        write_variants(
+            records,
+            args.out,
+            contig_lengths=contig_lengths,
+            max_genotypes=args.max_genotypes,
+        )
+        if args.truth:
+            _add_fns["print_concordance"](args, records)
     return 0

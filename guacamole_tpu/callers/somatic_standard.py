@@ -700,6 +700,14 @@ def main(argv, _add_fns) -> int:
 
     validate_output_path(args.out)
     loci_builder = resolve_loci_builder(args.loci, args.loci_from_file)
+    mh = _add_fns["bootstrap_multihost"](args)
+    loci_builder, empty_shard = _add_fns["multihost_shard_builder"](
+        mh, loci_builder, args.tumor_reads
+    )
+    if empty_shard:
+        from guacamole_tpu.loci.lociset import parse_loci
+
+        loci_builder = parse_loci("")  # no loci: loads nothing, calls nothing
     reference = (
         ReferenceGenome.from_fasta(args.reference_fasta)
         if args.reference_fasta
@@ -731,6 +739,14 @@ def main(argv, _add_fns) -> int:
         "Loaded %d tumor, %d normal reads."
         % (tumor_source.n, normal_source.n)
     )
+    if mh.active:
+        totals = _add_fns["multihost_counters"](
+            mh, tumor=tumor_source.n, normal=normal_source.n
+        )
+        progress(
+            "Global: %d tumor, %d normal reads across %d processes."
+            % (totals["tumor"], totals["normal"], mh.process_count)
+        )
     loci_set = loci_builder.result(normal_lengths)
     partitions = _add_fns["partition"](
         args, loci_set, tumor_source, normal_source
@@ -785,10 +801,14 @@ def main(argv, _add_fns) -> int:
         debug=args.debug_genotype_filters,
     )
     progress("Computed %d genotypes after basic filtering." % len(filtered))
-    write_variants(
-        [called_somatic_allele_to_vcf_record(c) for c in filtered],
-        args.out,
-        contig_lengths=normal_lengths,
-        max_genotypes=args.max_genotypes,
+    records = _add_fns["multihost_finalize"](
+        mh, [called_somatic_allele_to_vcf_record(c) for c in filtered]
     )
+    if mh.is_writer:
+        write_variants(
+            records,
+            args.out,
+            contig_lengths=normal_lengths,
+            max_genotypes=args.max_genotypes,
+        )
     return 0

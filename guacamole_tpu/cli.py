@@ -153,6 +153,28 @@ def _add_distributed_args(p: argparse.ArgumentParser) -> None:
         "accelerator platforms; 'on' forces it (e.g. on the virtual CPU "
         "mesh in tests); 'off' screens tiles sequentially on one device.",
     )
+    # Multi-host runtime (the reference's driver+executors across machines,
+    # Command.scala:51-62 / README.md:66-88). A cluster launcher starts one
+    # process per host with identical flags except --process-id (or the
+    # GUAC_COORDINATOR / GUAC_NUM_PROCESSES / GUAC_PROCESS_ID env vars).
+    p.add_argument(
+        "--coordinator",
+        default="",
+        help="host:port of process 0 for multi-process runs "
+        "(jax.distributed coordinator)",
+    )
+    p.add_argument(
+        "--num-processes",
+        type=int,
+        default=0,
+        help="Total processes in a multi-host run (0/1 = single process)",
+    )
+    p.add_argument(
+        "--process-id",
+        type=int,
+        default=-1,
+        help="This process's index in a multi-host run",
+    )
 
 
 def _default_parallelism() -> int:
@@ -169,12 +191,14 @@ def _resolve_mesh(args):
 
     'auto' uses the mesh exactly when >1 accelerator chip is attached (on
     CPU the extra devices are virtual test shards, not parallel hardware —
-    force with --mesh on there)."""
+    force with --mesh on there). In a multi-process run the mesh spans
+    this process's LOCAL chips: the cross-host axis is the per-process
+    loci shard, merged over DCN, not a global shard_map."""
     if getattr(args, "mesh", "off") == "off":
         return None
     import jax
 
-    devices = jax.devices()
+    devices = jax.local_devices()
     if args.mesh == "auto" and (
         len(devices) < 2 or devices[0].platform == "cpu"
     ):
@@ -182,6 +206,63 @@ def _resolve_mesh(args):
     from guacamole_tpu.parallel.mesh import loci_mesh
 
     return loci_mesh(devices)
+
+
+def _bootstrap_multihost(args):
+    """Join the multi-process runtime (no-op single-process). Must run
+    before any other JAX use, so call it ahead of _resolve_mesh."""
+    from guacamole_tpu.parallel.multihost import bootstrap
+
+    return bootstrap(
+        getattr(args, "coordinator", ""),
+        getattr(args, "num_processes", 0),
+        getattr(args, "process_id", -1),
+    )
+
+
+def _multihost_shard_builder(mh, loci_builder, reads_path):
+    """Restrict the loci builder to this process's shard (each process
+    then .bai-reads only its own shard's byte ranges). Returns
+    (builder-or-None, shard_is_empty)."""
+    if not mh.active:
+        return loci_builder, False
+    from guacamole_tpu.gio.load import header_contig_lengths
+    from guacamole_tpu.loci.lociset import parse_loci
+    from guacamole_tpu.parallel.multihost import shard_loci_expression
+
+    lengths = header_contig_lengths(reads_path)
+    loci_set = loci_builder.result(lengths)
+    expr = shard_loci_expression(mh, loci_set)
+    progress(
+        "Process %d/%d loci shard: %s"
+        % (mh.process_index, mh.process_count, expr or "(empty)")
+    )
+    if expr is None:
+        return None, True
+    return parse_loci(expr), False
+
+
+def _multihost_counters(mh, **counters):
+    """Sum named counters across processes over DCN (the Spark-accumulator
+    analog); identity in single-process runs."""
+    from guacamole_tpu.parallel.multihost import allreduce_counters
+
+    return allreduce_counters(mh, counters)
+
+
+def _multihost_finalize(mh, records):
+    """Merge per-process VCF records over DCN; every process receives the
+    full set (progress counters stay truthful everywhere) but only
+    process 0 should write (mh.is_writer)."""
+    if not mh.active:
+        return records
+    from guacamole_tpu.parallel.multihost import gather_objects
+
+    merged = gather_objects(mh, records)
+    merged.sort(
+        key=lambda r: (r.contig, r.start, r.sample_name, r.ref, r.alt)
+    )
+    return merged
 
 
 def _partition(args, loci_set, *read_lists):
@@ -273,6 +354,10 @@ def cmd_germline_threshold(argv: List[str]) -> int:
 
     validate_output_path(args.out)
     loci_builder = resolve_loci_builder(args.loci, args.loci_from_file)
+    mh = _bootstrap_multihost(args)
+    loci_builder, empty_shard = _multihost_shard_builder(
+        mh, loci_builder, args.reads
+    )
     reference = (
         ReferenceGenome.from_fasta(args.reference_fasta)
         if args.reference_fasta
@@ -284,7 +369,12 @@ def cmd_germline_threshold(argv: List[str]) -> int:
     mesh = _resolve_mesh(args)
     calls = None
     contig_lengths = None
-    if (
+    if empty_shard:
+        from guacamole_tpu.gio.load import header_contig_lengths
+
+        calls = []
+        contig_lengths = header_contig_lengths(args.reads)
+    elif (
         args.partition_accuracy == 0
         and not args.no_sequence_dictionary
         and not args.recompute_md_tags
@@ -324,15 +414,21 @@ def cmd_germline_threshold(argv: List[str]) -> int:
             mesh=mesh,
         )
     progress("Called %d genotypes." % len(calls))
-    records = [c.to_vcf_record() for c in calls]
-    write_variants(
-        records,
-        args.out,
-        contig_lengths=contig_lengths,
-        max_genotypes=args.max_genotypes,
-    )
-    if args.truth:
-        _print_concordance(args, records)
+    records = _multihost_finalize(mh, [c.to_vcf_record() for c in calls])
+    if mh.active:
+        progress(
+            "Merged %d genotypes across %d processes."
+            % (len(records), mh.process_count)
+        )
+    if mh.is_writer:
+        write_variants(
+            records,
+            args.out,
+            contig_lengths=contig_lengths,
+            max_genotypes=args.max_genotypes,
+        )
+        if args.truth:
+            _print_concordance(args, records)
     DelayedMessages.default.print()
     return 0
 
@@ -380,6 +476,10 @@ ARG_HELPERS = {
     "partition": _partition,
     "default_parallelism": _default_parallelism,
     "resolve_mesh": _resolve_mesh,
+    "bootstrap_multihost": _bootstrap_multihost,
+    "multihost_shard_builder": _multihost_shard_builder,
+    "multihost_counters": _multihost_counters,
+    "multihost_finalize": _multihost_finalize,
 }
 
 def cmd_index(argv: List[str]) -> int:

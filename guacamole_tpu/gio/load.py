@@ -48,6 +48,28 @@ def load_read_set(
     )
 
 
+def header_contig_lengths(path: str) -> dict:
+    """Contig lengths from the file header alone (no record decode).
+
+    Cheap enough to run on every process of a multi-host run before shard
+    assignment (the SequenceDictionary read at Read.scala:434-435)."""
+    lower = path.lower()
+    if lower.endswith(".bam"):
+        return dict(BamFile(path).references)
+    if lower.endswith(".sam"):
+        from guacamole_tpu.gio.sam import SamHeader, parse_header_line
+
+        header = SamHeader([], {}, {})
+        with open(path, "rt") as fh:
+            for line in fh:
+                if not line.startswith("@"):
+                    break
+                parse_header_line(line, header)
+        return dict(header.contig_lengths)
+    reads, dictionary = _load_adam(path, InputFilters.empty, 0, None, False)
+    return dict(dictionary)
+
+
 def load_reads(
     path: str,
     filters: InputFilters = InputFilters.empty,

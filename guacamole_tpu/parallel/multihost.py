@@ -1,0 +1,175 @@
+"""Multi-host process runtime: N cooperating processes, one per host.
+
+The reference runs a Spark driver + executors across machines
+(cf. /root/reference .../Command.scala:51-62 and the YARN deployment in
+README.md:66-88); the shuffle routes every read to the executor owning its
+loci task. The TPU-native replacement has NO shuffle: each process
+
+  1. bootstraps the JAX distributed runtime (`jax.distributed.initialize`
+     over the coordinator — the DCN control plane),
+  2. is assigned a contiguous loci shard by `process_index` and loads ONLY
+     that shard's reads (BAM-index byte-range pushdown; boundary reads are
+     fetched by every process whose shard they overlap — halo duplication
+     at the input layer, the analog of DistributedUtil.scala:585-597),
+  3. packs/screens/calls its shard locally (its chips form the local part
+     of the device mesh),
+  4. merges global counters and the called-variant set over DCN
+     (`process_allgather` — the analog of Spark accumulators and the
+     driver-side `collect` in Common.scala:274-286); process 0 writes the
+     single output file (the analog of `coalesce(1)` at Common.scala:293).
+
+In-process correctness of the sharding model is pinned by
+tests/test_multihost_sharding.py; the real multi-process runtime (this
+module) is pinned by tests/test_multihost_runtime.py, which spawns two
+OS processes against a localhost coordinator and asserts the merged call
+set equals a single-process whole-file run.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class MultihostRuntime:
+    """This process's place in the (possibly single-process) run."""
+
+    process_index: int
+    process_count: int
+
+    @property
+    def active(self) -> bool:
+        return self.process_count > 1
+
+    @property
+    def is_writer(self) -> bool:
+        """Process 0 writes the merged output (the coalesce(1) analog)."""
+        return self.process_index == 0
+
+
+SINGLE = MultihostRuntime(0, 1)
+
+
+def bootstrap(
+    coordinator: str = "",
+    num_processes: int = 0,
+    process_id: int = -1,
+) -> MultihostRuntime:
+    """Initialize the JAX distributed runtime for a multi-process run.
+
+    Arguments may come from CLI flags or the GUAC_COORDINATOR /
+    GUAC_NUM_PROCESSES / GUAC_PROCESS_ID environment variables (the env
+    form is what a cluster launcher like GKE/xpk/mpirun injects per task).
+    A single-process run (num_processes <= 1) is a no-op returning SINGLE.
+
+    Must be called before any other JAX use in the process: the
+    coordinator handshake has to precede backend initialization.
+    """
+    coordinator = coordinator or os.environ.get("GUAC_COORDINATOR", "")
+    if not num_processes:
+        num_processes = int(os.environ.get("GUAC_NUM_PROCESSES", "0") or 0)
+    if process_id < 0:
+        process_id = int(os.environ.get("GUAC_PROCESS_ID", "-1") or -1)
+    if num_processes <= 1:
+        return SINGLE
+    if not coordinator or process_id < 0:
+        raise ValueError(
+            "multi-process runs need --coordinator HOST:PORT and "
+            "--process-id (or GUAC_COORDINATOR / GUAC_PROCESS_ID)"
+        )
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    assert jax.process_count() == num_processes
+    return MultihostRuntime(jax.process_index(), num_processes)
+
+
+def shard_loci_expression(
+    runtime: MultihostRuntime, loci_set
+) -> Optional[str]:
+    """This process's loci shard as a parseable loci expression.
+
+    Uniform split of the global loci set into process_count contiguous
+    shards (the cross-host partitioning axis; within the shard the
+    per-process partitioner further depth-balances across its tasks).
+    Returns None for an empty shard (more hosts than loci ranges' span).
+    """
+    from guacamole_tpu.loci.partition import partition_loci_uniformly
+
+    partitions = partition_loci_uniformly(runtime.process_count, loci_set)
+    shard = partitions.inverse_map().get(runtime.process_index)
+    if shard is None or shard.count == 0:
+        return None
+    parts = []
+    for contig in shard.contigs:
+        for start, end in shard.on_contig(contig).ranges:
+            parts.append(f"{contig}:{start}-{end}")
+    return ",".join(parts)
+
+
+def _allgather_array(arr: np.ndarray) -> np.ndarray:
+    """All-gather one per-process array over DCN; returns [P, *arr.shape]."""
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr))
+
+
+def allreduce_counters(
+    runtime: MultihostRuntime, counters: Dict[str, int]
+) -> Dict[str, int]:
+    """Sum named integer counters across all processes (the Spark
+    accumulator analog, merged over DCN)."""
+    if not runtime.active:
+        return dict(counters)
+    keys = sorted(counters)
+    local = np.asarray([counters[k] for k in keys], dtype=np.int64)
+    summed = _allgather_array(local).sum(axis=0)
+    return {k: int(v) for k, v in zip(keys, summed)}
+
+
+def gather_bytes(runtime: MultihostRuntime, payload: bytes) -> List[bytes]:
+    """All-gather one variable-length byte string per process.
+
+    Two DCN collectives: lengths first, then the max-length-padded
+    payloads (process_allgather requires equal shapes per process).
+    """
+    if not runtime.active:
+        return [payload]
+    lengths = _allgather_array(np.asarray([len(payload)], np.int64))[:, 0]
+    width = max(1, int(lengths.max()))
+    buf = np.zeros(width, np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+    stacked = _allgather_array(buf)
+    return [
+        stacked[p, : int(lengths[p])].tobytes()
+        for p in range(runtime.process_count)
+    ]
+
+
+def gather_objects(runtime: MultihostRuntime, items: Sequence) -> List:
+    """All-gather per-process object lists (pickled over DCN) and return
+    the concatenation in process order — the driver-collect analog.
+    Every process receives the full merged list."""
+    if not runtime.active:
+        return list(items)
+    merged: List = []
+    for blob in gather_bytes(runtime, pickle.dumps(list(items), protocol=4)):
+        merged.extend(pickle.loads(blob))
+    return merged
+
+
+def barrier(runtime: MultihostRuntime, name: str) -> None:
+    if not runtime.active:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
