@@ -1,11 +1,24 @@
-"""Kernel dispatch: fused Pallas kernels on TPU, XLA (jnp) elsewhere.
+"""Kernel dispatch: which implementation runs each production screen.
 
-The interpreted Pallas path is only for correctness tests; production CPU
-runs use the XLA kernels directly.
+Two independent axes:
+
+ - ENCODING (what crosses the host->device link): the compact CSR nibble /
+   uint16 ll_pack encodings by default (4-16x less H2D than full [L, D]
+   tensors); full per-element tensors only when GUAC_USE_PALLAS=1 forces
+   the fused dense kernel (a bench/expert switch).
+ - IMPLEMENTATION (what executes on device): kernel_path() — the Pallas
+   forms of the compact-encoding screens on TPU with a host-local link
+   (fused VMEM kernels, same H2D bytes), the XLA forms otherwise. The
+   choice is a one-time measured H2D probe, not an env default; see
+   docs/SPEED_OF_LIGHT.md for the roofline and the measured crossover.
+
+The interpreted Pallas path is only for correctness tests.
 """
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -20,22 +33,61 @@ def on_tpu() -> bool:
 
 
 def use_pallas() -> bool:
-    """Use the fused Pallas kernels for caller screening.
+    """Force the fused DENSE Pallas kernel (full [L, D] tensors on device;
+    tiles pack with fields='full'). GUAC_USE_PALLAS=1 only — a bench /
+    expert switch for deployments where tiles are already device-resident.
+    The production default ships compact encodings and picks their
+    implementation via kernel_path()."""
+    return os.environ.get("GUAC_USE_PALLAS", "") == "1" and on_tpu()
 
-    Controlled by GUAC_USE_PALLAS: "1" forces Pallas (on TPU), "0" forces
-    XLA. Default is OFF: the Pallas path consumes full per-element [L, D]
-    tensors, while the default XLA path ships the compact CSR/packed
-    encodings (4-16x less H2D traffic), which dominates end-to-end on any
-    transfer-bound link. The fused kernel itself is validated on real TPU
-    hardware (bit-equal counts/candidates vs the XLA kernel; ~2.6 s Mosaic
-    compile, ~14.5G pileup-elements/s steady state on v5e) — set
-    GUAC_USE_PALLAS=1 on compute-bound deployments where tiles are already
-    resident or packed densely.
-    """
-    import os
 
-    setting = os.environ.get("GUAC_USE_PALLAS", "0")
-    return setting == "1" and on_tpu()
+@functools.lru_cache(maxsize=None)
+def device_link_is_local() -> bool:
+    """One-time H2D probe: is the default device attached by a host-local
+    link (PCIe/DMA — sub-millisecond for 1 MiB) or a remote tunnel (tens
+    of ms per round trip)? GUAC_ASSUME_LOCAL_LINK=1/0 overrides (useful
+    for tests and for launchers that already know the topology)."""
+    override = os.environ.get("GUAC_ASSUME_LOCAL_LINK", "")
+    if override in ("0", "1"):
+        return override == "1"
+    import time
+
+    try:
+        dev = jax.devices()[0]
+        buf = np.zeros(1 << 20, np.uint8)
+        jax.device_put(buf, dev).block_until_ready()  # warm the path
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_put(buf, dev).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+    except Exception:
+        return False
+    return best < 0.004  # 1 MiB under 4 ms ~ local DMA; tunnels are >10x
+
+
+@functools.lru_cache(maxsize=None)
+def kernel_path() -> str:
+    """'pallas' or 'xla': the implementation of the compact-encoding
+    production screens (CSR counting, germline/tumor likelihood).
+
+    Resolution order: GUAC_KERNEL_PATH=pallas|xla explicit override;
+    GUAC_USE_PALLAS=1/0 implies pallas/xla (compat); otherwise the
+    measured default — Pallas on TPU when the device link is host-local
+    (the fused VMEM kernels win once transfers don't dominate), XLA
+    elsewhere (CPU, or a transfer-bound tunneled device where kernel
+    choice is irrelevant and XLA avoids the Mosaic compile)."""
+    env = os.environ.get("GUAC_KERNEL_PATH", "")
+    if env in ("pallas", "xla"):
+        return env
+    legacy = os.environ.get("GUAC_USE_PALLAS", "")
+    if legacy == "1":
+        return "pallas"
+    if legacy == "0":
+        return "xla"
+    if not on_tpu():
+        return "xla"
+    return "pallas" if device_link_is_local() else "xla"
 
 
 def fetch_arrays(*arrays):
@@ -285,17 +337,33 @@ def ll_mapq_of(tile, min_mapq: int = 0) -> np.ndarray:
 def germline_screen_launch(
     tile, min_mapq: int = 0, margin: float = 0.5
 ) -> PendingCandidates:
-    """Dispatch the genotype-likelihood candidate screen for one tile.
+    """Dispatch the genotype-likelihood candidate screen for one tile
+    (Pallas or XLA form per kernel_path(); identical semantics).
 
     Note: when the tile was packed with fields="likelihood", its allele
     tables are already MAPQ-filtered natively; the min_mapq here only
     applies to Python-packed full tiles.
     """
+    ll_pack = ll_pack_of(tile, min_mapq)
+    if kernel_path() == "pallas":
+        from guacamole_tpu.ops.pallas_kernels import pallas_likelihood_screen
+
+        return PendingCandidates(
+            pallas_likelihood_screen(
+                ll_pack,
+                None,
+                np.asarray(tile.is_variant),
+                np.asarray(tile.is_standard_alt),
+                tile.K,
+                margin=margin,
+                interpret=not on_tpu(),
+            )
+        )
     from guacamole_tpu.ops.kernels import germline_likelihood_screen
 
     return PendingCandidates(
         germline_likelihood_screen(
-            ll_pack_of(tile, min_mapq),
+            ll_pack,
             np.asarray(tile.is_variant),
             np.asarray(tile.is_standard_alt),
             tile.K,
@@ -308,15 +376,31 @@ def tumor_screen_launch(
     tile, min_mapq: int = 0, margin: float = 0.5
 ) -> PendingCandidates:
     """Dispatch the alignment-included tumor likelihood screen for one
-    tile packed with fields="likelihood_mapq"."""
-    from guacamole_tpu.ops.kernels import tumor_likelihood_screen
-
+    tile packed with fields="likelihood_mapq" (Pallas or XLA form per
+    kernel_path(); identical semantics)."""
     packed_min = getattr(tile, "ll_min_mapq", None) or 0
     if packed_min != min_mapq:
         raise ValueError(
             "tile was likelihood-packed with min_mapq=%d but the screen "
             "requested min_mapq=%d" % (packed_min, min_mapq)
         )
+    if kernel_path() == "pallas":
+        from guacamole_tpu.ops.pallas_kernels import pallas_likelihood_screen
+
+        return PendingCandidates(
+            pallas_likelihood_screen(
+                np.asarray(tile.ll_pack),
+                np.asarray(tile.ll_mapq),
+                np.asarray(tile.is_variant),
+                np.asarray(tile.is_standard_alt),
+                tile.K,
+                margin=margin,
+                include_alignment=True,
+                interpret=not on_tpu(),
+            )
+        )
+    from guacamole_tpu.ops.kernels import tumor_likelihood_screen
+
     return PendingCandidates(
         tumor_likelihood_screen(
             tile.ll_pack,
@@ -336,14 +420,25 @@ def screen_csr_launch(
     max_alleles: int,
     threshold_percent=None,
 ) -> PendingScreen:
-    """Dispatch the CSR counting screen (native screen-mode tiles)."""
-    from guacamole_tpu.ops.kernels import tile_stats_csr
-
+    """Dispatch the CSR counting screen (native screen-mode tiles):
+    Pallas or XLA form per kernel_path(), bit-identical outputs."""
     pad = _bucket_bytes(len(csr_nib)) - len(csr_nib)
     if pad:
         csr_nib = np.concatenate(
             [csr_nib, np.full(pad, 0xFF, np.uint8)]
         )
+    if kernel_path() == "pallas":
+        from guacamole_tpu.ops.pallas_kernels import pallas_csr_screen
+
+        return _as_pending(
+            pallas_csr_screen(
+                csr_nib, row_off, is_variant, max_alleles,
+                threshold_percent=threshold_percent,
+                interpret=not on_tpu(),
+            )
+        )
+    from guacamole_tpu.ops.kernels import tile_stats_csr
+
     return _as_pending(
         tile_stats_csr(
             csr_nib, row_off, is_variant, max_alleles,

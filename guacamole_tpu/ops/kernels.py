@@ -133,19 +133,32 @@ def tile_stats_nibble(
     counts = jnp.sum(
         lo[:, :, None] == k_range, axis=1, dtype=jnp.int32
     ) + jnp.sum(hi[:, :, None] == k_range, axis=1, dtype=jnp.int32)
-    if threshold_percent is None:
-        candidates = jnp.any((counts > 0) & is_variant, axis=1)
-    else:
-        depth = jnp.sum(lo != jnp.uint8(0xF), axis=1, dtype=jnp.int32) + jnp.sum(
-            hi != jnp.uint8(0xF), axis=1, dtype=jnp.int32
-        )
-        passing = (counts > 0) & (
-            counts * 100 >= depth[:, None] * (threshold_percent + 1)
-        )
-        candidates = jnp.any(passing & is_variant, axis=1) | (
-            jnp.sum(passing & ~is_variant, axis=1) >= 2
-        )
+    depth = jnp.sum(lo != jnp.uint8(0xF), axis=1, dtype=jnp.int32) + jnp.sum(
+        hi != jnp.uint8(0xF), axis=1, dtype=jnp.int32
+    )
+    candidates = counts_candidates(counts, depth, is_variant, threshold_percent)
     return PackedScreen(counts, candidates)
+
+
+def counts_candidates(counts, depth, is_variant, threshold_percent):
+    """THE candidate rule, shared by every counting screen (XLA nibble/CSR,
+    Pallas CSR, dense tile_stats, and the mesh per-shard bodies).
+
+    Without a threshold, a locus is a candidate if any variant allele has
+    evidence. With threshold_percent, the exact germline-threshold passing
+    rule (count * 100 // depth > threshold, rewritten division-free as
+    count * 100 >= depth * (threshold + 1) for positive counts):
+    candidates are loci where a variant allele passes — or where two
+    reference alleles pass (the mixed-N corner that classify_locus must
+    still see, GermlineThresholdCaller.scala:155-175)."""
+    if threshold_percent is None:
+        return jnp.any((counts > 0) & is_variant, axis=1)
+    passing = (counts > 0) & (
+        counts * 100 >= depth[:, None] * (threshold_percent + 1)
+    )
+    return jnp.any(passing & is_variant, axis=1) | (
+        jnp.sum(passing & ~is_variant, axis=1) >= 2
+    )
 
 
 def csr_screen_math(
@@ -170,16 +183,9 @@ def csr_screen_math(
         axis=0,
     )  # [B+1, K]
     counts = prefix[row_off[1:]] - prefix[row_off[:-1]]  # [L, K]
-    if threshold_percent is None:
-        candidates = jnp.any((counts > 0) & is_variant, axis=1)
-    else:
-        depth = jnp.sum(counts, axis=1)
-        passing = (counts > 0) & (
-            counts * 100 >= depth[:, None] * (threshold_percent + 1)
-        )
-        candidates = jnp.any(passing & is_variant, axis=1) | (
-            jnp.sum(passing & ~is_variant, axis=1) >= 2
-        )
+    candidates = counts_candidates(
+        counts, jnp.sum(counts, axis=1), is_variant, threshold_percent
+    )
     return counts, candidates
 
 
@@ -431,13 +437,7 @@ def tile_stats(
     counts, fwd = allele_counts(allele_id, strand, valid, max_alleles)
     depth = jnp.sum(valid, axis=1, dtype=jnp.int32)
     forward_depth = jnp.sum(valid & strand, axis=1, dtype=jnp.int32)
-    if threshold_percent is None:
-        variant_evidence = jnp.any((counts > 0) & is_variant, axis=1)
-    else:
-        passing = (counts > 0) & (
-            counts * 100 >= depth[:, None] * (threshold_percent + 1)
-        )
-        variant_evidence = jnp.any(passing & is_variant, axis=1) | (
-            jnp.sum(passing & ~is_variant, axis=1) >= 2
-        )
+    variant_evidence = counts_candidates(
+        counts, depth, is_variant, threshold_percent
+    )
     return TileStats(counts, fwd, depth, forward_depth, variant_evidence)

@@ -232,3 +232,209 @@ def tile_stats_ll(
         include_alignment=include_alignment,
         interpret=not _is_tpu(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pallas forms of the production compact-encoding screens (the kernels the
+# CLI callers actually dispatch): the CSR counting screen and the two
+# likelihood candidate screens. Inputs are the same minimal host encodings
+# as the XLA forms (CSR nibble blob / uint16 ll_pack), so choosing Pallas
+# costs nothing in H2D transfer; semantics are pinned bit-equal to the XLA
+# kernels by tests/test_pallas_kernels.py (interpret mode).
+# ---------------------------------------------------------------------------
+
+
+def _csr_prefix_kernel(bytes_ref, out_ref, carry_ref, *, max_alleles):
+    """Blockwise inclusive one-hot prefix sum over the CSR nibble blob.
+
+    TPU grid steps run sequentially, so the running total is carried in a
+    VMEM scratch accumulator across blocks — one HBM read of the blob, one
+    write of the prefix."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    b = bytes_ref[0, :]  # [BB] int32 byte values
+    lo = b & 0xF
+    hi = (b >> 4) & 0xF
+    k_range = jnp.arange(max_alleles, dtype=jnp.int32)
+    one_hot = (lo[:, None] == k_range).astype(jnp.int32) + (
+        hi[:, None] == k_range
+    ).astype(jnp.int32)  # [BB, K]
+    prefix = jnp.cumsum(one_hot, axis=0) + carry_ref[0, :][None, :]
+    out_ref[...] = prefix
+    carry_ref[0, :] = prefix[-1, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_alleles", "threshold_percent", "interpret", "block_b"),
+)
+def pallas_csr_screen(
+    packed: jnp.ndarray,  # [B] uint8 nibble pairs, rows byte-aligned
+    row_off: jnp.ndarray,  # [L+1] int32 byte offsets per row
+    is_variant: jnp.ndarray,  # [L, K] bool
+    max_alleles: int,
+    threshold_percent=None,
+    interpret: bool = False,
+    block_b: int = 2048,
+):
+    """Pallas CSR counting screen: same contract as kernels.tile_stats_csr
+    (int16 counts + bool candidates), same CSR nibble H2D encoding.
+
+    The per-byte one-hot prefix sum runs as a sequential-grid Pallas
+    kernel with a VMEM carry; the row difference at row_off (a gather —
+    pure memory layout, which XLA lowers well) and the shared candidate
+    rule stay in XLA. Bit-equal to the XLA form: counts are integers and
+    the candidate rule is the shared counts_candidates."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from guacamole_tpu.ops.kernels import PackedScreen, counts_candidates
+
+    B = packed.shape[0]
+    nb = max(1, -(-B // block_b))
+    blob = jnp.full(nb * block_b, 0xFF, jnp.int32)
+    blob = blob.at[:B].set(packed.astype(jnp.int32)).reshape(nb, block_b)
+    prefix = pl.pallas_call(
+        functools.partial(_csr_prefix_kernel, max_alleles=max_alleles),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, block_b), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((block_b, max_alleles), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb * block_b, max_alleles), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, max_alleles), jnp.int32)],
+        interpret=interpret,
+    )(blob)
+    # Exclusive prefix at byte b is the inclusive prefix through b-1.
+    excl = jnp.concatenate(
+        [jnp.zeros((1, max_alleles), jnp.int32), prefix], axis=0
+    )
+    counts = excl[row_off[1:]] - excl[row_off[:-1]]  # [L, K]
+    candidates = counts_candidates(
+        counts, jnp.sum(counts, axis=1), is_variant, threshold_percent
+    )
+    return PackedScreen(counts.astype(jnp.int16), candidates)
+
+
+def _ll_screen_kernel(
+    pack_ref,      # [TL, D] int32 (uint16 ll_pack widened)
+    mapq_ref,      # [TL, D] f32 (zeros when not include_alignment)
+    variant_ref,   # [TL, K] f32
+    standard_ref,  # [TL, K] f32
+    cand_ref,      # [TL, 1] i32 out
+    *,
+    max_alleles: int,
+    margin: float,
+    include_alignment: bool,
+):
+    """Fused likelihood candidate screen over the uint16 ll_pack encoding.
+
+    Same factored math as kernels.germline_screen_math /
+    tumor_screen_math (per-allele sums C/G of the m=0 / m=2 log terms;
+    the all-elements term cancels from the variant-vs-reference argmax
+    comparison), entirely in VMEM: one HBM read of the packed tile, one
+    [TL, 1] candidate write.
+    """
+    pack = pack_ref[:]
+    valid = pack != 0xFFFF
+    aid = pack & 0xF
+    q = (pack >> 4).astype(jnp.float32)
+    err = jnp.power(10.0, q / -10.0)
+    if include_alignment:
+        err_m = jnp.power(10.0, mapq_ref[:] / -10.0)
+        pc = (1.0 - err) * (1.0 - err_m)
+        one_minus_pc = err + err_m - err * err_m  # stable complement
+        x = jnp.log(2.0 * one_minus_pc)  # m=0 term
+        y = jnp.log(2.0 * pc)  # m=2 term
+    else:
+        x = jnp.log(2.0 * err)
+        y = jnp.log(2.0 - 2.0 * err)
+
+    c_cols, g_cols = [], []
+    for k in range(max_alleles):
+        hit = (aid == k) & valid
+        c_cols.append(jnp.sum(jnp.where(hit, x, 0.0), axis=1))  # [TL]
+        g_cols.append(jnp.sum(jnp.where(hit, y, 0.0), axis=1))
+
+    i_idx, j_idx = genotype_pairs(max_alleles)
+    neg_inf = jnp.float32(-jnp.inf)
+    shape = c_cols[0].shape
+    best_variant = jnp.full(shape, neg_inf)
+    best_ref = jnp.full(shape, neg_inf)
+    variant = variant_ref[:] > 0
+    standard = standard_ref[:] > 0
+    for p in range(len(i_idx)):
+        i, j = int(i_idx[p]), int(j_idx[p])
+        score = -c_cols[i] + (g_cols[i] if i == j else -c_cols[j])
+        pair_exists = standard[:, i] & standard[:, j]
+        pair_variant = variant[:, i] | variant[:, j]
+        best_variant = jnp.maximum(
+            best_variant,
+            jnp.where(pair_exists & pair_variant, score, neg_inf),
+        )
+        best_ref = jnp.maximum(
+            best_ref,
+            jnp.where(pair_exists & ~pair_variant, score, neg_inf),
+        )
+    cand = (best_variant >= best_ref - margin) & jnp.any(valid, axis=1)
+    cand_ref[:] = cand.astype(jnp.int32)[:, None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_alleles", "margin", "include_alignment", "interpret", "block_l",
+    ),
+)
+def pallas_likelihood_screen(
+    ll_pack: jnp.ndarray,  # [L, D] uint16: allele_id | qual << 4
+    ll_mapq,  # [L, D] uint8 per-element MAPQ, or None (germline form)
+    is_variant: jnp.ndarray,  # [L, K] bool
+    is_standard_alt: jnp.ndarray,  # [L, K] bool
+    max_alleles: int,
+    margin: float = 0.5,
+    include_alignment: bool = False,
+    interpret: bool = False,
+    block_l: int = 256,
+) -> jnp.ndarray:
+    """Pallas form of germline_likelihood_screen / tumor_likelihood_screen:
+    [L] bool candidate mask, same ll_pack H2D encoding and same semantics
+    (pinned bit-equal in interpret mode by tests)."""
+    from jax.experimental import pallas as pl
+
+    L, D = ll_pack.shape
+    K = max_alleles
+    if L % block_l != 0:
+        block_l = int(np.gcd(L, block_l)) or 1
+    pack32 = ll_pack.astype(jnp.int32)
+    mapq_f = (
+        ll_mapq.astype(jnp.float32)
+        if include_alignment
+        else jnp.zeros((L, D), jnp.float32)
+    )
+    grid = (L // block_l,)
+    spec_ld = pl.BlockSpec((block_l, D), lambda i: (i, 0))
+    spec_lk = pl.BlockSpec((block_l, K), lambda i: (i, 0))
+    cand = pl.pallas_call(
+        functools.partial(
+            _ll_screen_kernel,
+            max_alleles=max_alleles,
+            margin=margin,
+            include_alignment=include_alignment,
+        ),
+        grid=grid,
+        in_specs=[spec_ld, spec_ld, spec_lk, spec_lk],
+        out_specs=pl.BlockSpec((block_l, 1), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((L, 1), jnp.int32),
+        interpret=interpret,
+    )(
+        pack32,
+        mapq_f,
+        is_variant.astype(jnp.float32),
+        is_standard_alt.astype(jnp.float32),
+    )
+    return cand[:, 0].astype(bool)

@@ -66,14 +66,30 @@ class MeshCsrOutput(NamedTuple):
 @functools.lru_cache(maxsize=None)
 def _mesh_csr_step(mesh: Mesh, max_alleles: int, threshold_percent):
     """shard_map'd CSR counting screen: each device screens its own tile
-    (packed[s], row_off[s], is_variant[s]); global counters psum over ICI."""
+    (packed[s], row_off[s], is_variant[s]); global counters psum over ICI.
+    The per-shard body is the Pallas CSR kernel when kernel_path() picks
+    it, else the shared XLA math — identical outputs either way."""
+    from guacamole_tpu.ops.dispatch import kernel_path, on_tpu
+
+    use_pallas_impl = kernel_path() == "pallas"
     spec = P("loci")
 
     def per_shard(packed, row_off, is_variant):
-        counts, candidates = csr_screen_math(
-            packed[0], row_off[0], is_variant[0], max_alleles,
-            threshold_percent,
-        )
+        if use_pallas_impl:
+            from guacamole_tpu.ops.pallas_kernels import pallas_csr_screen
+
+            screen = pallas_csr_screen(
+                packed[0], row_off[0], is_variant[0], max_alleles,
+                threshold_percent=threshold_percent,
+                interpret=not on_tpu(),
+            )
+            counts = screen.counts.astype(jnp.int32)
+            candidates = screen.candidates
+        else:
+            counts, candidates = csr_screen_math(
+                packed[0], row_off[0], is_variant[0], max_alleles,
+                threshold_percent,
+            )
         total_elements = jax.lax.psum(
             jnp.sum(counts, dtype=jnp.int32), axis_name="loci"
         )
@@ -95,6 +111,10 @@ def _mesh_csr_step(mesh: Mesh, max_alleles: int, threshold_percent):
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=(spec, spec, P(), P()),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation;
+        # the per-shard body is axis-local (only the psum'd counters
+        # communicate), so skipping the vma check is sound.
+        check_vma=False,
     )
     return jax.jit(lambda p, r, v: MeshCsrOutput(*sharded(p, r, v)))
 
@@ -103,16 +123,33 @@ def _mesh_csr_step(mesh: Mesh, max_alleles: int, threshold_percent):
 def _mesh_ll_step(mesh: Mesh, max_alleles: int, margin: float,
                   include_alignment: bool):
     """shard_map'd genotype-likelihood candidate screen (germline form, or
-    the alignment-included tumor form when include_alignment)."""
+    the alignment-included tumor form when include_alignment). Per-shard
+    body is the Pallas form when kernel_path() picks it, else the shared
+    XLA math — identical flag sets either way."""
+    from guacamole_tpu.ops.dispatch import kernel_path, on_tpu
+
+    use_pallas_impl = kernel_path() == "pallas"
+    interpret = not on_tpu()
     spec = P("loci")
 
     if include_alignment:
 
         def per_shard(ll_pack, ll_mapq, is_variant, is_standard_alt):
-            cand = tumor_screen_math(
-                ll_pack[0], ll_mapq[0], is_variant[0], is_standard_alt[0],
-                max_alleles, margin,
-            )
+            if use_pallas_impl:
+                from guacamole_tpu.ops.pallas_kernels import (
+                    pallas_likelihood_screen,
+                )
+
+                cand = pallas_likelihood_screen(
+                    ll_pack[0], ll_mapq[0], is_variant[0],
+                    is_standard_alt[0], max_alleles, margin=margin,
+                    include_alignment=True, interpret=interpret,
+                )
+            else:
+                cand = tumor_screen_math(
+                    ll_pack[0], ll_mapq[0], is_variant[0],
+                    is_standard_alt[0], max_alleles, margin,
+                )
             total = jax.lax.psum(
                 jnp.sum(cand, dtype=jnp.int32), axis_name="loci"
             )
@@ -123,14 +160,25 @@ def _mesh_ll_step(mesh: Mesh, max_alleles: int, margin: float,
             mesh=mesh,
             in_specs=(spec, spec, spec, spec),
             out_specs=(spec, P()),
+            check_vma=False,  # see _mesh_csr_step
         )
         return jax.jit(sharded)
 
     def per_shard(ll_pack, is_variant, is_standard_alt):
-        cand = germline_screen_math(
-            ll_pack[0], is_variant[0], is_standard_alt[0], max_alleles,
-            margin,
-        )
+        if use_pallas_impl:
+            from guacamole_tpu.ops.pallas_kernels import (
+                pallas_likelihood_screen,
+            )
+
+            cand = pallas_likelihood_screen(
+                ll_pack[0], None, is_variant[0], is_standard_alt[0],
+                max_alleles, margin=margin, interpret=interpret,
+            )
+        else:
+            cand = germline_screen_math(
+                ll_pack[0], is_variant[0], is_standard_alt[0], max_alleles,
+                margin,
+            )
         total = jax.lax.psum(jnp.sum(cand, dtype=jnp.int32), axis_name="loci")
         return cand[None], total
 
@@ -139,6 +187,7 @@ def _mesh_ll_step(mesh: Mesh, max_alleles: int, margin: float,
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=(spec, P()),
+        check_vma=False,  # see _mesh_csr_step
     )
     return jax.jit(sharded)
 

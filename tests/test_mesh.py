@@ -117,3 +117,45 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out[0].shape == (128, 8)
     graft.dryrun_multichip(8)
+
+
+def test_mesh_csr_step_pallas_impl_matches_xla(chrm_tiles, monkeypatch):
+    """With kernel_path forced to pallas, the shard_map'd CSR screen (the
+    production mesh step) must produce identical counts/candidates — the
+    Pallas kernel composes with shard_map (interpret mode on the CPU
+    mesh)."""
+    from guacamole_tpu.ops import dispatch
+    from guacamole_tpu.parallel import mesh as mesh_mod
+
+    mesh = loci_mesh(jax.devices()[:8])
+    tiles = chrm_tiles
+
+    def run():
+        items = list(
+            mesh_mod.mesh_csr_screens(
+                [(t,) for t in tiles], tile_of=lambda it: it[0], mesh=mesh,
+                threshold_percent=8,
+            )
+        )
+        out = {}
+        for i, ((t,), pending) in enumerate(items):
+            res = pending.result()
+            out[i] = (np.asarray(res.counts), np.asarray(res.candidates))
+        return out
+
+    def reset():
+        dispatch.kernel_path.cache_clear()
+        dispatch.device_link_is_local.cache_clear()
+        mesh_mod._mesh_csr_step.cache_clear()
+
+    reset()
+    monkeypatch.setenv("GUAC_KERNEL_PATH", "xla")
+    ref = run()
+    reset()
+    monkeypatch.setenv("GUAC_KERNEL_PATH", "pallas")
+    got = run()
+    reset()
+    assert ref.keys() == got.keys() and len(ref) == len(tiles)
+    for i in ref:
+        np.testing.assert_array_equal(got[i][0], ref[i][0])
+        np.testing.assert_array_equal(got[i][1], ref[i][1])

@@ -311,6 +311,173 @@ def test_likelihood_screen_superset_of_f64_argmax(seed, include_alignment):
             assert got[li], f"screen missed f64-argmax-variant locus {li}"
 
 
+@pytest.mark.parametrize("threshold_percent", [None, 8, 50])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_csr_screen_bit_equals_xla(seed, threshold_percent):
+    """The Pallas CSR counting screen (production TPU path) must be
+    bit-identical to the XLA form on the same CSR encoding."""
+    from guacamole_tpu.ops.kernels import tile_stats_csr
+    from guacamole_tpu.ops.pallas_kernels import pallas_csr_screen
+
+    K = 8
+    aid, _q, _m, _s, valid, is_variant = random_tile(L=64, D=17, K=K, seed=seed)
+    depth = valid.sum(axis=1)
+    packed, row_off = _csr_encode(aid, valid, depth)
+    ref = tile_stats_csr(
+        packed, row_off, is_variant, K, threshold_percent=threshold_percent
+    )
+    got = pallas_csr_screen(
+        packed, row_off, is_variant, K,
+        threshold_percent=threshold_percent, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got.counts), np.asarray(ref.counts))
+    np.testing.assert_array_equal(
+        np.asarray(got.candidates), np.asarray(ref.candidates)
+    )
+
+
+def test_pallas_csr_screen_multi_block_carry():
+    """Rows spanning Pallas block boundaries must count correctly (the
+    VMEM carry across sequential grid steps)."""
+    from guacamole_tpu.ops.kernels import tile_stats_csr
+    from guacamole_tpu.ops.pallas_kernels import pallas_csr_screen
+
+    K = 8
+    rng = np.random.RandomState(11)
+    # One very deep row so its bytes straddle several 64-byte blocks.
+    L, D = 16, 400
+    depth = rng.randint(0, 12, size=L)
+    depth[5] = 397
+    valid = np.arange(D)[None, :] < depth[:, None]
+    aid = np.where(valid, rng.randint(0, K, size=(L, D)), -1)
+    is_variant = rng.rand(L, K) < 0.4
+    packed, row_off = _csr_encode(aid, valid, depth)
+    ref = tile_stats_csr(packed, row_off, is_variant, K)
+    got = pallas_csr_screen(
+        packed, row_off, is_variant, K, interpret=True, block_b=64
+    )
+    np.testing.assert_array_equal(np.asarray(got.counts), np.asarray(ref.counts))
+    np.testing.assert_array_equal(
+        np.asarray(got.candidates), np.asarray(ref.candidates)
+    )
+
+
+def _ll_fixture(seed, L=64, D=24, K=8):
+    rng = np.random.RandomState(seed)
+    depth = rng.randint(0, D + 1, size=L)
+    valid = np.arange(D)[None, :] < depth[:, None]
+    aid = np.where(valid, rng.randint(0, 4, size=(L, D)), -1)
+    qual = np.where(valid, rng.choice([0, 2, 20, 41, 70, 93], size=(L, D)), 0)
+    mapq = np.where(valid, rng.choice([0, 10, 37, 60, 254], size=(L, D)), 0)
+    is_variant = np.zeros((L, K), bool)
+    is_variant[:, 1:4] = True
+    is_standard = np.zeros((L, K), bool)
+    is_standard[:, :4] = True
+    ll_pack = np.where(
+        valid, (aid & 0xF) | (qual.astype(np.uint16) << 4), 0xFFFF
+    ).astype(np.uint16)
+    return ll_pack, mapq.astype(np.uint8), is_variant, is_standard
+
+
+@pytest.mark.parametrize("include_alignment", [False, True])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pallas_likelihood_screen_bit_equals_xla(seed, include_alignment):
+    """The Pallas likelihood screens (germline and tumor forms) must be
+    bit-identical to the XLA kernels on the same ll_pack encoding."""
+    from guacamole_tpu.ops.kernels import (
+        germline_likelihood_screen,
+        tumor_likelihood_screen,
+    )
+    from guacamole_tpu.ops.pallas_kernels import pallas_likelihood_screen
+
+    K = 8
+    ll_pack, mapq, is_variant, is_standard = _ll_fixture(seed, K=K)
+    if include_alignment:
+        ref = tumor_likelihood_screen(ll_pack, mapq, is_variant, is_standard, K)
+    else:
+        ref = germline_likelihood_screen(ll_pack, is_variant, is_standard, K)
+    got = pallas_likelihood_screen(
+        ll_pack,
+        mapq if include_alignment else None,
+        is_variant,
+        is_standard,
+        K,
+        include_alignment=include_alignment,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+class TestKernelPath:
+    """kernel_path() resolution: explicit overrides beat the probe; the
+    launch wrappers dispatch the Pallas forms when selected."""
+
+    def _reset(self):
+        from guacamole_tpu.ops import dispatch
+
+        dispatch.kernel_path.cache_clear()
+        dispatch.device_link_is_local.cache_clear()
+
+    def test_env_overrides(self, monkeypatch):
+        from guacamole_tpu.ops.dispatch import kernel_path
+
+        self._reset()
+        monkeypatch.setenv("GUAC_KERNEL_PATH", "pallas")
+        assert kernel_path() == "pallas"
+        self._reset()
+        monkeypatch.setenv("GUAC_KERNEL_PATH", "xla")
+        assert kernel_path() == "xla"
+        self._reset()
+        monkeypatch.delenv("GUAC_KERNEL_PATH", raising=False)
+        monkeypatch.setenv("GUAC_USE_PALLAS", "1")
+        assert kernel_path() == "pallas"
+        self._reset()
+        monkeypatch.setenv("GUAC_USE_PALLAS", "0")
+        assert kernel_path() == "xla"
+        self._reset()
+        monkeypatch.delenv("GUAC_USE_PALLAS", raising=False)
+        assert kernel_path() == "xla"  # CPU in tests
+        self._reset()
+
+    def test_link_probe_override(self, monkeypatch):
+        from guacamole_tpu.ops.dispatch import device_link_is_local
+
+        self._reset()
+        monkeypatch.setenv("GUAC_ASSUME_LOCAL_LINK", "1")
+        assert device_link_is_local()
+        self._reset()
+        monkeypatch.setenv("GUAC_ASSUME_LOCAL_LINK", "0")
+        assert not device_link_is_local()
+        self._reset()
+
+    def test_launches_dispatch_pallas(self, monkeypatch):
+        """With kernel_path forced to pallas (interpret on CPU), the CSR
+        and likelihood launch wrappers must produce outputs identical to
+        the XLA path."""
+        from guacamole_tpu.ops import dispatch
+
+        K = 8
+        aid, _q, _m, _s, valid, is_variant = random_tile(
+            L=32, D=12, K=K, seed=4
+        )
+        depth = valid.sum(axis=1)
+        packed, row_off = _csr_encode(aid, valid, depth)
+
+        self._reset()
+        monkeypatch.setenv("GUAC_KERNEL_PATH", "xla")
+        ref = dispatch.screen_csr_launch(
+            packed, row_off, is_variant, K, threshold_percent=8
+        ).result()
+        self._reset()
+        monkeypatch.setenv("GUAC_KERNEL_PATH", "pallas")
+        got = dispatch.screen_csr_launch(
+            packed, row_off, is_variant, K, threshold_percent=8
+        ).result()
+        self._reset()
+        np.testing.assert_array_equal(got.counts, ref.counts)
+        np.testing.assert_array_equal(got.candidates, ref.candidates)
+
+
 class TestPrefetchIter:
     """prefetch_iter: background-thread tile production semantics."""
 
