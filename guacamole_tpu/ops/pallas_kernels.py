@@ -244,30 +244,62 @@ def tile_stats_ll(
 # ---------------------------------------------------------------------------
 
 
-def _csr_prefix_kernel(bytes_ref, out_ref, carry_ref, *, max_alleles):
+def _lane_cumsum(x, interpret: bool):
+    """Inclusive integer cumsum along the lane axis via log-step
+    roll+mask adds (Mosaic has no cumsum lowering; this is the classic
+    Hillis-Steele scan, exact for int32). Circular pltpu.roll with an
+    iota mask avoids vector concatenation, which Mosaic's layout engine
+    rejects for partially-offset operands."""
+    n = x.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    shift = 1
+    while shift < n:
+        if interpret:
+            rolled = jnp.roll(x, shift, axis=1)
+        else:
+            from jax.experimental.pallas import tpu as pltpu
+
+            rolled = pltpu.roll(x, shift, 1)
+        x = x + jnp.where(idx >= shift, rolled, 0)
+        shift *= 2
+    return x
+
+
+def _csr_prefix_kernel(
+    bytes_ref, *out_and_carry, max_alleles, block_b, interpret
+):
     """Blockwise inclusive one-hot prefix sum over the CSR nibble blob.
 
-    TPU grid steps run sequentially, so the running total is carried in a
-    VMEM scratch accumulator across blocks — one HBM read of the blob, one
-    write of the prefix."""
+    Each grid step owns an [8, BB] slab of bytes (row-major byte order);
+    the per-allele prefix within the slab is a lane cumsum plus a row
+    base threaded through the 8 rows (unrolled — static stores per row,
+    no sublane scan). TPU grid steps run sequentially, so the running
+    total is carried in a VMEM scratch accumulator across slabs — one
+    HBM read of the blob, one write per allele plane of the prefix."""
     from jax.experimental import pallas as pl
 
+    *out_refs, carry_ref = out_and_carry
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
-    b = bytes_ref[0, :]  # [BB] int32 byte values
+    b = bytes_ref[...]  # [8, BB] int32 byte values
     lo = b & 0xF
     hi = (b >> 4) & 0xF
-    k_range = jnp.arange(max_alleles, dtype=jnp.int32)
-    one_hot = (lo[:, None] == k_range).astype(jnp.int32) + (
-        hi[:, None] == k_range
-    ).astype(jnp.int32)  # [BB, K]
-    prefix = jnp.cumsum(one_hot, axis=0) + carry_ref[0, :][None, :]
-    out_ref[...] = prefix
-    carry_ref[0, :] = prefix[-1, :]
+    for k in range(max_alleles):
+        one_hot = (lo == k).astype(jnp.int32) + (hi == k).astype(jnp.int32)
+        lane_csum = _lane_cumsum(one_hot, interpret)  # within each slab row
+        # Thread the running base through the 8 slab rows; static slices
+        # only (scalar indexing lowers to dynamic_slice, which Mosaic
+        # does not implement).
+        base = carry_ref[0:1, k : k + 1]  # [1, 1]
+        for r in range(8):
+            row_prefix = lane_csum[r : r + 1, :] + base  # [1, BB]
+            out_refs[k][r : r + 1, :] = row_prefix
+            base = row_prefix[:, block_b - 1 : block_b]
+        carry_ref[0:1, k : k + 1] = base
 
 
 @functools.partial(
@@ -287,33 +319,48 @@ def pallas_csr_screen(
     (int16 counts + bool candidates), same CSR nibble H2D encoding.
 
     The per-byte one-hot prefix sum runs as a sequential-grid Pallas
-    kernel with a VMEM carry; the row difference at row_off (a gather —
-    pure memory layout, which XLA lowers well) and the shared candidate
-    rule stay in XLA. Bit-equal to the XLA form: counts are integers and
-    the candidate rule is the shared counts_candidates."""
+    kernel with a VMEM carry (one [K]-plane output per allele, all-2D
+    blocks for Mosaic's (8, 128) tiling); the row difference at row_off
+    (a gather — pure memory layout, which XLA lowers well) and the shared
+    candidate rule stay in XLA. Bit-equal to the XLA form: counts are
+    integers and the candidate rule is the shared counts_candidates."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from guacamole_tpu.ops.kernels import PackedScreen, counts_candidates
 
     B = packed.shape[0]
-    nb = max(1, -(-B // block_b))
-    blob = jnp.full(nb * block_b, 0xFF, jnp.int32)
-    blob = blob.at[:B].set(packed.astype(jnp.int32)).reshape(nb, block_b)
-    prefix = pl.pallas_call(
-        functools.partial(_csr_prefix_kernel, max_alleles=max_alleles),
-        grid=(nb,),
-        in_specs=[pl.BlockSpec((1, block_b), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((block_b, max_alleles), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((nb * block_b, max_alleles), jnp.int32),
+    slab = 8 * block_b
+    nslabs = max(1, -(-B // slab))
+    blob = jnp.full(nslabs * slab, 0xFF, jnp.int32)
+    blob = blob.at[:B].set(packed.astype(jnp.int32))
+    blob = blob.reshape(nslabs * 8, block_b)
+    spec = pl.BlockSpec((8, block_b), lambda i: (i, 0))
+    planes = pl.pallas_call(
+        functools.partial(
+            _csr_prefix_kernel,
+            max_alleles=max_alleles,
+            block_b=block_b,
+            interpret=interpret,
+        ),
+        grid=(nslabs,),
+        in_specs=[spec],
+        out_specs=tuple(spec for _ in range(max_alleles)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nslabs * 8, block_b), jnp.int32)
+            for _ in range(max_alleles)
+        ),
         scratch_shapes=[pltpu.VMEM((1, max_alleles), jnp.int32)],
         interpret=interpret,
     )(blob)
-    # Exclusive prefix at byte b is the inclusive prefix through b-1.
-    excl = jnp.concatenate(
-        [jnp.zeros((1, max_alleles), jnp.int32), prefix], axis=0
-    )
-    counts = excl[row_off[1:]] - excl[row_off[:-1]]  # [L, K]
+    # Exclusive prefix at byte b is the inclusive prefix through b-1;
+    # difference it at the row boundaries per allele plane.
+    cols = []
+    for k in range(max_alleles):
+        flat = planes[k].reshape(-1)
+        excl = jnp.concatenate([jnp.zeros(1, jnp.int32), flat])
+        cols.append(excl[row_off[1:]] - excl[row_off[:-1]])
+    counts = jnp.stack(cols, axis=1)  # [L, K]
     candidates = counts_candidates(
         counts, jnp.sum(counts, axis=1), is_variant, threshold_percent
     )
