@@ -19,7 +19,7 @@ TPU-native two-phase design (cf. /root/reference
 from __future__ import annotations
 
 import math
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -192,24 +192,46 @@ def call_variants(
     max_alleles: int = 8,
     reference_genome=None,
     mesh=None,
+    task_sources=None,
 ) -> List[CalledAllele]:
     """Two-phase (device screen -> exact host confirm) over a partitioning.
 
-    reads: a list of MappedReads or a ReadSource (columnar or object).
+    reads: a list of MappedReads or a ReadSource (columnar or object); may
+    be None when task_sources is given.
     mesh: a jax.sharding.Mesh — when given, the genotype-likelihood screen
     runs ONE shard_map step per group of n_devices tiles (each chip screens
     its own tile); the exact f64 confirm is unchanged, so output is
-    identical (pinned by tests/test_distributed_caller.py)."""
+    identical (pinned by tests/test_distributed_caller.py).
+    task_sources: an iterator of (task, task_loci, ReadSource) — the
+    streaming per-task .bai-pushdown input (callers/streaming.py); when
+    given, each task's tiles pack from its own source."""
     from guacamole_tpu.callers.source import ReadSource
 
-    source = (
-        reads if isinstance(reads, ReadSource) else ReadSource.from_reads(reads)
-    )
     calls: List[CalledAllele] = []
-    inverse = loci_partitions.inverse_map()
-    sample_sources = {
-        name: source.for_sample(name) for name in source.sample_names()
-    }
+
+    if task_sources is None:
+        source = (
+            reads
+            if isinstance(reads, ReadSource)
+            else ReadSource.from_reads(reads)
+        )
+        inverse = loci_partitions.inverse_map()
+        whole_samples = {
+            name: source.for_sample(name) for name in source.sample_names()
+        }
+
+        def task_iter():
+            for task in sorted(inverse):
+                yield inverse[task], whole_samples
+
+    else:
+
+        def task_iter():
+            for _task, task_loci, task_source in task_sources:
+                yield task_loci, {
+                    name: task_source.for_sample(name)
+                    for name in task_source.sample_names()
+                }
 
     from guacamole_tpu.ops.dispatch import (
         candidates_of,
@@ -219,8 +241,7 @@ def call_variants(
     )
 
     def tiles():
-        for task in sorted(inverse):
-            task_loci = inverse[task]
+        for task_loci, sample_sources in task_iter():
             for sample_name, sample_source in sorted(sample_sources.items()):
                 for contig in task_loci.contigs:
                     for tile in sample_source.iter_tiles(
@@ -332,6 +353,28 @@ def call_variants(
     return calls
 
 
+def call_variants_streaming(
+    path: str,
+    filters,
+    loci_partitions: LociMap,
+    **kwargs,
+) -> Optional[List[CalledAllele]]:
+    """Streaming variant of call_variants: each partition task decodes
+    only its own BAM byte ranges (.bai pushdown, cf. Read.scala:395-406),
+    with task i+1's IO + decode prefetched on a background thread while
+    task i screens and confirms. Identical output to load-then-call
+    (pinned by tests/test_streaming_callers.py). Returns None when
+    streaming is unavailable (non-BAM input, no native runtime/index)."""
+    from guacamole_tpu.callers.streaming import iter_task_sources
+
+    task_sources = iter_task_sources(path, filters, loci_partitions)
+    if task_sources is None:
+        return None
+    return call_variants(
+        None, loci_partitions, task_sources=task_sources, **kwargs
+    )
+
+
 def called_allele_to_vcf_record(call: CalledAllele) -> VcfRecord:
     """ADAM genotype conversion parity (AlleleConversions.scala:30-45)."""
     ev = call.evidence
@@ -348,6 +391,36 @@ def called_allele_to_vcf_record(call: CalledAllele) -> VcfRecord:
         genotype_quality=ev.phred_scaled_likelihood,
         id_="." if call.rs_id is None else str(call.rs_id),
     )
+
+
+def _try_streaming(args, loci_builder, reference, mesh, filters, _add_fns):
+    """Streaming germline-standard (per-task .bai pushdown). Returns
+    (calls, contig_lengths) or (None, None) when unavailable."""
+    try:
+        from guacamole_tpu.gio.bam import BamFile
+
+        dictionary = dict(BamFile(args.reads).references)
+    except Exception:
+        return None, None
+    loci_set = loci_builder.result(dictionary)
+    partitions = _add_fns["streaming_partitions"](
+        args, loci_set, args.reads
+    )
+    if partitions is None:
+        return None, None
+    calls = call_variants_streaming(
+        args.reads,
+        filters,
+        partitions,
+        min_alignment_quality=args.min_alignment_quality,
+        emit_ref=args.emit_ref,
+        tile_size=args.tile_size,
+        reference_genome=reference,
+        mesh=mesh,
+    )
+    if calls is None:
+        return None, None
+    return calls, dictionary
 
 
 def main(argv, _add_fns) -> int:
@@ -409,33 +482,41 @@ def main(argv, _add_fns) -> int:
     filters = InputFilters.create(
         overlaps_loci=loci_builder, non_duplicate=True, has_mdtag=True
     )
-    source, contig_lengths = load_read_source(
-        args.reads,
-        filters,
-        contig_lengths_from_dictionary=not args.no_sequence_dictionary,
-        reference_genome=reference,
-        recompute_mdtags=args.recompute_md_tags,
-        use_native=args.bam_reader_api in ("best", "native"),
-    )
-    progress("Loaded %d mapped non-duplicate reads." % source.n)
-    if mh.active:
-        totals = _add_fns["multihost_counters"](mh, reads=source.n)
-        progress(
-            "Global: %d reads across %d processes."
-            % (totals["reads"], mh.process_count)
-        )
-    loci_set = loci_builder.result(contig_lengths)
-    partitions = _add_fns["partition"](args, loci_set, source)
     resolve_mesh = _add_fns.get("resolve_mesh")
-    calls = call_variants(
-        source,
-        partitions,
-        min_alignment_quality=args.min_alignment_quality,
-        emit_ref=args.emit_ref,
-        tile_size=args.tile_size,
-        reference_genome=reference,
-        mesh=resolve_mesh(args) if resolve_mesh else None,
-    )
+    mesh = resolve_mesh(args) if resolve_mesh else None
+    calls = None
+    contig_lengths = None
+    if not empty_shard and _add_fns["streaming_eligible"](args):
+        calls, contig_lengths = _try_streaming(
+            args, loci_builder, reference, mesh, filters, _add_fns
+        )
+    if calls is None:
+        source, contig_lengths = load_read_source(
+            args.reads,
+            filters,
+            contig_lengths_from_dictionary=not args.no_sequence_dictionary,
+            reference_genome=reference,
+            recompute_mdtags=args.recompute_md_tags,
+            use_native=args.bam_reader_api in ("best", "native"),
+        )
+        progress("Loaded %d mapped non-duplicate reads." % source.n)
+        if mh.active:
+            totals = _add_fns["multihost_counters"](mh, reads=source.n)
+            progress(
+                "Global: %d reads across %d processes."
+                % (totals["reads"], mh.process_count)
+            )
+        loci_set = loci_builder.result(contig_lengths)
+        partitions = _add_fns["partition"](args, loci_set, source)
+        calls = call_variants(
+            source,
+            partitions,
+            min_alignment_quality=args.min_alignment_quality,
+            emit_ref=args.emit_ref,
+            tile_size=args.tile_size,
+            reference_genome=reference,
+            mesh=mesh,
+        )
     filtered = apply_genotype_filters(
         calls,
         min_read_depth=args.min_read_depth,

@@ -415,27 +415,41 @@ def call_variants(
     max_alleles: int = 8,
     reference_genome=None,
     mesh=None,
+    task_sources=None,
 ) -> List[CalledSomaticAllele]:
-    """tumor_reads/normal_reads: MappedRead lists or ReadSources.
+    """tumor_reads/normal_reads: MappedRead lists or ReadSources (may be
+    None when task_sources is given).
 
     mesh: a jax.sharding.Mesh — when given, the tumor likelihood screen
     runs ONE shard_map step per group of n_devices tiles (each chip screens
     its own tumor tile); the exact f64 confirm is unchanged, so output is
-    identical (pinned by tests/test_distributed_caller.py)."""
+    identical (pinned by tests/test_distributed_caller.py).
+    task_sources: an iterator of (task_loci, tumor_source, normal_source)
+    — the streaming per-task .bai-pushdown input; when given, each task's
+    tiles pack from its own pair of sources."""
     from guacamole_tpu.callers.source import ReadSource
 
-    tumor = (
-        tumor_reads
-        if isinstance(tumor_reads, ReadSource)
-        else ReadSource.from_reads(tumor_reads)
-    )
-    normal = (
-        normal_reads
-        if isinstance(normal_reads, ReadSource)
-        else ReadSource.from_reads(normal_reads)
-    )
     calls: List[CalledSomaticAllele] = []
-    inverse = loci_partitions.inverse_map()
+
+    if task_sources is None:
+        whole_tumor = (
+            tumor_reads
+            if isinstance(tumor_reads, ReadSource)
+            else ReadSource.from_reads(tumor_reads)
+        )
+        whole_normal = (
+            normal_reads
+            if isinstance(normal_reads, ReadSource)
+            else ReadSource.from_reads(normal_reads)
+        )
+        inverse = loci_partitions.inverse_map()
+
+        def task_iter():
+            for task in sorted(inverse):
+                yield inverse[task], whole_tumor, whole_normal
+
+    else:
+        task_iter = lambda: iter(task_sources)  # noqa: E731
 
     from guacamole_tpu.ops.dispatch import (
         candidates_of,
@@ -445,8 +459,7 @@ def call_variants(
     )
 
     def tiles():
-        for task in sorted(inverse):
-            task_loci = inverse[task]
+        for task_loci, tumor, normal in task_iter():
             for contig in task_loci.contigs:
                 for tile in tumor.iter_tiles(
                     contig,
@@ -457,7 +470,7 @@ def call_variants(
                     fields="likelihood_mapq",
                     min_mapq=min_alignment_quality,
                 ):
-                    yield contig, tile
+                    yield contig, tile, tumor, normal
 
     def launch(item):
         tile = item[1]
@@ -477,7 +490,8 @@ def call_variants(
             tile.is_variant, tile.K,
         )
 
-    def confirm(contig, tile, candidates, tumor_tile, normal_tile):
+    def confirm(contig, tile, candidates, tumor_tile, normal_tile,
+                tumor, normal):
         tumor_row = {
             int(tumor_tile.loci[i]): i for i in range(tumor_tile.L)
         }
@@ -561,7 +575,7 @@ def call_variants(
             )
         else:
             screen_iter = pipelined(prefetch_iter(tiles(), ahead=2), launch)
-        for (contig, tile), pending in screen_iter:
+        for (contig, tile, tumor, normal), pending in screen_iter:
             if pending is None:
                 continue
             cand = candidates_of(pending.result())
@@ -570,12 +584,12 @@ def call_variants(
                 int(tile.loci[li]) for li in candidates if tile.depth[li] > 0
             ]
             if candidate_loci:
-                yield contig, tile, candidates, candidate_loci
+                yield contig, tile, candidates, candidate_loci, tumor, normal
 
     with ThreadPoolExecutor(max_workers=2) as executor:
 
         def launch_packs(item):
-            contig, _, _, candidate_loci = item
+            contig, _, _, candidate_loci, tumor, normal = item
             return tuple(
                 executor.submit(
                     src.pack_sparse_tile,
@@ -587,12 +601,49 @@ def call_variants(
                 for src in (tumor, normal)
             )
 
-        for (contig, tile, candidates, _), (tf, nf) in pipelined(
+        for (contig, tile, candidates, _, tumor, normal), (tf, nf) in pipelined(
             screened(), launch_packs, max_in_flight=1
         ):
-            confirm(contig, tile, candidates, tf.result(), nf.result())
+            confirm(
+                contig, tile, candidates, tf.result(), nf.result(),
+                tumor, normal,
+            )
     calls.sort(key=lambda c: (c.reference_contig, c.start, c.allele))
     return calls
+
+
+def call_variants_streaming(
+    tumor_path: str,
+    normal_path: str,
+    filters,
+    loci_partitions: LociMap,
+    **kwargs,
+) -> Optional[List[CalledSomaticAllele]]:
+    """Streaming variant of call_variants: both samples decode per task
+    via .bai pushdown (two zipped task streams over the SAME loci
+    partitioning, the analog of the two-RDD co-partitioned shuffle at
+    DistributedUtil.scala:316-335 — here no shuffle, just two index
+    reads per task). Identical output to load-then-call. Returns None
+    when streaming is unavailable for either input."""
+    from guacamole_tpu.callers.streaming import iter_task_sources
+
+    tumor_tasks = iter_task_sources(tumor_path, filters, loci_partitions)
+    if tumor_tasks is None:
+        return None
+    normal_tasks = iter_task_sources(normal_path, filters, loci_partitions)
+    if normal_tasks is None:
+        return None
+
+    def task_sources():
+        for (t_task, t_loci, t_src), (n_task, _n_loci, n_src) in zip(
+            tumor_tasks, normal_tasks
+        ):
+            assert t_task == n_task
+            yield t_loci, t_src, n_src
+
+    return call_variants(
+        None, None, loci_partitions, task_sources=task_sources(), **kwargs
+    )
 
 
 def annotate_dbsnp(
@@ -642,6 +693,43 @@ def called_somatic_allele_to_vcf_record(call: CalledSomaticAllele) -> VcfRecord:
         genotype_quality=call.phred_scaled_somatic_likelihood,
         id_="." if call.rs_id is None else f"rs{call.rs_id}",
     )
+
+
+def _try_streaming(args, loci_builder, reference, mesh, filters, _add_fns):
+    """Streaming somatic-standard (per-task .bai pushdown on BOTH
+    samples). Returns (potential_calls, contig_lengths) or (None, None)
+    when unavailable. The depth-balanced streaming partitioning weighs
+    only the tumor's index byte-density (the partition choice never
+    affects calls, only load balance)."""
+    try:
+        from guacamole_tpu.gio.bam import BamFile
+
+        dictionary = dict(BamFile(args.normal_reads).references)
+        dict(BamFile(args.tumor_reads).references)  # both must be BAM
+    except Exception:
+        return None, None
+    loci_set = loci_builder.result(dictionary)
+    partitions = _add_fns["streaming_partitions"](
+        args, loci_set, args.tumor_reads
+    )
+    if partitions is None:
+        return None, None
+    potential = call_variants_streaming(
+        args.tumor_reads,
+        args.normal_reads,
+        filters,
+        partitions,
+        odds_threshold=args.odds_threshold,
+        min_alignment_quality=args.min_alignment_quality,
+        filter_multi_allelic=args.filter_multi_allelic,
+        max_read_depth=args.max_tumor_read_depth,
+        tile_size=args.tile_size,
+        reference_genome=reference,
+        mesh=mesh,
+    )
+    if potential is None:
+        return None, None
+    return potential, dictionary
 
 
 def main(argv, _add_fns) -> int:
@@ -719,51 +807,59 @@ def main(argv, _add_fns) -> int:
         passed_vendor_quality_checks=True,
         has_mdtag=True,
     )
-    tumor_source, tumor_lengths = load_read_source(
-        args.tumor_reads,
-        filters,
-        contig_lengths_from_dictionary=not args.no_sequence_dictionary,
-        reference_genome=reference,
-        recompute_mdtags=args.recompute_md_tags,
-        use_native=args.bam_reader_api in ("best", "native"),
-    )
-    normal_source, normal_lengths = load_read_source(
-        args.normal_reads,
-        filters,
-        contig_lengths_from_dictionary=not args.no_sequence_dictionary,
-        reference_genome=reference,
-        recompute_mdtags=args.recompute_md_tags,
-        use_native=args.bam_reader_api in ("best", "native"),
-    )
-    progress(
-        "Loaded %d tumor, %d normal reads."
-        % (tumor_source.n, normal_source.n)
-    )
-    if mh.active:
-        totals = _add_fns["multihost_counters"](
-            mh, tumor=tumor_source.n, normal=normal_source.n
+    resolve_mesh = _add_fns.get("resolve_mesh")
+    mesh = resolve_mesh(args) if resolve_mesh else None
+    potential = None
+    normal_lengths = None
+    if not empty_shard and _add_fns["streaming_eligible"](args):
+        potential, normal_lengths = _try_streaming(
+            args, loci_builder, reference, mesh, filters, _add_fns
+        )
+    if potential is None:
+        tumor_source, tumor_lengths = load_read_source(
+            args.tumor_reads,
+            filters,
+            contig_lengths_from_dictionary=not args.no_sequence_dictionary,
+            reference_genome=reference,
+            recompute_mdtags=args.recompute_md_tags,
+            use_native=args.bam_reader_api in ("best", "native"),
+        )
+        normal_source, normal_lengths = load_read_source(
+            args.normal_reads,
+            filters,
+            contig_lengths_from_dictionary=not args.no_sequence_dictionary,
+            reference_genome=reference,
+            recompute_mdtags=args.recompute_md_tags,
+            use_native=args.bam_reader_api in ("best", "native"),
         )
         progress(
-            "Global: %d tumor, %d normal reads across %d processes."
-            % (totals["tumor"], totals["normal"], mh.process_count)
+            "Loaded %d tumor, %d normal reads."
+            % (tumor_source.n, normal_source.n)
         )
-    loci_set = loci_builder.result(normal_lengths)
-    partitions = _add_fns["partition"](
-        args, loci_set, tumor_source, normal_source
-    )
-    resolve_mesh = _add_fns.get("resolve_mesh")
-    potential = call_variants(
-        tumor_source,
-        normal_source,
-        partitions,
-        odds_threshold=args.odds_threshold,
-        min_alignment_quality=args.min_alignment_quality,
-        filter_multi_allelic=args.filter_multi_allelic,
-        max_read_depth=args.max_tumor_read_depth,
-        tile_size=args.tile_size,
-        reference_genome=reference,
-        mesh=resolve_mesh(args) if resolve_mesh else None,
-    )
+        if mh.active:
+            totals = _add_fns["multihost_counters"](
+                mh, tumor=tumor_source.n, normal=normal_source.n
+            )
+            progress(
+                "Global: %d tumor, %d normal reads across %d processes."
+                % (totals["tumor"], totals["normal"], mh.process_count)
+            )
+        loci_set = loci_builder.result(normal_lengths)
+        partitions = _add_fns["partition"](
+            args, loci_set, tumor_source, normal_source
+        )
+        potential = call_variants(
+            tumor_source,
+            normal_source,
+            partitions,
+            odds_threshold=args.odds_threshold,
+            min_alignment_quality=args.min_alignment_quality,
+            filter_multi_allelic=args.filter_multi_allelic,
+            max_read_depth=args.max_tumor_read_depth,
+            tile_size=args.tile_size,
+            reference_genome=reference,
+            mesh=mesh,
+        )
     progress("Computed %d potential genotypes." % len(potential))
     # Pre-filters applied before dbSNP annotation (driver order parity).
     potential = [

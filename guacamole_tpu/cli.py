@@ -277,13 +277,45 @@ def _partition(args, loci_set, *read_lists):
     )
 
 
+def _streaming_partitions(args, loci_set, path):
+    """Loci partitions for the per-task .bai-pushdown streaming path:
+    uniform when --partition-accuracy 0, else depth-balanced from the BAM
+    index's byte-density histogram (no read decode — the default, matching
+    the reference's depth-balanced default at DistributedUtil.scala:41-48).
+    None when depth balancing needs an index that can't be built."""
+    from guacamole_tpu.loci.partition import (
+        partition_loci_by_index_depth,
+        partition_loci_uniformly,
+    )
+
+    tasks = args.parallelism or _default_parallelism()
+    if args.partition_accuracy == 0:
+        return partition_loci_uniformly(tasks, loci_set)
+    from guacamole_tpu.callers.streaming import ensure_bam_index
+
+    bai_path = ensure_bam_index(path)
+    if bai_path is None:
+        return None
+    return partition_loci_by_index_depth(
+        tasks, loci_set, args.partition_accuracy, path, bai_path
+    )
+
+
+def _streaming_eligible(args) -> bool:
+    """The read-loading configurations the streaming path supports."""
+    return (
+        not args.no_sequence_dictionary
+        and not args.recompute_md_tags
+        and args.bam_reader_api in ("best", "native")
+    )
+
+
 def _try_streaming_threshold(args, loci_builder, reference, mesh=None):
     """Streaming germline-threshold (per-task BAM pushdown); None when
     the streaming path is unavailable or unprofitable."""
     from guacamole_tpu.callers.germline_threshold import (
         call_variants_streaming,
     )
-    from guacamole_tpu.loci.partition import partition_loci_uniformly
     from guacamole_tpu.reads.read import InputFilters
 
     try:
@@ -296,9 +328,9 @@ def _try_streaming_threshold(args, loci_builder, reference, mesh=None):
     except Exception:
         return None
     loci_set = loci_builder.result(dictionary)
-    partitions = partition_loci_uniformly(
-        args.parallelism or _default_parallelism(), loci_set
-    )
+    partitions = _streaming_partitions(args, loci_set, args.reads)
+    if partitions is None:
+        return None
     filters = InputFilters.create(
         overlaps_loci=loci_builder, non_duplicate=True, has_mdtag=True
     )
@@ -374,15 +406,11 @@ def cmd_germline_threshold(argv: List[str]) -> int:
 
         calls = []
         contig_lengths = header_contig_lengths(args.reads)
-    elif (
-        args.partition_accuracy == 0
-        and not args.no_sequence_dictionary
-        and not args.recompute_md_tags
-        and args.bam_reader_api in ("best", "native")
-    ):
-        # Uniform partitioning needs only the header's contig lengths, so
-        # each task can decode just its own BAM byte ranges (.bai
-        # pushdown), overlapping the next task's IO with device screens.
+    elif _streaming_eligible(args):
+        # Partitioning needs only the header's contig lengths (uniform) or
+        # the BAM index's byte-density histogram (depth-balanced), so each
+        # task can decode just its own BAM byte ranges (.bai pushdown),
+        # overlapping the next task's IO with device screens.
         calls = _try_streaming_threshold(args, loci_builder, reference, mesh)
         if calls is not None:
             from guacamole_tpu.gio.bam import BamFile
@@ -480,6 +508,8 @@ ARG_HELPERS = {
     "multihost_shard_builder": _multihost_shard_builder,
     "multihost_counters": _multihost_counters,
     "multihost_finalize": _multihost_finalize,
+    "streaming_partitions": _streaming_partitions,
+    "streaming_eligible": _streaming_eligible,
 }
 
 def cmd_index(argv: List[str]) -> int:

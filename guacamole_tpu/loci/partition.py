@@ -122,7 +122,82 @@ def partition_loci_by_approximate_depth(
     counts = count_regions_per_micro_partition(
         micro_partitions, region_sets, num_micro
     )
+    return _assign_micros_to_tasks(
+        tasks, loci, micro_partitions, counts, num_micro
+    )
 
+
+def partition_loci_by_index_depth(
+    tasks: int,
+    loci: LociSet,
+    accuracy: int,
+    path: str,
+    bai_path: str,
+) -> LociMap:
+    """Depth-balanced partitioning WITHOUT decoding any read: per-micro
+    read counts are approximated by the compressed byte span the BAM
+    index attributes to each micro partition's genomic ranges (read
+    density ~ bytes/locus). This is what lets the streaming .bai-pushdown
+    path depth-balance by default — the reference's counting Spark job
+    (DistributedUtil.scala:181-191) needed the reads loaded; the index
+    histogram costs only in-memory index queries.
+
+    Balance quality tracks the index granularity (16 kb linear-index
+    windows, finer with the .gli sidecar); the partition choice never
+    affects calls (parallelism invariance), only load balance."""
+    assert tasks >= 1
+    assert loci.count > 0
+    num_micro = int(min(accuracy * tasks, loci.count))
+    micro_partitions = partition_loci_uniformly(num_micro, loci)
+    weights = _index_byte_weights(
+        path, bai_path, micro_partitions, num_micro
+    )
+    if weights.sum() == 0:
+        return partition_loci_uniformly(tasks, loci)
+    return _assign_micros_to_tasks(
+        tasks, loci, micro_partitions, weights, num_micro
+    )
+
+
+def _index_byte_weights(
+    path: str, bai_path: str, micro_partitions: LociMap, num_micro: int
+) -> np.ndarray:
+    """Compressed byte span per micro partition, from the BAM index."""
+    import os
+
+    from guacamole_tpu.gio.bai import BamIndex, FineIndex
+    from guacamole_tpu.gio.bam import BamFile
+
+    bam = BamFile(path)
+    ref_ids = {name: i for i, (name, _) in enumerate(bam.references)}
+    index = (
+        FineIndex(bai_path + ".gli")
+        if os.path.exists(bai_path + ".gli")
+        else BamIndex(bai_path)
+    )
+    weights = np.zeros(num_micro, dtype=np.int64)
+    for micro, loci_set in micro_partitions.inverse_map().items():
+        span = 0
+        for contig in loci_set.contigs:
+            rid = ref_ids.get(contig)
+            if rid is None:
+                continue
+            for start, end in loci_set.on_contig(contig).ranges:
+                for cbeg, cend in index.chunks_for_region(rid, start, end):
+                    span += max(0, (cend >> 16) - (cbeg >> 16)) + 1
+        weights[micro] = span
+    return weights
+
+
+def _assign_micros_to_tasks(
+    tasks: int,
+    loci: LociSet,
+    micro_partitions: LociMap,
+    counts: np.ndarray,
+    num_micro: int,
+) -> LociMap:
+    """Greedy equalizing assignment of weighted micro partitions to tasks,
+    with fractional micro splitting (DistributedUtil.scala:204-247)."""
     total_regions = int(counts.sum())
     regions_per_task = max(1.0, total_regions / tasks)
     inverse = micro_partitions.inverse_map()
@@ -171,7 +246,9 @@ def partition_loci_from_args(
     """Dispatch on CLI args, mirroring partitionLociAccordingToArgs
     (DistributedUtil.scala:55-69)."""
     tasks = parallelism if parallelism > 0 else default_parallelism
-    if partition_accuracy == 0:
+    if partition_accuracy == 0 or loci.count == 0:
+        # Uniform split; also the degenerate empty-loci case (e.g. an
+        # empty multi-host shard), which depth balancing asserts against.
         return partition_loci_uniformly(tasks, loci)
     return partition_loci_by_approximate_depth(
         tasks, loci, partition_accuracy, *region_sets
