@@ -134,59 +134,106 @@ def partition_loci_by_index_depth(
     path: str,
     bai_path: str,
 ) -> LociMap:
-    """Depth-balanced partitioning WITHOUT decoding any read: per-micro
-    read counts are approximated by the compressed byte span the BAM
-    index attributes to each micro partition's genomic ranges (read
-    density ~ bytes/locus). This is what lets the streaming .bai-pushdown
-    path depth-balance by default — the reference's counting Spark job
-    (DistributedUtil.scala:181-191) needed the reads loaded; the index
-    histogram costs only in-memory index queries.
+    """Depth-balanced partitioning WITHOUT decoding any read: per-window
+    read density is approximated by the compressed byte span the BAM
+    index attributes to each index window (16 kb linear-index bins, or
+    the 1 kb .gli fine windows when present). This is what lets the
+    streaming .bai-pushdown path depth-balance by default — the
+    reference's counting Spark job (DistributedUtil.scala:181-191)
+    needed the reads loaded; the index histogram is one vectorized pass
+    over in-memory index arrays.
 
-    Balance quality tracks the index granularity (16 kb linear-index
-    windows, finer with the .gli sidecar); the partition choice never
-    affects calls (parallelism invariance), only load balance."""
-    assert tasks >= 1
-    assert loci.count > 0
-    num_micro = int(min(accuracy * tasks, loci.count))
-    micro_partitions = partition_loci_uniformly(num_micro, loci)
-    weights = _index_byte_weights(
-        path, bai_path, micro_partitions, num_micro
-    )
-    if weights.sum() == 0:
-        return partition_loci_uniformly(tasks, loci)
-    return _assign_micros_to_tasks(
-        tasks, loci, micro_partitions, weights, num_micro
-    )
-
-
-def _index_byte_weights(
-    path: str, bai_path: str, micro_partitions: LociMap, num_micro: int
-) -> np.ndarray:
-    """Compressed byte span per micro partition, from the BAM index."""
+    Task boundaries are weight quantiles at index-window granularity
+    (finer than `accuracy` micro partitions would give for any
+    realistically-sized loci set, so no fractional micro splitting is
+    needed); the partition choice never affects calls (parallelism
+    invariance), only load balance."""
     import os
 
     from guacamole_tpu.gio.bai import BamIndex, FineIndex
     from guacamole_tpu.gio.bam import BamFile
 
-    bam = BamFile(path)
-    ref_ids = {name: i for i, (name, _) in enumerate(bam.references)}
-    index = (
-        FineIndex(bai_path + ".gli")
-        if os.path.exists(bai_path + ".gli")
-        else BamIndex(bai_path)
-    )
-    weights = np.zeros(num_micro, dtype=np.int64)
-    for micro, loci_set in micro_partitions.inverse_map().items():
-        span = 0
-        for contig in loci_set.contigs:
-            rid = ref_ids.get(contig)
-            if rid is None:
+    assert tasks >= 1
+    assert loci.count > 0
+    ref_ids = {
+        name: i for i, (name, _) in enumerate(BamFile(path).references)
+    }
+    if os.path.exists(bai_path + ".gli"):
+        index = FineIndex(bai_path + ".gli")
+        shift = 10
+    else:
+        index = BamIndex(bai_path)
+        shift = 14
+
+    def window_weights(rid) -> np.ndarray:
+        """Per-window compressed byte spans for one contig."""
+        if isinstance(index, FineIndex):
+            wins = index.windows[rid]
+            if not wins:
+                return np.zeros(0, np.int64)
+            arr = np.asarray(wins, dtype=np.int64).reshape(-1, 2)
+            vb, ve = arr[:, 0] >> 16, arr[:, 1] >> 16
+            return np.where(arr[:, 1] > 0, ve - vb + 1, 0)
+        lin = np.asarray(index.linear[rid], dtype=np.int64)
+        if len(lin) < 2:
+            return np.ones(len(lin), np.int64)
+        spans = np.maximum(np.diff(lin >> 16), 0)
+        return np.append(spans, 1)
+
+    # One (start, end, weight) segment per index window clipped to the
+    # loci ranges, in loci order.
+    seg_contig: List[str] = []
+    seg_start, seg_end, seg_weight = [], [], []
+    for contig in loci.contigs:
+        rid = ref_ids.get(contig)
+        weights = window_weights(rid) if rid is not None else None
+        for start, end in loci.on_contig(contig).ranges:
+            if weights is None or not len(weights):
+                seg_contig.append(contig)
+                seg_start.append(np.asarray([start]))
+                seg_end.append(np.asarray([end]))
+                seg_weight.append(np.zeros(1, np.int64))
                 continue
-            for start, end in loci_set.on_contig(contig).ranges:
-                for cbeg, cend in index.chunks_for_region(rid, start, end):
-                    span += max(0, (cend >> 16) - (cbeg >> 16)) + 1
-        weights[micro] = span
-    return weights
+            w0, w1 = start >> shift, (end - 1) >> shift
+            ws = np.arange(w0, w1 + 1, dtype=np.int64)
+            seg_contig.extend([contig] * len(ws))
+            seg_start.append(np.maximum(start, ws << shift))
+            seg_end.append(np.minimum(end, (ws + 1) << shift))
+            inb = ws < len(weights)
+            seg_weight.append(
+                np.where(inb, weights[np.minimum(ws, len(weights) - 1)], 0)
+            )
+    starts = np.concatenate(seg_start)
+    ends = np.concatenate(seg_end)
+    weight = np.concatenate(seg_weight)
+    total = int(weight.sum())
+    if total == 0:
+        return partition_loci_uniformly(tasks, loci)
+    # Each segment goes to the task owning its cumulative-weight midpoint.
+    cum = np.cumsum(weight)
+    task_of = np.minimum(
+        (cum - weight // 2) * tasks // total, tasks - 1
+    ).astype(np.int64)
+    task_of = np.maximum.accumulate(task_of)
+    builder = LociMapBuilder()
+    run_start = 0
+    for i in range(1, len(starts) + 1):
+        if (
+            i == len(starts)
+            or task_of[i] != task_of[run_start]
+            or seg_contig[i] != seg_contig[run_start]
+            or starts[i] != ends[i - 1]
+        ):
+            builder.put(
+                seg_contig[run_start],
+                int(starts[run_start]),
+                int(ends[i - 1]),
+                int(task_of[run_start]),
+            )
+            run_start = i
+    result = builder.result()
+    assert result.count == loci.count
+    return result
 
 
 def _assign_micros_to_tasks(
