@@ -115,3 +115,65 @@ def print_genotype_concordance(
     print("Precision\tRecall\tF1Score")
     print("%f\t%f\t%f" % (result.precision, result.recall, result.f1_score))
     return result
+
+
+# ---------------------------------------------------------------------------
+# Record-level VCF comparison: the precise parity contract
+# (CHROM, POS, REF, ALT, normalized GT) between two VCF files — the
+# comparator to run against a reference-generated VCF (e.g. the manual
+# chrM run of /root/reference README.md:44-49) the day one is obtainable;
+# container headers are deliberately out of scope (DEVIATIONS.md #4).
+# ---------------------------------------------------------------------------
+
+# One VCF data line's comparable content.
+VcfKey = Tuple[str, int, str, str, str]
+
+
+def _normalize_gt(gt: str) -> str:
+    """Allele-order-insensitive genotype: '1/0' == '0/1'; phase ignored
+    (the callers emit unphased diploid genotypes)."""
+    alleles = gt.replace("|", "/").split("/")
+    return "/".join(sorted(alleles))
+
+
+def _record_keys(path: str) -> Set[VcfKey]:
+    keys: Set[VcfKey] = set()
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#") or not line.strip():
+                continue
+            fields = line.rstrip("\n").split("\t")
+            chrom, pos, _id, ref, alt = fields[:5]
+            gt = ""
+            if len(fields) >= 10:
+                fmt = fields[8].split(":")
+                sample = fields[9].split(":")
+                if "GT" in fmt:
+                    gt = _normalize_gt(sample[fmt.index("GT")])
+            keys.add((chrom, int(pos), ref, alt, gt))
+    return keys
+
+
+@dataclass(frozen=True)
+class VcfComparison:
+    matching: int
+    only_a: Tuple[VcfKey, ...]
+    only_b: Tuple[VcfKey, ...]
+
+    @property
+    def record_level_identical(self) -> bool:
+        return not self.only_a and not self.only_b
+
+
+def compare_vcf_records(path_a: str, path_b: str) -> VcfComparison:
+    """Record-level diff of two VCF files on (CHROM, POS, REF, ALT, GT),
+    GT normalized to be allele-order/phase-insensitive. Headers and all
+    other per-record fields (QUAL, INFO, depths) are out of scope — this
+    checks the call-set contract, nothing weaker, nothing stronger."""
+    a = _record_keys(path_a)
+    b = _record_keys(path_b)
+    return VcfComparison(
+        matching=len(a & b),
+        only_a=tuple(sorted(a - b)),
+        only_b=tuple(sorted(b - a)),
+    )

@@ -7,11 +7,20 @@ For each genotype {a1, a2} over pileup elements e:
   p(a, e) = probability_correct(e)      if e.allele == a
             1 - probability_correct(e)  otherwise
 
-Numerical parity note: this implementation reproduces the reference's
-float64 operation ORDER exactly (the per-genotype sum over elements is
-accumulated right-to-left, matching Colt's aggregate; cf. /root/reference
-.../likelihood/Likelihood.scala:149-201), so likelihood values — and
-therefore calls and tie-breaks — are bit-identical to the reference caller.
+Numerical parity contract (stated precisely — see DEVIATIONS.md):
+this implementation reproduces the reference's float64 operation ORDER
+exactly (the per-genotype sum over elements is accumulated right-to-left,
+matching Colt's aggregate; cf. /root/reference
+.../likelihood/Likelihood.scala:149-201), so for any given pileup the
+likelihood VALUES are bit-identical f64s to what the reference's formula
+produces — pinned by the ported LikelihoodSuite closed-form cases and
+fuzz tests against the scalar oracle. The resulting end-to-end claim is
+record-level: identical CHROM/POS/REF/ALT/GT (and likelihood-derived
+fields) on the bundled fixtures. It is NOT a byte-level VCF claim — the
+container header differs from ADAM 0.16's by design (DEVIATIONS.md #4),
+and no JVM exists in this environment to diff an actual reference run;
+concordance.compare_vcf_records is the comparator to use the day a
+reference-generated VCF is available.
 
 On device, the same math runs as a vectorized f32 screening kernel over
 whole loci tiles (see guacamole_tpu.ops); this host path is then applied

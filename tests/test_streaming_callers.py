@@ -189,3 +189,39 @@ def test_cli_default_config_streams(cache_dir, tmp_path, capsys):
         if not line.startswith("#")
     ]
     assert len(records) == 138  # golden chrM call count
+
+
+def test_compare_vcf_records(tmp_path):
+    """The record-level VCF comparator (concordance.compare_vcf_records):
+    identical call sets with different headers/QUAL compare equal; any
+    CHROM/POS/REF/ALT/GT difference is surfaced; GT order is normalized."""
+    from guacamole_tpu.concordance import compare_vcf_records
+
+    a = tmp_path / "a.vcf"
+    b = tmp_path / "b.vcf"
+    a.write_text(
+        "##fileformat=VCFv4.1\n##source=ours\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+        "chrM\t5\t.\tC\tT\t.\t.\t.\tGT:DP\t0/1:10\n"
+        "chrM\t9\t.\tA\tG\t.\t.\t.\tGT:DP\t1/1:12\n"
+    )
+    b.write_text(
+        "##fileformat=VCFv4.1\n##source=adam-0.16\n##extra=header\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+        "chrM\t5\t.\tC\tT\t99\t.\tDB\tGT:DP\t1|0:44\n"
+        "chrM\t9\t.\tA\tG\t.\t.\t.\tGT:DP\t1/1:12\n"
+    )
+    cmp1 = compare_vcf_records(str(a), str(b))
+    assert cmp1.record_level_identical and cmp1.matching == 2
+
+    c = tmp_path / "c.vcf"
+    c.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+        "chrM\t5\t.\tC\tT\t.\t.\t.\tGT\t0/1\n"
+        "chrM\t9\t.\tA\tC\t.\t.\t.\tGT\t1/1\n"
+    )
+    cmp2 = compare_vcf_records(str(a), str(c))
+    assert not cmp2.record_level_identical
+    assert cmp2.matching == 1
+    assert cmp2.only_a == (("chrM", 9, "A", "G", "1/1"),)
+    assert cmp2.only_b == (("chrM", 9, "A", "C", "1/1"),)
