@@ -70,18 +70,25 @@ class ExceptionalReads:
     exceptional_reads: List[PairedMappedRead]
 
 
-def get_exceptional_reads(
-    pairs: Sequence[PairedMappedRead], sample_limit: int = 100000
-) -> ExceptionalReads:
-    """Pairs whose insert size exceeds median + 5*MAD
-    (StructuralVariantCaller.scala:102-129)."""
-    reads_in_range = [
+def pairs_in_range(pairs: Sequence[PairedMappedRead]) -> List[PairedMappedRead]:
+    """Same-contig, opposite-strand pairs below the sanity cap — the
+    population the insert-size statistics are computed over
+    (StructuralVariantCaller.scala:102-113)."""
+    return [
         p
         for p in pairs
         if p.read.reference_contig == p.mate.reference_contig
         and p.read.is_positive_strand != p.mate.is_positive_strand
         and p.inferred_insert_size < MAX_INSERT_SIZE
     ]
+
+
+def get_exceptional_reads(
+    pairs: Sequence[PairedMappedRead], sample_limit: int = 100000
+) -> ExceptionalReads:
+    """Pairs whose insert size exceeds median + 5*MAD
+    (StructuralVariantCaller.scala:102-129)."""
+    reads_in_range = pairs_in_range(pairs)
     insert_sizes = [oriented_insert_size(p) for p in reads_in_range]
     stats = median_stats(insert_sizes[:sample_limit])
     max_normal = int(stats.median + 5 * stats.mad)
@@ -261,18 +268,33 @@ def find_cliques(
 
 def call_structural_variants(
     paired_reads: Sequence[PairedMappedRead],
+    max_normal_insert_size: Optional[int] = None,
 ) -> Tuple[int, Dict[str, List[GenomeRange]]]:
-    """Full pipeline: exceptional pairs -> per-contig graphs -> cliques."""
-    exceptional = get_exceptional_reads(paired_reads)
+    """Full pipeline: exceptional pairs -> per-contig graphs -> cliques.
+
+    max_normal_insert_size: externally computed threshold — in a
+    multi-host run the median+5*MAD must come from the GLOBAL insert-size
+    sample (DCN-gathered), not one process's contig shard."""
+    if max_normal_insert_size is None:
+        exceptional = get_exceptional_reads(paired_reads)
+        max_normal = exceptional.max_normal_insert_size
+        exceptional_reads = exceptional.exceptional_reads
+    else:
+        max_normal = max_normal_insert_size
+        exceptional_reads = [
+            p
+            for p in pairs_in_range(paired_reads)
+            if p.inferred_insert_size > max_normal
+        ]
     by_contig: Dict[str, List[PairedMappedRead]] = {}
-    for pair in exceptional.exceptional_reads:
+    for pair in exceptional_reads:
         by_contig.setdefault(pair.read.reference_contig, []).append(pair)
     results: Dict[str, List[GenomeRange]] = {}
     for contig, pairs in sorted(by_contig.items()):
-        graph = build_variant_graph(pairs, exceptional.max_normal_insert_size)
-        cliques = find_cliques(graph, exceptional.max_normal_insert_size)
+        graph = build_variant_graph(pairs, max_normal)
+        cliques = find_cliques(graph, max_normal)
         results[contig] = [c.span(graph) for c in cliques]
-    return exceptional.max_normal_insert_size, results
+    return max_normal, results
 
 
 def main(argv, _add_fns) -> int:
@@ -294,9 +316,32 @@ def main(argv, _add_fns) -> int:
     p.add_argument("--output", default="")
     args = p.parse_args(argv)
 
-    read_set = load_read_set(
-        args.reads, InputFilters.create(non_duplicate=True)
-    )
+    mh = _add_fns["bootstrap_multihost"](args)
+    my_contigs = None
+    filters = InputFilters.create(non_duplicate=True)
+    if mh.active:
+        # Contiguous contig blocks per process: each process loads only
+        # its contigs' byte ranges, and the rank-ordered gather of insert
+        # sizes reproduces the single-process (coordinate-sorted,
+        # contig-major) sampling order, so the global median+5*MAD
+        # threshold is identical.
+        from guacamole_tpu.gio.load import header_contig_lengths
+        from guacamole_tpu.loci.lociset import parse_loci
+
+        lengths = header_contig_lengths(args.reads)
+        names = list(lengths)
+        per = -(-len(names) // mh.process_count)
+        my_contigs = set(
+            names[mh.process_index * per : (mh.process_index + 1) * per]
+        )
+        expr = ",".join(
+            f"{c}:0-{lengths[c]}" for c in names if c in my_contigs
+        )
+        filters = InputFilters.create(
+            non_duplicate=True, overlaps_loci=parse_loci(expr)
+        )
+
+    read_set = load_read_set(args.reads, filters)
     pairs = [
         pm
         for pm in (
@@ -306,6 +351,10 @@ def main(argv, _add_fns) -> int:
         )
         if pm is not None
     ]
+    if my_contigs is not None:
+        pairs = [
+            pm for pm in pairs if pm.read.reference_contig in my_contigs
+        ]
     if args.filter_contig:
         pairs = [
             pm
@@ -313,12 +362,29 @@ def main(argv, _add_fns) -> int:
             if pm.read.reference_contig == args.filter_contig
             or pm.mate.reference_contig == args.filter_contig
         ]
-    max_normal, results = call_structural_variants(pairs)
+    if mh.active:
+        from guacamole_tpu.parallel.multihost import gather_objects
+
+        local_sizes = [oriented_insert_size(p) for p in pairs_in_range(pairs)]
+        all_sizes = gather_objects(mh, local_sizes)
+        stats = median_stats(all_sizes[:100000])
+        max_normal = int(stats.median + 5 * stats.mad)
+        _, results = call_structural_variants(
+            pairs, max_normal_insert_size=max_normal
+        )
+    else:
+        max_normal, results = call_structural_variants(pairs)
     progress(f"max normal insert size: {max_normal}")
     lines = [
         f"({contig},{[str(r) for r in ranges]})"
         for contig, ranges in results.items()
     ]
+    if mh.active:
+        from guacamole_tpu.parallel.multihost import gather_objects
+
+        lines = sorted(gather_objects(mh, lines))
+        if not mh.is_writer:
+            return 0
     if args.output:
         with open(args.output, "w") as out:
             out.write("\n".join(lines) + ("\n" if lines else ""))

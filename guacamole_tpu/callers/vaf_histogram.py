@@ -34,12 +34,15 @@ def variant_loci_from_reads(
     print_stats: bool = False,
     sample_percent: int = 100,
     tile_size: int = 4096,
+    mesh=None,
 ) -> List[VariantLocus]:
     """All loci with non-reference evidence and their VAFs
     (VAFHistogram.scala:208-255). referenceDepth counts Match elements:
     elements whose allele equals (ref_base, ref_base).
 
-    reads: a list of MappedReads or a ReadSource."""
+    reads: a list of MappedReads or a ReadSource.
+    mesh: a jax.sharding.Mesh — when given, the counting screens run one
+    shard_map step per group of n_devices tiles (identical counts)."""
     from guacamole_tpu.callers.source import ReadSource
 
     source = (
@@ -62,9 +65,17 @@ def variant_loci_from_reads(
                 ):
                     yield contig, tile
 
-    for (contig, tile), pending in pipelined_batched_screens(
-        tiles(), tile_of=lambda item: item[1]
-    ):
+    if mesh is not None:
+        from guacamole_tpu.parallel.mesh import mesh_csr_screens
+
+        screen_iter = mesh_csr_screens(
+            tiles(), tile_of=lambda item: item[1], mesh=mesh
+        )
+    else:
+        screen_iter = pipelined_batched_screens(
+            tiles(), tile_of=lambda item: item[1]
+        )
+    for (contig, tile), pending in screen_iter:
         stats = pending.result() if pending is not None else None
         if stats is None:
             continue
@@ -99,26 +110,37 @@ def variant_loci_from_reads(
                     VariantLocus(contig, int(tile.loci[li]), vaf)
                 )
     if print_stats and out:
-        vafs = np.array([v.variant_allele_frequency for v in out])
-        if sample_percent < 100:
-            rng = np.random.RandomState(0)
-            vafs = rng.choice(
-                vafs, size=max(1, len(vafs) * sample_percent // 100), replace=False
-            )
-        progress(
-            "Variant loci stats for %s (min: %f, max: %f, median: %f, mean: %f, "
-            "25Pct: %f, 75Pct: %f)"
-            % (
-                sample_name,
-                vafs.min(),
-                vafs.max(),
-                float(np.percentile(vafs, 50)),
-                vafs.mean(),
-                float(np.percentile(vafs, 25)),
-                float(np.percentile(vafs, 75)),
-            )
-        )
+        print_vaf_stats(sample_name, out, sample_percent)
     return out
+
+
+def print_vaf_stats(
+    sample_name: str,
+    variant_loci: Sequence[VariantLocus],
+    sample_percent: int = 100,
+) -> None:
+    """Descriptive VAF stats in the reference's format
+    (VAFHistogram.scala:138-152); callable post-merge in multi-host runs
+    so the stats cover the GLOBAL variant-locus set."""
+    vafs = np.array([v.variant_allele_frequency for v in variant_loci])
+    if sample_percent < 100:
+        rng = np.random.RandomState(0)
+        vafs = rng.choice(
+            vafs, size=max(1, len(vafs) * sample_percent // 100), replace=False
+        )
+    progress(
+        "Variant loci stats for %s (min: %f, max: %f, median: %f, mean: %f, "
+        "25Pct: %f, 75Pct: %f)"
+        % (
+            sample_name,
+            vafs.min(),
+            vafs.max(),
+            float(np.percentile(vafs, 50)),
+            vafs.mean(),
+            float(np.percentile(vafs, 25)),
+            float(np.percentile(vafs, 75)),
+        )
+    )
 
 
 def generate_vaf_histogram(
@@ -230,10 +252,12 @@ def main(argv, _add_fns) -> int:
     args = p.parse_args(argv)
 
     loci_builder = resolve_loci_builder(args.loci, args.loci_from_file)
+    mh = _add_fns["bootstrap_multihost"](args)
     # Bug-for-bug parity: the reference builds these filters and then
     # loads every ReadSet with InputFilters.empty anyway — the filters
     # variable is dead code there (VAFHistogram.scala:91-103). Reads are
-    # therefore NOT filtered here either.
+    # therefore NOT filtered here either (single-process; a multi-host
+    # shard must restrict loading to its own loci or sharding is moot).
     filters = InputFilters.create(
         overlaps_loci=loci_builder,
         non_duplicate=True,
@@ -241,10 +265,21 @@ def main(argv, _add_fns) -> int:
         has_mdtag=True,
     )
     del filters
+    load_filters = InputFilters.empty
+    if mh.active:
+        loci_builder, empty_shard = _add_fns["multihost_shard_builder"](
+            mh, loci_builder, args.bams[0]
+        )
+        if empty_shard:
+            from guacamole_tpu.loci.lociset import parse_loci
+
+            loci_builder = parse_loci("")
+        load_filters = InputFilters.create(overlaps_loci=loci_builder)
+    mesh = _add_fns["resolve_mesh"](args)
     sources = [
         load_read_source(
             bam,
-            InputFilters.empty,
+            load_filters,
             recompute_mdtags=args.recompute_md_tags,
             use_native=args.bam_reader_api in ("best", "native"),
         )
@@ -264,12 +299,38 @@ def main(argv, _add_fns) -> int:
             partitions,
             min_read_depth=args.min_read_depth,
             min_variant_allele_frequency=args.min_vaf,
-            print_stats=args.print_stats,
+            print_stats=args.print_stats and not mh.active,
             sample_percent=args.sample_percent,
             tile_size=args.tile_size,
+            mesh=mesh,
         )
         for src, _ in sources
     ]
+    if mh.active:
+        from guacamole_tpu.parallel.multihost import gather_objects
+
+        # Rank-ordered concat per bam: shards are contiguous ascending
+        # loci, so the merged per-bam lists equal a single-process run's.
+        gathered = gather_objects(mh, [all_variant_loci])
+        all_variant_loci = [
+            [
+                v
+                for proc_lists in gathered
+                for v in proc_lists[b]
+            ]
+            for b in range(len(args.bams))
+        ]
+        if args.print_stats and mh.is_writer:
+            for (src, _), variant_loci in zip(sources, all_variant_loci):
+                if variant_loci:
+                    names = src.sample_names()
+                    print_vaf_stats(
+                        names[0] if names else "default",
+                        variant_loci,
+                        args.sample_percent,
+                    )
+        if not mh.is_writer:
+            return 0
     bin_size = 100 // args.bins
     lines: List[str] = []
     for bam, (src, _), variant_loci in zip(args.bams, sources, all_variant_loci):

@@ -45,11 +45,13 @@ def loci_from_variants(vcf_path: str) -> LociSet:
 
 
 def pileup_allele_counts(
-    reads, loci: LociSet, tile_size: int = 4096
+    reads, loci: LociSet, tile_size: int = 4096, mesh=None
 ) -> List[AlleleCount]:
     """Per-(sample, locus, allele) read counts at the given loci.
 
-    reads: a list of MappedReads or a ReadSource."""
+    reads: a list of MappedReads or a ReadSource.
+    mesh: a jax.sharding.Mesh — when given, the counting screens run one
+    shard_map step per group of n_devices tiles (identical counts)."""
     from guacamole_tpu.callers.source import ReadSource
 
     source = (
@@ -67,9 +69,17 @@ def pileup_allele_counts(
             ):
                 yield contig, tile
 
-    for (contig, tile), pending in pipelined_batched_screens(
-        tiles(), tile_of=lambda item: item[1]
-    ):
+    if mesh is not None:
+        from guacamole_tpu.parallel.mesh import mesh_csr_screens
+
+        screen_iter = mesh_csr_screens(
+            tiles(), tile_of=lambda item: item[1], mesh=mesh
+        )
+    else:
+        screen_iter = pipelined_batched_screens(
+            tiles(), tile_of=lambda item: item[1]
+        )
+    for (contig, tile), pending in screen_iter:
         if pending is not None:
             stats = pending.result()
             counts = stats.counts
@@ -127,23 +137,53 @@ def main(argv, _add_fns) -> int:
     p.add_argument("bams", nargs="+")
     args = p.parse_args(argv)
 
+    mh = _add_fns["bootstrap_multihost"](args)
     loci = loci_from_variants(args.variants)
     progress(f"Variant sites cover {loci.count} loci.")
-    lines: List[str] = []
+    lines: List[str]
+    load_filters = InputFilters.empty
+    if mh.active:
+        # Each process takes a contiguous shard of the variant sites and
+        # loads only reads overlapping it (.bai pushdown via the loci
+        # filter); the gathered lines reproduce the single-process order.
+        from guacamole_tpu.loci.lociset import parse_loci
+        from guacamole_tpu.parallel.multihost import shard_loci_expression
+
+        expr = shard_loci_expression(mh, loci)
+        builder = parse_loci(expr or "")
+        loci = builder.result()
+        if expr:
+            load_filters = InputFilters.create(overlaps_loci=builder)
+    mesh = _add_fns["resolve_mesh"](args)
+    per_bam: List[List[str]] = []
     for token, bam in enumerate(args.bams):
         # contigLengthsFromDictionary is hardcoded false in the reference
         # (VariantSupport.scala:77) and the lengths are unused here.
         source, _ = load_read_source(
             bam,
-            InputFilters.empty,
+            load_filters,
             contig_lengths_from_dictionary=False,
             recompute_mdtags=args.recompute_md_tags,
             use_native=args.bam_reader_api in ("best", "native"),
         )
         counts = pileup_allele_counts(
-            source, loci, tile_size=args.tile_size
+            source, loci, tile_size=args.tile_size, mesh=mesh
         )
-        lines.extend(str(c) for c in counts)
+        per_bam.append([str(c) for c in counts])
+    if mh.active:
+        from guacamole_tpu.parallel.multihost import gather_objects
+
+        # Rank-ordered concat per bam: shards are contiguous ascending
+        # loci, so the merged order equals the single-process order.
+        gathered = gather_objects(mh, [per_bam])
+        lines = []
+        for b in range(len(args.bams)):
+            for proc_per_bam in gathered:
+                lines.extend(proc_per_bam[b])
+        if not mh.is_writer:
+            return 0
+    else:
+        lines = [line for bam_lines in per_bam for line in bam_lines]
     with open(args.output, "w") as out:
         out.write("\n".join(lines) + ("\n" if lines else ""))
     progress(f"Wrote {len(lines)} allele counts to {args.output}.")

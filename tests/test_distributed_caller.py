@@ -136,3 +136,41 @@ def test_mesh_somatic_matches_sequential(resources_dir):
 
     assert skey(distributed) == skey(sequential)
     assert len(distributed) > 0
+
+
+def test_mesh_variant_support_and_vaf_equal_sequential(resources_dir):
+    """The analytics tools' counting screens on the 8-device mesh must
+    equal the sequential path (one shard_map step per tile group)."""
+    import jax
+
+    from guacamole_tpu.callers.common import load_read_source
+    from guacamole_tpu.callers.variant_support import (
+        loci_from_variants,
+        pileup_allele_counts,
+    )
+    from guacamole_tpu.callers.vaf_histogram import variant_loci_from_reads
+    from guacamole_tpu.loci.lociset import parse_loci
+    from guacamole_tpu.loci.partition import partition_loci_uniformly
+    from guacamole_tpu.parallel.mesh import loci_mesh
+    from guacamole_tpu.reads.read import InputFilters
+
+    mesh = loci_mesh(jax.devices()[:8])
+
+    vs_loci = loci_from_variants(resource_path("truth.chr20.vcf"))
+    source, _ = load_read_source(
+        resource_path("gatk_mini_bundle_extract.bam"), InputFilters.empty
+    )
+    seq = pileup_allele_counts(source, vs_loci, tile_size=512)
+    on_mesh = pileup_allele_counts(source, vs_loci, tile_size=512, mesh=mesh)
+    assert [str(c) for c in on_mesh] == [str(c) for c in seq]
+    assert len(seq) > 0
+
+    chrm, lengths = load_read_source(
+        resource_path("chrM.sorted.bam"), InputFilters.empty
+    )
+    loci = parse_loci("chrM:0-16571").result(lengths)
+    partitions = partition_loci_uniformly(3, loci)
+    seq_v = variant_loci_from_reads(chrm, partitions, tile_size=512)
+    mesh_v = variant_loci_from_reads(chrm, partitions, tile_size=512, mesh=mesh)
+    assert mesh_v == seq_v
+    assert len(seq_v) > 0

@@ -150,6 +150,108 @@ def test_two_process_somatic_equals_single(tmp_path):
     assert len([l for l in multi if not l.startswith("#")]) > 0
 
 
+def test_two_process_variant_support_equals_single(tmp_path):
+    coordinator = f"127.0.0.1:{_free_port()}"
+    base = [
+        "variant-support",
+        "-v",
+        resource_path("truth.chr20.vcf"),
+        resource_path("gatk_mini_bundle_extract.bam"),
+    ]
+    multi_out = tmp_path / "multi.csv"
+    procs = [
+        _spawn(
+            base
+            + [
+                "-o",
+                str(multi_out),
+                "--coordinator",
+                coordinator,
+                "--num-processes",
+                "2",
+                "--process-id",
+                str(pid),
+            ],
+            tmp_path,
+            f"vs-p{pid}",
+        )
+        for pid in range(2)
+    ]
+    _wait_all(procs)
+    single_out = tmp_path / "single.csv"
+    _wait_all([_spawn(base + ["-o", str(single_out)], tmp_path, "vs-1p")])
+    assert multi_out.read_text() == single_out.read_text()
+    assert single_out.read_text().strip()  # non-empty counts
+
+
+def test_two_process_vaf_histogram_equals_single(tmp_path):
+    coordinator = f"127.0.0.1:{_free_port()}"
+    base = [
+        "vaf-histogram",
+        "--loci",
+        "chrM:0-16571",
+        resource_path(CHRM),
+    ]
+    multi_out = tmp_path / "multi.csv"
+    procs = [
+        _spawn(
+            base
+            + [
+                "--out",
+                str(multi_out),
+                "--coordinator",
+                coordinator,
+                "--num-processes",
+                "2",
+                "--process-id",
+                str(pid),
+            ],
+            tmp_path,
+            f"vaf-p{pid}",
+        )
+        for pid in range(2)
+    ]
+    _wait_all(procs)
+    single_out = tmp_path / "single.csv"
+    _wait_all([_spawn(base + ["--out", str(single_out)], tmp_path, "vaf-1p")])
+    assert multi_out.read_text() == single_out.read_text()
+    assert len(single_out.read_text().splitlines()) > 1
+
+
+def test_two_process_structural_variant_equals_single(tmp_path):
+    coordinator = f"127.0.0.1:{_free_port()}"
+    base = [
+        "structural-variant",
+        "--reads",
+        resource_path("gatk_mini_bundle_extract.bam"),
+    ]
+    multi_out = tmp_path / "multi.txt"
+    procs = [
+        _spawn(
+            base
+            + [
+                "--output",
+                str(multi_out),
+                "--coordinator",
+                coordinator,
+                "--num-processes",
+                "2",
+                "--process-id",
+                str(pid),
+            ],
+            tmp_path,
+            f"sv-p{pid}",
+        )
+        for pid in range(2)
+    ]
+    _wait_all(procs)
+    single_out = tmp_path / "single.txt"
+    _wait_all(
+        [_spawn(base + ["--output", str(single_out)], tmp_path, "sv-1p")]
+    )
+    assert multi_out.read_text() == single_out.read_text()
+
+
 def test_multihost_helpers_single_process():
     """The helper API degrades to identity in single-process runs."""
     from guacamole_tpu.loci.lociset import parse_loci
