@@ -99,8 +99,29 @@ def load_read_source(
         reference_genome=reference_genome,
         recompute_mdtags=recompute_mdtags,
     )
+    reads = read_set.mapped_reads
+    if use_native and reads:
+        # SAM / object-loaded inputs still get the native packer: build the
+        # columnar representation once (event arrays filled by the native
+        # runtime — guac_build_events) so every tile packs in C++ instead
+        # of re-deriving per-read events in Python per tile.
+        from guacamole_tpu.runtime.columnar import (
+            columnar_from_reads,
+            native_available,
+        )
+
+        if native_available():
+            reads = sorted(
+                reads, key=lambda r: (r.reference_contig, r.start)
+            )
+            return (
+                ReadSource.from_columnar(
+                    columnar_from_reads(reads, native=True)
+                ),
+                read_set.contig_lengths,
+            )
     return (
-        ReadSource.from_reads(read_set.mapped_reads),
+        ReadSource.from_reads(reads),
         read_set.contig_lengths,
     )
 

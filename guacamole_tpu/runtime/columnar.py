@@ -337,9 +337,26 @@ def decode_bam_columnar(
     )
 
 
-def columnar_from_reads(reads: Sequence[MappedRead]) -> ColumnarReads:
-    """Python fallback: build ColumnarReads from read objects (also the
-    cross-check oracle for the native decoder)."""
+def columnar_from_reads(
+    reads: Sequence[MappedRead], native: bool = False
+) -> ColumnarReads:
+    """Build ColumnarReads from read objects.
+
+    native=False (default) computes the event arrays in Python — this is
+    the cross-check oracle for the native decoder and must stay pure.
+    native=True assembles the cheap seq/qual/cigar/MD columns here and
+    fills the expensive event arrays with the native runtime
+    (guac_build_events — the same C++ the BAM decoder runs), the
+    production ingest path for SAM / object-loaded reads; falls back to
+    the Python form when the library is unavailable. The two forms are
+    bit-identical (tests/test_runtime.py::test_build_events_native_matches_oracle).
+    """
+    if native:
+        from guacamole_tpu.runtime.native import load_library
+
+        lib = load_library()
+        native = lib is not None and hasattr(lib, "guac_build_events")
+
     from guacamole_tpu.pack.fast import read_event_arrays
 
     ref_names: List[str] = []
@@ -402,7 +419,10 @@ def columnar_from_reads(reads: Sequence[MappedRead]) -> ColumnarReads:
         md = read.mdtag.tag.encode() if read.mdtag else b""
         mds.append(np.frombuffer(md, dtype=np.uint8))
         md_off[i + 1] = md_off[i] + len(md)
-        if read.cigar.read_length == len(read.sequence):
+        span = read.end - read.start
+        if native:
+            pass  # events filled natively after the loop
+        elif read.cigar.read_length == len(read.sequence):
             ev = read_event_arrays(read)
             ev_kind.append(ev.kinds)
             ev_base.append(ev.bases)
@@ -416,9 +436,7 @@ def columnar_from_reads(reads: Sequence[MappedRead]) -> ColumnarReads:
                 sp_plen.append(len(pl))
                 sp_qual.append(q)
                 payload.extend(pl)
-            span = read.end - read.start
         else:
-            span = read.end - read.start
             ev_kind.append(
                 np.full(span, int(EventKind.CLIPPED), dtype=np.uint8)
             )
@@ -434,6 +452,53 @@ def columnar_from_reads(reads: Sequence[MappedRead]) -> ColumnarReads:
             np.concatenate(parts).astype(dtype)
             if parts
             else np.empty(0, dtype=dtype)
+        )
+
+    if native:
+        from guacamole_tpu.runtime.native import build_events_native
+
+        seq_cat = cat(seqs, np.uint8)
+        qual_cat = cat(quals, np.uint8)
+        clen_cat = cat(clens, np.uint32)
+        cop_cat = cat(cops, np.uint8)
+        md_cat = cat(mds, np.uint8)
+        ev = build_events_native(
+            start, mapq, seq_off, seq_cat, qual_cat, cigar_off, clen_cat,
+            cop_cat, md_off, md_cat, ev_off,
+        )
+        if ev is None:  # library raced away: recompute in Python
+            return columnar_from_reads(reads, native=False)
+        return ColumnarReads(
+            ref_names=ref_names,
+            ref_lengths=[0] * len(ref_names),
+            samples=samples or ["default"],
+            ref_id=ref_id,
+            start=start,
+            end=end,
+            mapq=mapq,
+            flags_=flags_arr,
+            mismatches=ev["mismatches"],
+            sample_id=sample_id,
+            seq_off=seq_off,
+            seq=seq_cat,
+            qual=qual_cat,
+            cigar_off=cigar_off,
+            cigar_len=clen_cat,
+            cigar_op=cop_cat,
+            md_off=md_off,
+            md_text=md_cat,
+            ev_off=ev_off,
+            ev_kind=ev["ev_kind"],
+            ev_base=ev["ev_base"],
+            ev_qual=ev["ev_qual"],
+            ev_mdref=ev["ev_mdref"],
+            sp_read=ev["sp_read"],
+            sp_offset=ev["sp_offset"],
+            sp_kind=ev["sp_kind"],
+            sp_payload_offset=ev["sp_payload_offset"],
+            sp_payload_len=ev["sp_payload_len"],
+            sp_qual=ev["sp_qual"],
+            special_payload=ev["special_payload"],
         )
 
     return ColumnarReads(

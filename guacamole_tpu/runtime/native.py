@@ -76,6 +76,15 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.guac_header_text.argtypes = [ctypes.c_void_p]
     lib.guac_specials.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
 
+    if hasattr(lib, "guac_build_events"):
+        lib.guac_build_events.restype = ctypes.c_void_p
+        lib.guac_build_events.argtypes = (
+            [ctypes.c_int64]  # n
+            + [ctypes.c_void_p] * 11  # input columns
+            + [ctypes.c_int]  # threads
+            + [ctypes.c_void_p] * 5  # ev outputs + mismatches
+        )
+
     # tile packer (absent in older builds of the shared library)
     if not hasattr(lib, "guac_pack_tile"):
         _lib = lib
@@ -303,6 +312,94 @@ def _fetch_array(lib, handle, name: str, dtype, owner=None) -> np.ndarray:
         ptr, ctypes.POINTER(ctypes.c_char * (n.value * itemsize))
     ).contents
     return np.frombuffer(buf, dtype=dtype).copy()
+
+
+def build_events_native(
+    start: np.ndarray,
+    mapq: np.ndarray,
+    seq_off: np.ndarray,
+    seq: np.ndarray,
+    qual: np.ndarray,
+    cigar_off: np.ndarray,
+    cigar_len: np.ndarray,
+    cigar_op: np.ndarray,
+    md_off: np.ndarray,
+    md_text: np.ndarray,
+    ev_off: np.ndarray,
+    threads: int = 0,
+):
+    """Build the per-locus event arrays for columnar reads with the native
+    runtime (the same code path the BAM decoder uses) — the fast form of
+    pack/events.py read_pileup_events for reads ingested from SAM / objects.
+
+    Returns a dict with ev_kind/ev_base/ev_qual/ev_mdref (sized ev_off[-1]),
+    mismatches [n], and the sp_* specials arrays, or None if the library
+    (or this entry point) is unavailable."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "guac_build_events"):
+        return None
+    n = len(start)
+    ins = {
+        "start": np.ascontiguousarray(start, dtype=np.int64),
+        "mapq": np.ascontiguousarray(mapq, dtype=np.int32),
+        "seq_off": np.ascontiguousarray(seq_off, dtype=np.int64),
+        "seq": np.ascontiguousarray(seq, dtype=np.uint8),
+        "qual": np.ascontiguousarray(qual, dtype=np.uint8),
+        "cigar_off": np.ascontiguousarray(cigar_off, dtype=np.int64),
+        "cigar_len": np.ascontiguousarray(cigar_len, dtype=np.uint32),
+        "cigar_op": np.ascontiguousarray(cigar_op, dtype=np.uint8),
+        "md_off": np.ascontiguousarray(md_off, dtype=np.int64),
+        "md_text": np.ascontiguousarray(md_text, dtype=np.uint8),
+        "ev_off": np.ascontiguousarray(ev_off, dtype=np.int64),
+    }
+    total = int(ins["ev_off"][-1]) if n else 0
+    out = {
+        "ev_kind": np.empty(total, dtype=np.uint8),
+        "ev_base": np.empty(total, dtype=np.uint8),
+        "ev_qual": np.empty(total, dtype=np.uint8),
+        "ev_mdref": np.empty(total, dtype=np.uint8),
+        "mismatches": np.zeros(n, dtype=np.int32),
+    }
+    handle = lib.guac_build_events(
+        n,
+        *(_ptr(ins[k]) for k in (
+            "start", "mapq", "seq_off", "seq", "qual", "cigar_off",
+            "cigar_len", "cigar_op", "md_off", "md_text", "ev_off",
+        )),
+        threads,
+        _ptr(out["ev_kind"]),
+        _ptr(out["ev_base"]),
+        _ptr(out["ev_qual"]),
+        _ptr(out["ev_mdref"]),
+        _ptr(out["mismatches"]),
+    )
+    if not handle:
+        return None
+    try:
+        n_specials = lib.guac_num_specials(handle)
+        sp = {
+            "sp_read": np.zeros(n_specials, dtype=np.int64),
+            "sp_offset": np.zeros(n_specials, dtype=np.int64),
+            "sp_kind": np.zeros(n_specials, dtype=np.int32),
+            "sp_payload_offset": np.zeros(n_specials, dtype=np.int64),
+            "sp_payload_len": np.zeros(n_specials, dtype=np.int64),
+            "sp_qual": np.zeros(n_specials, dtype=np.int32),
+        }
+        if n_specials:
+            lib.guac_specials(
+                handle,
+                *(_ptr(sp[k]) for k in (
+                    "sp_read", "sp_offset", "sp_kind", "sp_payload_offset",
+                    "sp_payload_len", "sp_qual",
+                )),
+            )
+        out.update(sp)
+        out["special_payload"] = _fetch_array(
+            lib, handle, "special_payload", np.uint8
+        )
+    finally:
+        lib.guac_free_reads(handle)
+    return out
 
 
 def decode_bam_native(path: str, threads: int = 0, chunks=None):

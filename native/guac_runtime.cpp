@@ -1002,6 +1002,109 @@ ACCESSOR(ev_qual, ev_qual, uint8_t)
 ACCESSOR(ev_mdref, ev_mdref, uint8_t)
 ACCESSOR(special_payload, special_payload, uint8_t)
 
+// Build event arrays for reads supplied as columnar buffers (the SAM /
+// object-read ingest path: Python assembles the cheap seq/qual/cigar/MD
+// columns, this fills the expensive per-locus event arrays with the SAME
+// code the BAM decoder uses — mirrors pack/events.py read_pileup_events).
+// Outputs ev_kind/ev_base/ev_qual/ev_mdref are caller-allocated, sized
+// ev_off[n]; mismatches is caller-allocated [n]. Returns a Reads* handle
+// carrying ONLY the specials + payload (fetch via guac_num_specials /
+// guac_specials / guac_special_payload; free with guac_free_reads).
+void* guac_build_events(int64_t n, const int64_t* start, const int32_t* mapq,
+                        const int64_t* seq_off, const uint8_t* seq,
+                        const uint8_t* qual, const int64_t* cigar_off,
+                        const uint32_t* cigar_len, const uint8_t* cigar_op,
+                        const int64_t* md_off, const uint8_t* md_text,
+                        const int64_t* ev_off, int threads,
+                        uint8_t* ev_kind, uint8_t* ev_base, uint8_t* ev_qual,
+                        uint8_t* ev_mdref, int32_t* mismatches) {
+  Reads* r = new Reads();
+  if (n <= 0) return r;
+  if (threads < 1) {
+    threads = (int)std::min<unsigned>(std::thread::hardware_concurrency(), 16);
+    if (threads < 1) threads = 1;
+  }
+  int nthreads = (int)std::min<int64_t>(threads, n);
+  int64_t per = (n + nthreads - 1) / nthreads;
+  std::vector<std::vector<Special>> range_specials(nthreads);
+  std::vector<std::vector<uint8_t>> range_payload(nthreads);
+
+  auto work = [&](int t) {
+    int64_t lo = (int64_t)t * per;
+    int64_t hi = std::min(lo + per, n);
+    auto& specials = range_specials[t];
+    auto& payload = range_payload[t];
+    std::vector<uint32_t> enc;  // BAM-encoded cigar, reused across reads
+    for (int64_t i = lo; i < hi; i++) {
+      int64_t span = ev_off[i + 1] - ev_off[i];
+      int64_t seq_len = seq_off[i + 1] - seq_off[i];
+      int64_t n_cigar = cigar_off[i + 1] - cigar_off[i];
+      const uint8_t* rseq = seq + seq_off[i];
+      const uint8_t* rqual = qual + seq_off[i];
+
+      uint8_t* kinds = ev_kind + ev_off[i];
+      uint8_t* bases = ev_base + ev_off[i];
+      uint8_t* equals = ev_qual + ev_off[i];
+      uint8_t* mdref = ev_mdref + ev_off[i];
+      memset(kinds, EV_CLIPPED, (size_t)span);
+      memset(bases, 0, (size_t)span);
+      memset(equals, (uint8_t)mapq[i], (size_t)span);
+      memset(mdref, 'N', (size_t)span);
+      mismatches[i] = 0;
+
+      enc.clear();
+      int64_t cigar_span = 0, read_len_from_cigar = 0;
+      for (int64_t c = 0; c < n_cigar; c++) {
+        uint32_t op = cigar_op[cigar_off[i] + c];
+        uint32_t len = cigar_len[cigar_off[i] + c];
+        if (op > 8) { cigar_span = -1; break; }
+        enc.push_back((len << 4) | op);
+        if (OP_CONSUMES_REF[op] || op == OP_P) cigar_span += len;
+        if (OP_CONSUMES_READ[op]) read_len_from_cigar += len;
+      }
+      // Same gate as the BAM decoder's m.consistent, plus a defensive
+      // span check so the provided ev_off can never be overrun.
+      bool consistent =
+          cigar_span == span && read_len_from_cigar == seq_len;
+      if (!consistent || span <= 0) continue;
+
+      int64_t md_len = md_off[i + 1] - md_off[i];
+      int32_t mm = -1;
+      if (md_len > 0) {
+        if (!expand_md(reinterpret_cast<const char*>(md_text + md_off[i]),
+                       (size_t)md_len, enc.data(), (int32_t)n_cigar, rseq,
+                       mdref, (size_t)span, &mm)) {
+          memset(mdref, 'N', (size_t)span);
+          mm = -1;
+        }
+      }
+      mismatches[i] = mm < 0 ? 0 : mm;
+
+      build_events_at(i, start[i], enc.data(), enc.size(), rseq, rqual,
+                      (size_t)seq_len, mapq[i], kinds, bases, equals, mdref,
+                      (size_t)span, &specials, &payload);
+    }
+  };
+  if (nthreads <= 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; t++) pool.emplace_back(work, t);
+    for (auto& th : pool) th.join();
+  }
+  for (int t = 0; t < nthreads; t++) {
+    int64_t base = (int64_t)r->special_payload.size();
+    for (Special sp : range_specials[t]) {
+      sp.payload_offset += base;
+      r->specials.push_back(sp);
+    }
+    r->special_payload.insert(r->special_payload.end(),
+                              range_payload[t].begin(),
+                              range_payload[t].end());
+  }
+  return r;
+}
+
 int64_t guac_num_specials(void* h) {
   return static_cast<Reads*>(h)->specials.size();
 }

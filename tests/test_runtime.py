@@ -114,3 +114,35 @@ def test_to_mapped_read_roundtrip(pair):
         assert got.mdtag == want.mdtag
         assert got.sample_name == want.sample_name
         assert got.is_positive_strand == want.is_positive_strand
+
+
+@pytest.mark.parametrize(
+    "fixture",
+    [
+        "tumor.chr20.tough.sam",
+        "normal.chr20.tough.sam",
+        "same_start_reads.sam",
+        "rna_chr17_41244936.sam",
+        "gatk_mini_bundle_extract.bam",
+    ],
+)
+def test_build_events_native_matches_oracle(fixture, resources_dir):
+    """columnar_from_reads(native=True) — the SAM/object ingest path that
+    fills event arrays with guac_build_events — must be bit-identical to
+    the pure-Python oracle (native=False)."""
+    from guacamole_tpu.loci.lociset import parse_loci
+
+    filters = InputFilters.create(overlaps_loci=parse_loci("all"))
+    reads = load_read_set(resource_path(fixture), filters).mapped_reads
+    oracle = columnar_from_reads(reads, native=False)
+    fast = columnar_from_reads(reads, native=True)
+    for field in (
+        "ref_id", "start", "end", "mapq", "flags_", "mismatches",
+        "sample_id", "seq_off", "seq", "qual", "cigar_off", "cigar_len",
+        "cigar_op", "md_off", "md_text", "ev_off", "ev_kind", "ev_base",
+        "ev_qual", "ev_mdref", "sp_read", "sp_offset", "sp_kind",
+        "sp_payload_offset", "sp_payload_len", "sp_qual", "special_payload",
+    ):
+        np.testing.assert_array_equal(
+            getattr(oracle, field), getattr(fast, field), err_msg=field
+        )
