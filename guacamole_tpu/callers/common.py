@@ -51,22 +51,33 @@ def load_read_source(
 
     if (
         use_native
-        and path.lower().endswith(".bam")
+        and path.lower().endswith((".bam", ".sam"))
         and not recompute_mdtags
     ):
         from guacamole_tpu.runtime.columnar import (
             decode_bam_columnar,
+            decode_sam_columnar,
             filter_columnar,
         )
 
-        chunks = (
-            bai_chunks_for_loci(path, filters.overlaps_loci)
-            if filters.overlaps_loci is not None
-            else None
-        )
-        cols = decode_bam_columnar(path, chunks=chunks)
+        if path.lower().endswith(".sam"):
+            cols = decode_sam_columnar(path)
+        else:
+            chunks = (
+                bai_chunks_for_loci(path, filters.overlaps_loci)
+                if filters.overlaps_loci is not None
+                else None
+            )
+            cols = decode_bam_columnar(path, chunks=chunks)
         if cols is not None:
             dictionary = cols.contig_lengths
+            for contig_id, contig in enumerate(cols.ref_names):
+                # SAM headers may omit @SQ lengths: fall back to the
+                # furthest read end (matches the object loader)
+                if dictionary.get(contig, 0) == 0:
+                    m = cols.ref_id == contig_id
+                    if m.any():
+                        dictionary[contig] = int(cols.end[m].max())
             loci_set = (
                 filters.overlaps_loci.result(dictionary)
                 if filters.overlaps_loci is not None

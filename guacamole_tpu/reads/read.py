@@ -12,6 +12,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 from typing import Optional, Tuple
 
+import numpy as np
+
 from guacamole_tpu.reads.cigar import IS_CLIP, Cigar
 from guacamole_tpu.reads.mdtag import MdTag, get_reference
 from guacamole_tpu.utils import bases as Bases
@@ -316,7 +318,9 @@ def base_quality_string_to_bytes(base_qualities: str, length: int) -> bytes:
     string -> all zeros (cf. Read.scala:201-209)."""
     if not base_qualities:
         return bytes(length)
-    return bytes(ord(q) - 33 for q in base_qualities)
+    return (
+        np.frombuffer(base_qualities.encode("ascii"), dtype=np.uint8) - 33
+    ).tobytes()
 
 
 def make_read(

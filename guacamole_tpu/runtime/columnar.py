@@ -301,6 +301,20 @@ def decode_bam_columnar(
     from guacamole_tpu.runtime.native import decode_bam_native
 
     raw = decode_bam_native(path, threads, chunks=chunks)
+    return _columnar_from_raw(raw)
+
+
+def decode_sam_columnar(path: str, threads: int = 0) -> Optional[ColumnarReads]:
+    """Decode a SAM text file into ColumnarReads with the native runtime
+    (None if unavailable) — the text-format twin of decode_bam_columnar,
+    sharing the BAM decoder's event-building code."""
+    from guacamole_tpu.runtime.native import decode_sam_native
+
+    raw = decode_sam_native(path, threads)
+    return _columnar_from_raw(raw)
+
+
+def _columnar_from_raw(raw) -> Optional[ColumnarReads]:
     if raw is None:
         return None
     return ColumnarReads(
@@ -406,7 +420,15 @@ def columnar_from_reads(
         if read.failed_vendor_quality_checks:
             f |= flags.VENDOR_FAILED
         flags_arr[i] = f
-        mismatches[i] = read.mdtag.count_of_mismatches if read.mdtag else 0
+        # 0 for cigar-inconsistent reads: the native decoders only count
+        # mismatches via MD expansion on consistent reads (such reads pack
+        # all-CLIPPED events and never reach a pileup, so the count is
+        # unused either way)
+        mismatches[i] = (
+            read.mdtag.count_of_mismatches
+            if read.mdtag and read.cigar.read_length == len(read.sequence)
+            else 0
+        )
         sample_id[i] = sample_index[sample]
         seqs.append(np.frombuffer(read.sequence, dtype=np.uint8))
         quals.append(np.frombuffer(read.base_qualities, dtype=np.uint8))

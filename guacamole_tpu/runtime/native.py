@@ -54,6 +54,9 @@ def load_library() -> Optional[ctypes.CDLL]:
 
     lib.guac_decode_bam.restype = ctypes.c_void_p
     lib.guac_decode_bam.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    if hasattr(lib, "guac_decode_sam"):
+        lib.guac_decode_sam.restype = ctypes.c_void_p
+        lib.guac_decode_sam.argtypes = [ctypes.c_char_p, ctypes.c_int]
     if hasattr(lib, "guac_decode_bam_chunks"):
         lib.guac_decode_bam_chunks.restype = ctypes.c_void_p
         lib.guac_decode_bam_chunks.argtypes = [
@@ -429,6 +432,22 @@ def decode_bam_native(path: str, threads: int = 0, chunks=None):
         )
     else:
         handle = lib.guac_decode_bam(path.encode(), threads)
+    return _reads_handle_to_dict(lib, handle)
+
+
+def decode_sam_native(path: str, threads: int = 0):
+    """Decode a SAM text file with the native runtime into the same
+    columnar dict as decode_bam_native, or None if unavailable."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "guac_decode_sam"):
+        return None
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    handle = lib.guac_decode_sam(path.encode(), threads)
+    return _reads_handle_to_dict(lib, handle)
+
+
+def _reads_handle_to_dict(lib, handle):
     if not handle:
         return None
     owner = _NativeOwner(lib.guac_free_reads, handle)

@@ -1002,24 +1002,23 @@ ACCESSOR(ev_qual, ev_qual, uint8_t)
 ACCESSOR(ev_mdref, ev_mdref, uint8_t)
 ACCESSOR(special_payload, special_payload, uint8_t)
 
-// Build event arrays for reads supplied as columnar buffers (the SAM /
-// object-read ingest path: Python assembles the cheap seq/qual/cigar/MD
-// columns, this fills the expensive per-locus event arrays with the SAME
-// code the BAM decoder uses — mirrors pack/events.py read_pileup_events).
-// Outputs ev_kind/ev_base/ev_qual/ev_mdref are caller-allocated, sized
-// ev_off[n]; mismatches is caller-allocated [n]. Returns a Reads* handle
-// carrying ONLY the specials + payload (fetch via guac_num_specials /
-// guac_specials / guac_special_payload; free with guac_free_reads).
-void* guac_build_events(int64_t n, const int64_t* start, const int32_t* mapq,
-                        const int64_t* seq_off, const uint8_t* seq,
-                        const uint8_t* qual, const int64_t* cigar_off,
-                        const uint32_t* cigar_len, const uint8_t* cigar_op,
-                        const int64_t* md_off, const uint8_t* md_text,
-                        const int64_t* ev_off, int threads,
-                        uint8_t* ev_kind, uint8_t* ev_base, uint8_t* ev_qual,
-                        uint8_t* ev_mdref, int32_t* mismatches) {
-  Reads* r = new Reads();
-  if (n <= 0) return r;
+}  // extern "C"
+
+namespace {
+
+// Fill the per-locus event arrays for reads supplied as columnar buffers,
+// with the SAME code the BAM decoder's phase 2 uses (mirrors
+// pack/events.py read_pileup_events). Outputs are caller-allocated
+// (ev_* sized ev_off[n], mismatches [n]); specials + payload append to r.
+void fill_events_columns(int64_t n, const int64_t* start, const int32_t* mapq,
+                         const int64_t* seq_off, const uint8_t* seq,
+                         const uint8_t* qual, const int64_t* cigar_off,
+                         const uint32_t* cigar_len, const uint8_t* cigar_op,
+                         const int64_t* md_off, const uint8_t* md_text,
+                         const int64_t* ev_off, int threads,
+                         uint8_t* ev_kind, uint8_t* ev_base, uint8_t* ev_qual,
+                         uint8_t* ev_mdref, int32_t* mismatches, Reads* r) {
+  if (n <= 0) return;
   if (threads < 1) {
     threads = (int)std::min<unsigned>(std::thread::hardware_concurrency(), 16);
     if (threads < 1) threads = 1;
@@ -1101,6 +1100,271 @@ void* guac_build_events(int64_t n, const int64_t* start, const int32_t* mapq,
     r->special_payload.insert(r->special_payload.end(),
                               range_payload[t].begin(),
                               range_payload[t].end());
+  }
+}
+
+// Parse SAM text into the same columnar Reads the BAM decoder produces
+// (header @SQ/@RG, records, then event arrays via fill_events_columns).
+// Mirrors gio/sam.py: seq/qual '*' handling, '='/unknown-contig rules,
+// RG:Z -> sample, MD:Z tag, 1-based -> 0-based positions.
+// text must have a NUL terminator at data()[size] (strtol field parses
+// stop at '\t'/'\n' but must not run off the allocation on a truncated
+// final line).
+bool parse_sam_text(const std::vector<uint8_t>& text, size_t size, Reads* r,
+                    int threads) {
+  const char* p = reinterpret_cast<const char*>(text.data());
+  const char* end = p + size;
+
+  // ---- header ----
+  std::map<std::string, int> ref_index;
+  const char* body = p;
+  std::string header_text;
+  while (body < end && *body == '@') {
+    const char* eol = static_cast<const char*>(
+        memchr(body, '\n', (size_t)(end - body)));
+    const char* line_end = eol ? eol : end;
+    header_text.append(body, (size_t)(line_end - body));
+    header_text.push_back('\n');
+    if (line_end - body >= 4 && memcmp(body, "@SQ\t", 4) == 0) {
+      std::string name;
+      int64_t len = 0;
+      const char* f = body;
+      while (f < line_end) {
+        const char* ftab = static_cast<const char*>(
+            memchr(f, '\t', (size_t)(line_end - f)));
+        const char* fend = ftab ? ftab : line_end;
+        if (fend - f > 3 && memcmp(f, "SN:", 3) == 0) {
+          name.assign(f + 3, (size_t)(fend - f - 3));
+        } else if (fend - f > 3 && memcmp(f, "LN:", 3) == 0) {
+          len = strtoll(f + 3, nullptr, 10);
+        }
+        f = fend + 1;
+      }
+      if (!name.empty()) {
+        ref_index[name] = (int)r->ref_names.size();
+        r->ref_names.push_back(name);
+        r->ref_lengths.push_back(len);
+      }
+    }
+    body = line_end + 1;
+  }
+  r->header_text = header_text;
+  std::map<std::string, int> rg_to_sample;
+  parse_read_groups(header_text, &rg_to_sample, &r->samples);
+  int default_sample = -1;
+
+  // ---- records ----
+  r->seq_off.push_back(0);
+  r->cigar_off.push_back(0);
+  r->md_off.push_back(0);
+  r->ev_off.push_back(0);
+
+  // op char -> BAM op code; 0xff = invalid
+  uint8_t op_code[256];
+  memset(op_code, 0xff, sizeof(op_code));
+  const char* ops = "MIDNSHP=X";
+  for (int i = 0; ops[i]; i++) op_code[(uint8_t)ops[i]] = (uint8_t)i;
+
+  while (body < end) {
+    const char* eol = static_cast<const char*>(
+        memchr(body, '\n', (size_t)(end - body)));
+    const char* line_end = eol ? eol : end;
+    if (line_end > body && line_end[-1] == '\r') line_end--;
+    const char* line = body;
+    body = (eol ? eol : end) + 1;
+    if (line_end == line) continue;  // blank line
+
+    // tokenize mandatory fields
+    const char* f[12];
+    const char* fe[12];
+    int nf = 0;
+    const char* q = line;
+    while (nf < 12 && q <= line_end) {
+      const char* tab = static_cast<const char*>(
+          memchr(q, '\t', (size_t)(line_end - q)));
+      f[nf] = q;
+      fe[nf] = tab ? tab : line_end;
+      q = (tab ? tab : line_end) + 1;
+      nf++;
+      if (!tab) break;
+    }
+    if (nf < 11) {
+      r->error = "malformed SAM record (fewer than 11 fields)";
+      return false;
+    }
+
+    int flag = (int)strtol(f[1], nullptr, 10);
+    int64_t pos = strtoll(f[3], nullptr, 10);
+    int mapq = (int)strtol(f[4], nullptr, 10);
+
+    // reference id: '*' or pos<=0 -> unmapped (-1); unknown contigs are
+    // appended with length 0 (gio/sam.py keeps such reads mapped)
+    int ref_id = -1;
+    std::string rname(f[2], (size_t)(fe[2] - f[2]));
+    if (!(rname == "*" || rname.empty() || pos <= 0)) {
+      auto it = ref_index.find(rname);
+      if (it == ref_index.end()) {
+        ref_id = (int)r->ref_names.size();
+        ref_index[rname] = ref_id;
+        r->ref_names.push_back(rname);
+        r->ref_lengths.push_back(0);
+      } else {
+        ref_id = it->second;
+      }
+    }
+
+    // cigar
+    int64_t cigar_count = 0;
+    int64_t span = 0;
+    if (!(fe[5] - f[5] == 1 && *f[5] == '*')) {
+      const char* c = f[5];
+      while (c < fe[5]) {
+        char* after = nullptr;
+        long len = strtol(c, &after, 10);
+        if (after == c || after >= fe[5]) {
+          r->error = "malformed CIGAR";
+          return false;
+        }
+        uint8_t op = op_code[(uint8_t)*after];
+        if (op == 0xff) {
+          r->error = "malformed CIGAR op";
+          return false;
+        }
+        r->cigar_len.push_back((uint32_t)len);
+        r->cigar_op.push_back(op);
+        if (OP_CONSUMES_REF[op] || op == OP_P) span += len;
+        cigar_count++;
+        c = after + 1;
+      }
+    }
+
+    // mate fields
+    int mate_ref = -1;
+    if (fe[6] - f[6] == 1 && *f[6] == '=') {
+      mate_ref = ref_id;
+    } else if (!(fe[6] - f[6] == 1 && *f[6] == '*')) {
+      auto it = ref_index.find(std::string(f[6], (size_t)(fe[6] - f[6])));
+      if (it != ref_index.end()) mate_ref = it->second;
+    }
+    int64_t pnext = strtoll(f[7], nullptr, 10);
+    int32_t tlen = (int32_t)strtol(f[8], nullptr, 10);
+
+    // seq / qual ('*' -> empty / zeros)
+    int64_t l_seq = 0;
+    if (!(fe[9] - f[9] == 1 && *f[9] == '*')) {
+      l_seq = fe[9] - f[9];
+      r->seq.insert(r->seq.end(), f[9], fe[9]);
+      if (fe[10] - f[10] == 1 && *f[10] == '*') {
+        r->qual.insert(r->qual.end(), (size_t)l_seq, 0);
+      } else {
+        if (fe[10] - f[10] != l_seq) {
+          r->error = "QUAL length != SEQ length";
+          return false;
+        }
+        for (const char* qq = f[10]; qq < fe[10]; qq++)
+          r->qual.push_back((uint8_t)(*qq - 33));
+      }
+    }
+
+    // optional tags: MD:Z and RG:Z
+    int64_t md_len = 0;
+    int sample = -1;
+    if (nf == 12) {
+      const char* t = f[11];
+      const char* tags_end = line_end;
+      while (t < tags_end) {
+        const char* tab = static_cast<const char*>(
+            memchr(t, '\t', (size_t)(tags_end - t)));
+        const char* te = tab ? tab : tags_end;
+        if (te - t > 5 && memcmp(t, "MD:Z:", 5) == 0) {
+          md_len = te - t - 5;
+          r->md_text.insert(r->md_text.end(), t + 5, te);
+        } else if (te - t > 5 && memcmp(t, "RG:Z:", 5) == 0) {
+          auto it = rg_to_sample.find(std::string(t + 5, (size_t)(te - t - 5)));
+          if (it != rg_to_sample.end()) sample = it->second;
+        }
+        t = te + 1;
+      }
+    }
+    if (sample < 0) {
+      if (default_sample < 0) {
+        default_sample = (int)r->samples.size();
+        r->samples.push_back("default");
+      }
+      sample = default_sample;
+    }
+
+    int64_t start0 = pos - 1;
+    r->ref_id.push_back(ref_id);
+    r->start.push_back(start0);
+    r->end.push_back(start0 + span);
+    r->mapq.push_back(mapq);
+    r->flags.push_back((uint16_t)flag);
+    r->mate_ref_id.push_back(mate_ref);
+    r->mate_start.push_back(pnext - 1);
+    r->tlen.push_back(tlen);
+    r->mismatches.push_back(0);
+    r->sample_id.push_back(sample);
+    r->seq_off.push_back(r->seq_off.back() + l_seq);
+    r->cigar_off.push_back(r->cigar_off.back() + cigar_count);
+    r->md_off.push_back(r->md_off.back() + md_len);
+    r->ev_off.push_back(r->ev_off.back() + span);
+  }
+
+  // ---- events (same phase-2 code as the BAM decoder) ----
+  int64_t n = (int64_t)r->start.size();
+  int64_t total = r->ev_off.back();
+  r->ev_kind.resize((size_t)total);
+  r->ev_base.resize((size_t)total);
+  r->ev_qual.resize((size_t)total);
+  r->ev_mdref.resize((size_t)total);
+  fill_events_columns(n, r->start.data(), r->mapq.data(), r->seq_off.data(),
+                      r->seq.data(), r->qual.data(), r->cigar_off.data(),
+                      r->cigar_len.data(), r->cigar_op.data(),
+                      r->md_off.data(), r->md_text.data(), r->ev_off.data(),
+                      threads, r->ev_kind.data(), r->ev_base.data(),
+                      r->ev_qual.data(), r->ev_mdref.data(),
+                      r->mismatches.data(), r);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build event arrays for reads supplied as columnar buffers (the
+// object-read ingest path: Python assembles the cheap seq/qual/cigar/MD
+// columns, this fills the expensive per-locus event arrays with the SAME
+// code the BAM decoder uses — mirrors pack/events.py read_pileup_events).
+// Outputs ev_kind/ev_base/ev_qual/ev_mdref are caller-allocated, sized
+// ev_off[n]; mismatches is caller-allocated [n]. Returns a Reads* handle
+// carrying ONLY the specials + payload (fetch via guac_num_specials /
+// guac_specials / guac_special_payload; free with guac_free_reads).
+void* guac_build_events(int64_t n, const int64_t* start, const int32_t* mapq,
+                        const int64_t* seq_off, const uint8_t* seq,
+                        const uint8_t* qual, const int64_t* cigar_off,
+                        const uint32_t* cigar_len, const uint8_t* cigar_op,
+                        const int64_t* md_off, const uint8_t* md_text,
+                        const int64_t* ev_off, int threads,
+                        uint8_t* ev_kind, uint8_t* ev_base, uint8_t* ev_qual,
+                        uint8_t* ev_mdref, int32_t* mismatches) {
+  Reads* r = new Reads();
+  fill_events_columns(n, start, mapq, seq_off, seq, qual, cigar_off,
+                      cigar_len, cigar_op, md_off, md_text, ev_off, threads,
+                      ev_kind, ev_base, ev_qual, ev_mdref, mismatches, r);
+  return r;
+}
+
+// Decode a SAM text file into the same columnar handle as guac_decode_bam.
+void* guac_decode_sam(const char* path, int threads) {
+  std::vector<uint8_t> raw;
+  if (!read_file(path, &raw)) return nullptr;
+  size_t size = raw.size();
+  raw.push_back(0);  // strtol guard for a truncated final line
+  Reads* r = new Reads();
+  if (!parse_sam_text(raw, size, r, threads)) {
+    delete r;
+    return nullptr;
   }
   return r;
 }

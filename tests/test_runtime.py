@@ -146,3 +146,59 @@ def test_build_events_native_matches_oracle(fixture, resources_dir):
         np.testing.assert_array_equal(
             getattr(oracle, field), getattr(fast, field), err_msg=field
         )
+
+
+@pytest.mark.parametrize(
+    "fixture",
+    [
+        "tumor.chr20.tough.sam",
+        "normal.chr20.tough.sam",
+        "different_start_reads.sam",  # cigar-inconsistent read w/ MD tag
+        "same_start_reads.sam",
+        "rna_chr17_41244936.sam",
+        "testrna.sam",
+        "mdtagissue.sam",
+    ],
+)
+def test_decode_sam_native_matches_oracle(fixture, resources_dir):
+    """The native SAM text decoder must produce the same columnar content
+    as the Python loader + oracle event builder (mapped reads)."""
+    from guacamole_tpu.runtime.columnar import decode_sam_columnar
+
+    native = decode_sam_columnar(resource_path(fixture))
+    assert native is not None
+    read_set = load_read_set(resource_path(fixture), InputFilters.empty)
+    mapped = [r.as_mapped_read for r in read_set.reads if r.is_mapped]
+    oracle = columnar_from_reads(mapped)
+    nm = native.select(native.is_mapped_mask).compact()
+    assert nm.n == oracle.n
+    for field in (
+        "start", "end", "mapq", "mismatches", "seq_off", "seq", "qual",
+        "cigar_off", "cigar_len", "cigar_op", "md_off", "md_text",
+        "ev_off", "ev_kind", "ev_base", "ev_qual", "ev_mdref",
+    ):
+        np.testing.assert_array_equal(
+            getattr(nm, field), getattr(oracle, field), err_msg=field
+        )
+    np.testing.assert_array_equal(
+        nm.flags_ & 0x611, oracle.flags_ & 0x611
+    )  # paired/reverse/dup/vendor bits
+    assert [nm.samples[i] for i in nm.sample_id] == [
+        oracle.samples[i] for i in oracle.sample_id
+    ]
+    assert [nm.ref_names[i] for i in nm.ref_id] == [
+        oracle.ref_names[i] for i in oracle.ref_id
+    ]
+
+    def norm(c):
+        out = []
+        for i in range(len(c.sp_read)):
+            lo = int(c.sp_payload_offset[i])
+            pl = bytes(c.special_payload[lo : lo + int(c.sp_payload_len[i])])
+            out.append(
+                (int(c.sp_read[i]), int(c.sp_offset[i]), int(c.sp_kind[i]),
+                 pl, int(c.sp_qual[i]))
+            )
+        return sorted(out)
+
+    assert norm(nm) == norm(oracle)
