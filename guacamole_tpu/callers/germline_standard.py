@@ -314,6 +314,10 @@ def call_variants(
                 min_mapq=min_alignment_quality,
             )
         else:
+            # Per-tile async launches; batching same-depth tiles into one
+            # launch was measured on the remote TPU at 0.30 s vs 0.28 s
+            # end-to-end (chrM) — the batch barrier stalls behind the
+            # slowest tile's packing, so async overlap wins.
             screen_iter = pipelined(prefetch_iter(tiles(), ahead=2), launch)
         for item, pending in screen_iter:
             sample_name, sample_source, contig, tile = item

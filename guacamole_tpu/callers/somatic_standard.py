@@ -574,6 +574,8 @@ def call_variants(
                 min_mapq=min_alignment_quality,
             )
         else:
+            # Per-tile async launches (batching measured slower — see
+            # germline_standard.call_variants).
             screen_iter = pipelined(prefetch_iter(tiles(), ahead=2), launch)
         for (contig, tile, tumor, normal), pending in screen_iter:
             if pending is None:

@@ -334,6 +334,58 @@ def ll_mapq_of(tile, min_mapq: int = 0) -> np.ndarray:
     return np.clip(np.asarray(tile.mapq), 0, 255).astype(np.uint8)
 
 
+def _ll_screen_device(
+    ll_pack: np.ndarray,
+    ll_mapq,  # [L, D] uint8 or None
+    is_variant: np.ndarray,
+    is_standard_alt: np.ndarray,
+    max_alleles: int,
+    margin: float = 0.5,
+):
+    """Dispatch the genotype-likelihood candidate screen on raw arrays
+    (germline form, or the alignment-included tumor form when ll_mapq is
+    given), Pallas or XLA per kernel_path() — identical semantics.
+    Returns the device candidates array."""
+    if kernel_path() == "pallas":
+        from guacamole_tpu.ops.pallas_kernels import pallas_likelihood_screen
+
+        return pallas_likelihood_screen(
+            ll_pack,
+            ll_mapq,
+            is_variant,
+            is_standard_alt,
+            max_alleles,
+            margin=margin,
+            include_alignment=ll_mapq is not None,
+            interpret=not on_tpu(),
+        )
+    if ll_mapq is not None:
+        from guacamole_tpu.ops.kernels import tumor_likelihood_screen
+
+        return tumor_likelihood_screen(
+            ll_pack, ll_mapq, is_variant, is_standard_alt, max_alleles,
+            margin=margin,
+        )
+    from guacamole_tpu.ops.kernels import germline_likelihood_screen
+
+    return germline_likelihood_screen(
+        ll_pack, is_variant, is_standard_alt, max_alleles, margin=margin
+    )
+
+
+def ll_screen_arrays_launch(
+    ll_pack, ll_mapq, is_variant, is_standard_alt, max_alleles: int,
+    margin: float = 0.5,
+) -> PendingCandidates:
+    """PendingCandidates form of _ll_screen_device."""
+    return PendingCandidates(
+        _ll_screen_device(
+            ll_pack, ll_mapq, is_variant, is_standard_alt, max_alleles,
+            margin=margin,
+        )
+    )
+
+
 def germline_screen_launch(
     tile, min_mapq: int = 0, margin: float = 0.5
 ) -> PendingCandidates:
@@ -344,31 +396,13 @@ def germline_screen_launch(
     tables are already MAPQ-filtered natively; the min_mapq here only
     applies to Python-packed full tiles.
     """
-    ll_pack = ll_pack_of(tile, min_mapq)
-    if kernel_path() == "pallas":
-        from guacamole_tpu.ops.pallas_kernels import pallas_likelihood_screen
-
-        return PendingCandidates(
-            pallas_likelihood_screen(
-                ll_pack,
-                None,
-                np.asarray(tile.is_variant),
-                np.asarray(tile.is_standard_alt),
-                tile.K,
-                margin=margin,
-                interpret=not on_tpu(),
-            )
-        )
-    from guacamole_tpu.ops.kernels import germline_likelihood_screen
-
-    return PendingCandidates(
-        germline_likelihood_screen(
-            ll_pack,
-            np.asarray(tile.is_variant),
-            np.asarray(tile.is_standard_alt),
-            tile.K,
-            margin=margin,
-        )
+    return ll_screen_arrays_launch(
+        ll_pack_of(tile, min_mapq),
+        None,
+        np.asarray(tile.is_variant),
+        np.asarray(tile.is_standard_alt),
+        tile.K,
+        margin=margin,
     )
 
 
@@ -384,32 +418,13 @@ def tumor_screen_launch(
             "tile was likelihood-packed with min_mapq=%d but the screen "
             "requested min_mapq=%d" % (packed_min, min_mapq)
         )
-    if kernel_path() == "pallas":
-        from guacamole_tpu.ops.pallas_kernels import pallas_likelihood_screen
-
-        return PendingCandidates(
-            pallas_likelihood_screen(
-                np.asarray(tile.ll_pack),
-                np.asarray(tile.ll_mapq),
-                np.asarray(tile.is_variant),
-                np.asarray(tile.is_standard_alt),
-                tile.K,
-                margin=margin,
-                include_alignment=True,
-                interpret=not on_tpu(),
-            )
-        )
-    from guacamole_tpu.ops.kernels import tumor_likelihood_screen
-
-    return PendingCandidates(
-        tumor_likelihood_screen(
-            tile.ll_pack,
-            tile.ll_mapq,
-            np.asarray(tile.is_variant),
-            np.asarray(tile.is_standard_alt),
-            tile.K,
-            margin=margin,
-        )
+    return ll_screen_arrays_launch(
+        np.asarray(tile.ll_pack),
+        np.asarray(tile.ll_mapq),
+        np.asarray(tile.is_variant),
+        np.asarray(tile.is_standard_alt),
+        tile.K,
+        margin=margin,
     )
 
 
@@ -821,3 +836,4 @@ def pipelined_batched_screens(
         flush(key)
     while in_flight:
         yield in_flight.popleft()
+
