@@ -97,9 +97,17 @@ def main() -> int:
         n *= 2
 
     base = results[1]["elements_per_s"]
+    cores = os.cpu_count() or 1
     for n, r in results.items():
         r["speedup"] = round(r["elements_per_s"] / base, 2)
         r["efficiency"] = round(r["elements_per_s"] / base / n, 2)
+        # On a virtual mesh, n shards share this host's cores, so the
+        # attainable speedup is bounded by min(n, cores) — report
+        # efficiency against that bound as well (on a pod the two
+        # efficiencies coincide: one chip per shard).
+        r["efficiency_vs_core_bound"] = round(
+            r["elements_per_s"] / base / min(n, cores), 2
+        )
     report = {
         "note": (
             "virtual CPU mesh: all shards share this host's physical cores, "
