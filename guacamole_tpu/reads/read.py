@@ -318,9 +318,14 @@ def base_quality_string_to_bytes(base_qualities: str, length: int) -> bytes:
     string -> all zeros (cf. Read.scala:201-209)."""
     if not base_qualities:
         return bytes(length)
-    return (
-        np.frombuffer(base_qualities.encode("ascii"), dtype=np.uint8) - 33
-    ).tobytes()
+    arr = np.frombuffer(base_qualities.encode("ascii"), dtype=np.uint8)
+    if arr.size and int(arr.min()) < 33:
+        # Phred+33: anything below '!' is corrupt; a silent uint8 wrap
+        # would fabricate a huge base quality (e.g. ' ' -> 255).
+        raise ValueError(
+            "base quality character below '!' in %r" % base_qualities
+        )
+    return (arr - 33).tobytes()
 
 
 def make_read(

@@ -1038,6 +1038,11 @@ void fill_events_columns(int64_t n, const int64_t* start, const int32_t* mapq,
       int64_t span = ev_off[i + 1] - ev_off[i];
       int64_t seq_len = seq_off[i + 1] - seq_off[i];
       int64_t n_cigar = cigar_off[i + 1] - cigar_off[i];
+      mismatches[i] = 0;
+      // Defensive: caller-supplied offset arrays must be monotone; a
+      // negative span here would otherwise cast to a huge size_t in the
+      // memsets below and overwrite the heap.
+      if (span < 0 || seq_len < 0 || n_cigar < 0) continue;
       const uint8_t* rseq = seq + seq_off[i];
       const uint8_t* rqual = qual + seq_off[i];
 
@@ -1049,14 +1054,13 @@ void fill_events_columns(int64_t n, const int64_t* start, const int32_t* mapq,
       memset(bases, 0, (size_t)span);
       memset(equals, (uint8_t)mapq[i], (size_t)span);
       memset(mdref, 'N', (size_t)span);
-      mismatches[i] = 0;
 
       enc.clear();
       int64_t cigar_span = 0, read_len_from_cigar = 0;
       for (int64_t c = 0; c < n_cigar; c++) {
         uint32_t op = cigar_op[cigar_off[i] + c];
         uint32_t len = cigar_len[cigar_off[i] + c];
-        if (op > 8) { cigar_span = -1; break; }
+        if (op > 8 || len > 0xFFFFFFFu) { cigar_span = -1; break; }
         enc.push_back((len << 4) | op);
         if (OP_CONSUMES_REF[op] || op == OP_P) cigar_span += len;
         if (OP_CONSUMES_READ[op]) read_len_from_cigar += len;
@@ -1065,8 +1069,11 @@ void fill_events_columns(int64_t n, const int64_t* start, const int32_t* mapq,
       // span check so the provided ev_off can never be overrun.
       bool consistent =
           cigar_span == span && read_len_from_cigar == seq_len;
-      if (!consistent || span <= 0) continue;
+      if (!consistent) continue;
 
+      // MD expansion runs even for zero-reference-span reads, matching
+      // the BAM decoder's phase 2 (expand_md before the span>0 gate);
+      // only event building requires a positive span.
       int64_t md_len = md_off[i + 1] - md_off[i];
       int32_t mm = -1;
       if (md_len > 0) {
@@ -1078,6 +1085,7 @@ void fill_events_columns(int64_t n, const int64_t* start, const int32_t* mapq,
         }
       }
       mismatches[i] = mm < 0 ? 0 : mm;
+      if (span <= 0) continue;
 
       build_events_at(i, start[i], enc.data(), enc.size(), rseq, rqual,
                       (size_t)seq_len, mapq[i], kinds, bases, equals, mdref,
@@ -1225,6 +1233,13 @@ bool parse_sam_text(const std::vector<uint8_t>& text, size_t size, Reads* r,
           r->error = "malformed CIGAR";
           return false;
         }
+        // BAM stores op lengths in 28 bits; reject negatives ('-5M') and
+        // overflow here so a hostile length can never become a negative
+        // event span (which downstream code casts to size_t).
+        if (len < 0 || len > 0xFFFFFFFL) {
+          r->error = "CIGAR op length out of range";
+          return false;
+        }
         uint8_t op = op_code[(uint8_t)*after];
         if (op == 0xff) {
           r->error = "malformed CIGAR op";
@@ -1261,8 +1276,15 @@ bool parse_sam_text(const std::vector<uint8_t>& text, size_t size, Reads* r,
           r->error = "QUAL length != SEQ length";
           return false;
         }
-        for (const char* qq = f[10]; qq < fe[10]; qq++)
+        for (const char* qq = f[10]; qq < fe[10]; qq++) {
+          // Phred+33: anything below '!' is corrupt input; a silent
+          // uint8 wrap would fabricate a huge base quality.
+          if ((uint8_t)*qq < 33) {
+            r->error = "QUAL character below '!' (corrupt quality string)";
+            return false;
+          }
           r->qual.push_back((uint8_t)(*qq - 33));
+        }
       }
     }
 
@@ -1276,7 +1298,9 @@ bool parse_sam_text(const std::vector<uint8_t>& text, size_t size, Reads* r,
         const char* tab = static_cast<const char*>(
             memchr(t, '\t', (size_t)(tags_end - t)));
         const char* te = tab ? tab : tags_end;
-        if (te - t > 5 && memcmp(t, "MD:Z:", 5) == 0) {
+        if (te - t > 5 && memcmp(t, "MD:Z:", 5) == 0 && md_len == 0) {
+          // First MD:Z only: appending repeats while md_len keeps just the
+          // last would desynchronize md_off for every later read.
           md_len = te - t - 5;
           r->md_text.insert(r->md_text.end(), t + 5, te);
         } else if (te - t > 5 && memcmp(t, "RG:Z:", 5) == 0) {

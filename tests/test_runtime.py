@@ -131,6 +131,16 @@ def test_build_events_native_matches_oracle(fixture, resources_dir):
     fills event arrays with guac_build_events — must be bit-identical to
     the pure-Python oracle (native=False)."""
     from guacamole_tpu.loci.lociset import parse_loci
+    from guacamole_tpu.runtime.native import load_library
+
+    # A stale libguac_runtime.so without guac_build_events would make
+    # columnar_from_reads(native=True) silently fall back to the oracle,
+    # turning this into a vacuous oracle-vs-oracle comparison.
+    lib = load_library()
+    assert lib is not None and hasattr(lib, "guac_build_events"), (
+        "native runtime lacks guac_build_events — rebuild native/ "
+        "(make -C native)"
+    )
 
     filters = InputFilters.create(overlaps_loci=parse_loci("all"))
     reads = load_read_set(resource_path(fixture), filters).mapped_reads
@@ -202,3 +212,89 @@ def test_decode_sam_native_matches_oracle(fixture, resources_dir):
         return sorted(out)
 
     assert norm(nm) == norm(oracle)
+
+
+# ---- hostile/corrupt-input hardening (advisor round-2 findings) ----
+
+SAM_HEADER = "@SQ\tSN:chr1\tLN:10000\n"
+
+
+def _sam_line(qname="r", flag=0, pos=100, cigar="10M", seq="ACGTACGTAC",
+              qual="IIIIIIIIII", tags=""):
+    line = (
+        f"{qname}\t{flag}\tchr1\t{pos}\t60\t{cigar}\t*\t0\t0\t{seq}\t{qual}"
+    )
+    if tags:
+        line += "\t" + tags
+    return line + "\n"
+
+
+def _decode_sam_text(tmp_path, text):
+    from guacamole_tpu.runtime.native import decode_sam_native
+
+    p = tmp_path / "hostile.sam"
+    p.write_text(text)
+    return decode_sam_native(str(p))
+
+
+def test_sam_negative_cigar_length_rejected(tmp_path):
+    """'-5M' must be a parse error, not a negative event span (which used
+    to drive a negative-span memset and corrupt the heap)."""
+    text = SAM_HEADER + _sam_line(cigar="-5M") + _sam_line(qname="r2")
+    assert _decode_sam_text(tmp_path, text) is None
+    # single hostile read: previously threw std::length_error through the
+    # C ABI and killed the process
+    assert _decode_sam_text(tmp_path, SAM_HEADER + _sam_line(cigar="-5M")) is None
+
+
+def test_sam_oversized_cigar_length_rejected(tmp_path):
+    text = SAM_HEADER + _sam_line(cigar="99999999999999M")
+    assert _decode_sam_text(tmp_path, text) is None
+
+
+def test_sam_duplicate_md_tags_use_first(tmp_path):
+    """Two MD:Z tags on one record must not desynchronize the MD column of
+    later reads (only the first is kept)."""
+    text = (
+        SAM_HEADER
+        + _sam_line(qname="a", tags="MD:Z:10\tMD:Z:5A4")
+        + _sam_line(qname="b", pos=200, tags="MD:Z:4C5")
+    )
+    out = _decode_sam_text(tmp_path, text)
+    assert out is not None
+    md_off, md_text = out["md_off"], out["md_text"]
+    mds = [
+        bytes(md_text[md_off[i]: md_off[i + 1]]).decode()
+        for i in range(len(md_off) - 1)
+    ]
+    assert mds == ["10", "4C5"]
+    # and the second read's mismatch count reflects ITS OWN tag
+    np.testing.assert_array_equal(out["mismatches"], [0, 1])
+
+
+def test_sam_low_qual_char_rejected(tmp_path):
+    text = SAM_HEADER + _sam_line(qual="IIII IIIII")  # space < '!'
+    assert _decode_sam_text(tmp_path, text) is None
+
+
+def test_base_quality_string_low_char_raises():
+    from guacamole_tpu.reads.read import base_quality_string_to_bytes
+
+    with pytest.raises(ValueError):
+        base_quality_string_to_bytes("III III", 7)
+    assert base_quality_string_to_bytes("", 4) == bytes(4)
+    assert base_quality_string_to_bytes("!I", 2) == bytes([0, 40])
+
+
+def test_sam_zero_span_read_with_md_counts_mismatches(tmp_path):
+    """A cigar-consistent zero-reference-span read with an MD tag: the MD
+    pass must still run (matching the BAM decoder's phase 2 and the Python
+    oracle), even though there are no events to build."""
+    text = (
+        SAM_HEADER
+        + _sam_line(qname="z", cigar="10I", tags="MD:Z:0")
+        + _sam_line(qname="b", pos=200, tags="MD:Z:4C5")
+    )
+    out = _decode_sam_text(tmp_path, text)
+    assert out is not None
+    np.testing.assert_array_equal(out["mismatches"], [0, 1])
