@@ -15,8 +15,8 @@ import numpy as np
 
 from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.ops.dispatch import pipelined_batched_screens
+from guacamole_tpu.pack.tiles import ref_match_allele_ids
 from guacamole_tpu.utils.progress import progress
-from guacamole_tpu.variants.allele import Allele
 
 
 @dataclass(frozen=True)
@@ -75,40 +75,37 @@ def variant_loci_from_reads(
         screen_iter = pipelined_batched_screens(
             tiles(), tile_of=lambda item: item[1]
         )
+    min_vaf = min_variant_allele_frequency / 100.0
     for (contig, tile), pending in screen_iter:
         stats = pending.result() if pending is not None else None
         if stats is None:
             continue
-        counts = stats.counts
-        for li in range(tile.L):
-            depth = int(tile.depth[li])
-            if depth == 0:
-                continue
-            rb = int(tile.ref_base[li])
-            ref_allele = Allele(bytes([rb]), bytes([rb]))
-            table = tile.alleles[li]
-            try:
-                ref_id = table.index(ref_allele)
-            except ValueError:
-                ref_id = -1
-            if tile.overflow[li]:
-                # exact host fallback
-                pileup = source.pileup_at(contig, int(tile.loci[li]))
-                depth = pileup.depth
-                ref_depth = pileup.reference_depth
-            else:
-                ref_depth = (
-                    int(counts[li, ref_id]) if 0 <= ref_id < tile.K else 0
-                )
-            if ref_depth == depth:
-                continue
-            vaf = (depth - ref_depth) / depth
-            if depth >= min_read_depth and vaf >= (
-                min_variant_allele_frequency / 100.0
-            ):
-                out.append(
-                    VariantLocus(contig, int(tile.loci[li]), vaf)
-                )
+        counts = np.asarray(stats.counts)
+        depth = np.asarray(tile.depth, dtype=np.int64).copy()
+        overflow = np.asarray(tile.overflow, dtype=bool)
+        # ref depth per locus = count of the (ref_base, ref_base) allele,
+        # gathered in one shot (no per-locus Python walk).
+        ref_id = ref_match_allele_ids(tile)
+        in_dict = (ref_id >= 0) & (ref_id < tile.K)
+        ref_depth = np.where(
+            in_dict,
+            counts[np.arange(tile.L), np.clip(ref_id, 0, tile.K - 1)],
+            0,
+        ).astype(np.int64)
+        # Overflow loci (>K distinct alleles): exact host fallback — rare.
+        for li in np.flatnonzero(overflow & (depth > 0)):
+            pileup = source.pileup_at(contig, int(tile.loci[li]))
+            depth[li] = pileup.depth
+            ref_depth[li] = pileup.reference_depth
+        emit = (depth > 0) & (ref_depth != depth) & (depth >= min_read_depth)
+        vaf = np.where(depth > 0, (depth - ref_depth) / np.maximum(depth, 1), 0.0)
+        emit &= vaf >= min_vaf
+        loci_emit = tile.loci[emit]
+        vaf_emit = vaf[emit]
+        out.extend(
+            VariantLocus(contig, int(l), float(v))
+            for l, v in zip(loci_emit, vaf_emit)
+        )
     if print_stats and out:
         print_vaf_stats(sample_name, out, sample_percent)
     return out

@@ -9,7 +9,9 @@ kernel.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence
+from typing import List, Sequence, Tuple
+
+import numpy as np
 
 
 from guacamole_tpu.gio.vcf import read_vcf
@@ -82,35 +84,96 @@ def pileup_allele_counts(
     for (contig, tile), pending in screen_iter:
         if pending is not None:
             stats = pending.result()
-            counts = stats.counts
-            for li in range(tile.L):
-                if tile.depth[li] == 0:
-                    continue
-                locus = int(tile.loci[li])
-                if tile.overflow[li]:
-                    pileup = source.pileup_at(contig, locus)
-                    table = {}
-                    for e in pileup.elements:
-                        table[e.allele] = table.get(e.allele, 0) + 1
-                    pairs = sorted(table.items())
-                else:
-                    n = int(tile.num_alleles[li])
-                    pairs = [
-                        (tile.alleles[li][k], int(counts[li, k]))
-                        for k in range(n)
-                    ]
-                for allele, count in pairs:
-                    out.append(
-                        AlleleCount(
-                            sample=sample,
-                            contig=contig,
-                            locus=locus,
-                            reference=Bases.bases_to_string(allele.ref_bases),
-                            alternate=Bases.bases_to_string(allele.alt_bases),
-                            count=count,
-                        )
-                    )
+            counts = np.asarray(stats.counts)
+            out.extend(
+                _tile_allele_counts(source, contig, tile, counts, sample)
+            )
     return out
+
+
+def _tile_allele_counts(
+    source, contig: str, tile, counts: np.ndarray, sample: str
+) -> List[AlleleCount]:
+    """Flatten a tile's (locus, allele) count table into AlleleCount rows
+    without a per-locus Python walk: one flat gather builds the
+    (locus, rank) -> (allele, count) rows for every emitting locus at once
+    (the reference's per-locus flatMap semantics,
+    VariantSupport.scala:91-118, kept — just not its loop shape)."""
+    from guacamole_tpu.pack.fast import LazyAlleleTables
+
+    depth = np.asarray(tile.depth, dtype=np.int64)
+    overflow = np.asarray(tile.overflow, dtype=bool)
+    num_alleles = np.asarray(tile.num_alleles, dtype=np.int64)
+    rows: List[Tuple[int, AlleleCount]] = []
+
+    fast_mask = (depth > 0) & ~overflow
+    tables = tile.alleles
+    if fast_mask.any() and isinstance(tables, LazyAlleleTables):
+        # allele at (locus, rank k) = key_alleles[uniq_key[first[locus]+k]]
+        key_ref = [
+            Bases.bases_to_string(al.ref_bases) for al in tables.key_alleles
+        ]
+        key_alt = [
+            Bases.bases_to_string(al.alt_bases) for al in tables.key_alleles
+        ]
+        first = np.asarray(tables.first_of_locus, dtype=np.int64)
+        uniq_key = np.asarray(tables.uniq_key, dtype=np.int64)
+        li_idx = np.flatnonzero(fast_mask)
+        reps = num_alleles[li_idx]
+        li_rep = np.repeat(li_idx, reps)
+        k_rep = np.arange(len(li_rep), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        key_idx = uniq_key[first[li_rep] + k_rep]
+        count_flat = counts[li_rep, k_rep]
+        loci_flat = tile.loci[li_rep]
+        rows.extend(
+            (int(l), AlleleCount(
+                sample=sample,
+                contig=contig,
+                locus=int(l),
+                reference=key_ref[int(ki)],
+                alternate=key_alt[int(ki)],
+                count=int(c),
+            ))
+            for l, ki, c in zip(loci_flat, key_idx, count_flat)
+        )
+        fast_mask = np.zeros_like(fast_mask)  # handled
+    # list-backed oracle tiles + any remaining fast loci: per-locus path
+    for li in np.flatnonzero(fast_mask):
+        locus = int(tile.loci[li])
+        for k in range(int(num_alleles[li])):
+            allele = tables[li][k]
+            rows.append(
+                (locus, AlleleCount(
+                    sample=sample,
+                    contig=contig,
+                    locus=locus,
+                    reference=Bases.bases_to_string(allele.ref_bases),
+                    alternate=Bases.bases_to_string(allele.alt_bases),
+                    count=int(counts[li, k]),
+                ))
+            )
+    # overflow loci (>K distinct alleles): exact host fallback — rare
+    for li in np.flatnonzero((depth > 0) & overflow):
+        locus = int(tile.loci[li])
+        pileup = source.pileup_at(contig, locus)
+        table: dict = {}
+        for e in pileup.elements:
+            table[e.allele] = table.get(e.allele, 0) + 1
+        for allele, count in sorted(table.items()):
+            rows.append(
+                (locus, AlleleCount(
+                    sample=sample,
+                    contig=contig,
+                    locus=locus,
+                    reference=Bases.bases_to_string(allele.ref_bases),
+                    alternate=Bases.bases_to_string(allele.alt_bases),
+                    count=count,
+                ))
+            )
+    rows.sort(key=lambda t: t[0])
+    return [ac for _locus, ac in rows]
 
 
 def main(argv, _add_fns) -> int:

@@ -106,6 +106,62 @@ class LocusTile:
         return self.is_variant.shape[1]
 
 
+def ref_match_allele_ids(tile: "LocusTile") -> np.ndarray:
+    """[L] int32: per locus, the index within the allele dictionary of the
+    reference-match allele (ref_base, ref_base), or -1 when absent.
+
+    Vectorized over the tile's global key table for fast/native-packed
+    tiles (LazyAlleleTables) so analytics tools never walk loci in Python;
+    list-backed oracle tiles fall back to a per-locus search."""
+    from guacamole_tpu.pack.fast import LazyAlleleTables, _ConcatTables
+
+    def run(tables, ref_base: np.ndarray) -> np.ndarray:
+        n = len(tables)
+        if isinstance(tables, _ConcatTables):
+            n1 = len(tables.first)
+            return np.concatenate(
+                [
+                    run(tables.first, ref_base[:n1]),
+                    run(tables.second, ref_base[n1:]),
+                ]
+            )
+        out = np.full(n, -1, dtype=np.int32)
+        if isinstance(tables, LazyAlleleTables):
+            key_alleles = tables.key_alleles
+            first = np.asarray(tables.first_of_locus, dtype=np.int64)
+            uniq_key = np.asarray(tables.uniq_key, dtype=np.int64)
+            n_keys = len(key_alleles)
+            is_match = np.zeros(n_keys, dtype=bool)
+            key_base = np.zeros(n_keys, dtype=np.uint8)
+            for i, al in enumerate(key_alleles):
+                if len(al.ref_bases) == 1 and al.ref_bases == al.alt_bases:
+                    is_match[i] = True
+                    key_base[i] = al.ref_bases[0]
+            if not is_match.any() or len(uniq_key) == 0:
+                return out
+            uniq_locus = np.repeat(
+                np.arange(n, dtype=np.int64), np.diff(first[: n + 1])
+            )
+            rank = (
+                np.arange(len(uniq_locus), dtype=np.int64) - first[uniq_locus]
+            )
+            hit = is_match[uniq_key[: len(uniq_locus)]] & (
+                key_base[uniq_key[: len(uniq_locus)]] == ref_base[uniq_locus]
+            )
+            out[uniq_locus[hit]] = rank[hit].astype(np.int32)
+            return out
+        for li in range(n):
+            rb = int(ref_base[li])
+            ref_allele = Allele(bytes([rb]), bytes([rb]))
+            try:
+                out[li] = tables[li].index(ref_allele)
+            except ValueError:
+                pass
+        return out
+
+    return run(tile.alleles, np.asarray(tile.ref_base))
+
+
 def pack_tile(
     reads: Sequence[MappedRead],
     contig: str,

@@ -154,6 +154,77 @@ def test_threshold_golden_with_python_decoder(resources_dir, tmp_path):
     assert_matches_golden(out, "chrM.germline-threshold.vcf")
 
 
+def run_cli_raw(args):
+    """Run the CLI without appending --out (tools name their output flag
+    differently: --output / --local-out)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    result = subprocess.run(
+        [sys.executable, "-m", "guacamole_tpu.cli"] + args,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+
+
+SUPPORT_SITES = os.path.join(os.path.dirname(__file__), "data",
+                             "support_sites.vcf")
+
+
+@pytest.mark.parametrize("mesh", ["off", "on"])
+def test_variant_support_golden(resources_dir, tmp_path, mesh):
+    """End-to-end variant-support CLI: allele-count CSV at VCF sites
+    covering SNVs, insertions, and mid-deletions must match the committed
+    snapshot byte-for-byte (output format cf. VariantSupport.scala:59-62,
+    91-118)."""
+    out = str(tmp_path / "support.csv")
+    run_cli_raw(
+        [
+            "variant-support",
+            "--input-variant", SUPPORT_SITES,
+            "--output", out,
+            "--mesh", mesh,
+            resource_path("gatk_mini_bundle_extract.bam"),
+        ]
+    )
+    assert_matches_golden(out, "gatk.variant-support.csv")
+
+
+@pytest.mark.parametrize("mesh", ["off", "on"])
+def test_vaf_histogram_golden(resources_dir, tmp_path, mesh):
+    """End-to-end vaf-histogram CLI: the binned histogram file must match
+    the committed snapshot (header + line format cf.
+    VAFHistogram.scala:154-172)."""
+    out = str(tmp_path / "vaf.csv")
+    run_cli_raw(
+        [
+            "vaf-histogram",
+            "--bins", "20",
+            "--min-read-depth", "2",
+            "--local-out", out,
+            "--mesh", mesh,
+            resource_path("chrM.sorted.bam"),
+        ]
+    )
+    assert_matches_golden(out, "chrM.vaf-histogram.csv")
+
+
+def test_structural_variant_golden(resources_dir, tmp_path):
+    """End-to-end structural-variant CLI: the per-contig SV range text
+    must match the committed snapshot (output format cf.
+    StructuralVariantCaller.scala:273-287)."""
+    out = str(tmp_path / "sv.txt")
+    run_cli_raw(
+        [
+            "structural-variant",
+            "--reads", resource_path("gatk_mini_bundle_extract.bam"),
+            "--output", out,
+        ]
+    )
+    assert_matches_golden(out, "gatk.structural-variant.txt")
+
+
 def test_reference_flag_parity():
     """Every CLI option the reference's args4j traits declare must be
     accepted by the corresponding command here (inert ones — --out-chunks,
