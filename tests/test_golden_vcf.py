@@ -225,64 +225,138 @@ def test_structural_variant_golden(resources_dir, tmp_path):
     assert_matches_golden(out, "gatk.structural-variant.txt")
 
 
+REFERENCE_MAIN = os.path.join(
+    os.path.dirname(REFERENCE_RESOURCES.rstrip("/")), "..", "main", "scala"
+)
+
+# Flags declared by the reference but deliberately not implemented here,
+# each with its documented rationale:
+DELIBERATE_FLAG_OMISSIONS = {
+    # --reference / --fragment-length (Common.scala:122-130, trait
+    # Reference): dead code in the reference — no command's Arguments
+    # class extends that trait, so the flags are unreachable from any
+    # CLI invocation. Kept here as documented omissions in case a
+    # parser change ever surfaces them; see DEVIATIONS.md #10.
+    "--reference",
+    "--fragment-length",
+}
+
+
+def _reference_arg_decls():
+    """Parse every trait/class declaration + its @Args4jOption flags out of
+    the reference's Scala source (no hand-transcription): returns
+    {simple_or_qualified_name: (parent_names, own_flags)}."""
+    import re
+
+    decl_re = re.compile(
+        r"(?:trait|class)\s+(\w+)(?:\[[^\]]*\])?"
+        r"(?:\s*\([^)]*\))?\s+extends\s+([^{\n]+)(\{?)"
+    )
+    flag_re = re.compile(r'@Args4jOption\(\s*name\s*=\s*"(--[\w-]+)"')
+    decls = {}
+    for root, _dirs, files in os.walk(REFERENCE_MAIN):
+        for fn in files:
+            if not fn.endswith(".scala"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as fh:
+                text = fh.read()
+            file_stem = fn[: -len(".scala")]
+            for m in decl_re.finditer(text):
+                name, parents_str, brace = m.group(1), m.group(2), m.group(3)
+                parents = [
+                    p.strip().split("[")[0]
+                    for p in re.split(r"\bwith\b", parents_str)
+                    if p.strip()
+                ]
+                flags = []
+                if brace == "{":
+                    # brace-match the body to scope flag ownership
+                    depth, i = 1, m.end()
+                    while i < len(text) and depth > 0:
+                        if text[i] == "{":
+                            depth += 1
+                        elif text[i] == "}":
+                            depth -= 1
+                        i += 1
+                    body = text[m.end(): i]
+                    # flags of NESTED decls belong to them, not to us
+                    nested_spans = []
+                    for nm in decl_re.finditer(body):
+                        if nm.group(3) == "{":
+                            d, j = 1, nm.end()
+                            while j < len(body) and d > 0:
+                                if body[j] == "{":
+                                    d += 1
+                                elif body[j] == "}":
+                                    d -= 1
+                                j += 1
+                            nested_spans.append((nm.start(), j))
+                    for fm in flag_re.finditer(body):
+                        if not any(
+                            s <= fm.start() < e for s, e in nested_spans
+                        ):
+                            flags.append(fm.group(1))
+                entry = (parents, flags)
+                decls[f"{file_stem}.{name}"] = entry
+                # simple name: first writer wins unless qualified use only
+                decls.setdefault(name, entry)
+    return decls
+
+
+def _resolve_reference_flags(decls, class_name):
+    """Transitive closure of @Args4jOption flags for one Arguments class."""
+    seen, flags, stack = set(), set(), [class_name]
+    while stack:
+        name = stack.pop()
+        key = name if name in decls else name.split(".")[-1]
+        if key in seen or key not in decls:
+            continue  # external parents (Args4jBase, ParquetArgs) skipped
+        seen.add(key)
+        parents, own = decls[key]
+        flags.update(own)
+        stack.extend(parents)
+    return flags
+
+
 def test_reference_flag_parity():
     """Every CLI option the reference's args4j traits declare must be
-    accepted by the corresponding command here (inert ones — --out-chunks,
-    --fragment-length — parse but have no effect; --reference is the one
-    deliberate omission, see DEVIATIONS.md #10). The reverse direction
-    (extensions like --tile-size) is allowed."""
-    import argparse
-
+    accepted by the corresponding command here. The reference flag sets
+    are DERIVED from the reference source at test time (args4j
+    annotations + trait inheritance), so a new or renamed reference flag
+    fails this test instead of silently weakening it. Inert ones
+    (--out-chunks, --fragment-length) parse but have no effect; deliberate
+    omissions are listed in DELIBERATE_FLAG_OMISSIONS with rationale. The
+    reverse direction (extensions like --tile-size) is allowed."""
     from guacamole_tpu import cli
 
-    # Reference arg-trait composition per command (args4j name=
-    # occurrences in /root/reference/src/main/scala):
-    #   DistributedUtil.Arguments extends Base with Loci (+parallelism)
-    #   Reads = Base + NoSequenceDictionary + ReadLoadingConfigArgs
-    #   GermlineCallerArgs = GenotypeOutput + Reads + Concordance + Dist
-    #   SomaticCallerArgs = GenotypeOutput + TumorNormalReads + Dist
-    base_loci_dist = ["--debug", "--loci", "--loci-from-file",
-                      "--parallelism", "--partition-accuracy"]
-    read_cfg = ["--bam-reader-api", "--recompute-md-tags"]
-    reads = ["--reads", "--no-sequence-dictionary"] + read_cfg
-    tn_reads = ["--tumor-reads", "--normal-reads",
-                "--no-sequence-dictionary"] + read_cfg
-    output = ["--out", "--out-chunks", "--max-genotypes"]
-    concord = ["--truth", "--exclude-snv", "--exclude-indel", "--chr"]
-    germline_filters = ["--min-read-depth", "--max-read-depth",
-                        "--min-alternate-read-depth", "--min-likelihood",
-                        "--debug-genotype-filters"]
-    somatic_filters = ["--min-likelihood", "--min-vaf", "--min-lod",
-                       "--min-average-mapping-quality",
-                       "--min-average-base-quality",
-                       "--min-tumor-read-depth", "--min-normal-read-depth",
-                       "--max-tumor-read-depth",
-                       "--min-tumor-alternate-read-depth",
-                       "--max-median-mismatches", "--debug-genotype-filters"]
-    pileup_filters = ["--min-mapq", "--filter-multi-allelic",
-                      "--min-edge-distance"]
-    per_command = {
-        "germline-threshold": base_loci_dist + output + reads + concord
-        + ["--threshold", "--emit-ref", "--emit-no-call"],
-        "germline-standard": base_loci_dist + output + reads + concord
-        + pileup_filters + germline_filters + ["--emit-ref"],
-        "somatic-standard": base_loci_dist + output + tn_reads
-        + somatic_filters + pileup_filters
-        + ["--odds", "--dbsnp-vcf", "--reference-fasta"],
-        "variant-support": base_loci_dist + read_cfg
-        + ["--input-variant", "--output"],
-        "vaf-histogram": base_loci_dist + read_cfg
-        + ["--bins", "--cluster", "--num-clusters", "--min-read-depth",
-           "--min-vaf", "--print-stats", "--sample-percent", "--out",
-           "--local-out"],
-        "structural-variant": base_loci_dist + reads
-        + ["--filter-contig", "--output"],
+    decls = _reference_arg_decls()
+    command_to_class = {
+        "germline-threshold": "GermlineThresholdCaller.Arguments",
+        "germline-standard": "GermlineStandardCaller.Arguments",
+        "somatic-standard": "SomaticStandardCaller.Arguments",
+        "variant-support": "VariantSupport.Arguments",
+        "vaf-histogram": "VAFHistogram.Arguments",
+        "structural-variant": "StructuralVariantCaller.Arguments",
     }
-
-    for command, flags in per_command.items():
-        help_text = _command_help(cli, command)
-        parser_flags = set(help_text)
-        missing = [f for f in flags if f not in parser_flags]
+    # sanity: the parser actually found the reference's flag surface
+    all_flags = {
+        f
+        for cls in command_to_class.values()
+        for f in _resolve_reference_flags(decls, cls)
+    }
+    assert len(all_flags) >= 35, (
+        f"reference source parse looks broken: only {sorted(all_flags)}"
+    )
+    for command, cls in command_to_class.items():
+        want = _resolve_reference_flags(decls, cls)
+        assert want, f"no reference flags resolved for {command}"
+        parser_flags = set(_command_help(cli, command))
+        missing = sorted(
+            f
+            for f in want
+            if f not in parser_flags and f not in DELIBERATE_FLAG_OMISSIONS
+        )
         assert not missing, f"{command} missing reference flags: {missing}"
 
 
