@@ -105,10 +105,7 @@ def likelihoods_of_genotypes(
         )
 
     if normalize:
-        total = 0.0
-        for ll in log_likelihoods:
-            total += math.exp(ll)
-        log_total = _log_or_neg_inf(total)
+        log_total = _normalization_log_total(log_likelihoods)
         log_likelihoods = [ll - log_total for ll in log_likelihoods]
     if log_space:
         return log_likelihoods
@@ -196,11 +193,7 @@ def log_likelihoods_of_genotype_pairs(
     log2 = math.log(2)
     lls = (acc + math.log(1.0)) - log2 * depth
     if normalize:
-        total = 0.0
-        for ll in lls:
-            total += math.exp(ll)
-        log_total = _log_or_neg_inf(total)
-        lls = lls - log_total
+        lls = lls - _normalization_log_total(lls)
     return lls
 
 
@@ -213,6 +206,35 @@ def _log_or_neg_inf(v: float) -> float:
     """math.log with JVM semantics at 0 (the reference's Math.log(0.0)
     returns -Infinity rather than raising; Likelihood.scala:181-188)."""
     return math.log(v) if v > 0.0 else float("-inf")
+
+
+def _normalization_log_total(log_likelihoods) -> float:
+    """log(sum(exp(lls))) with the reference's exact sequential summation
+    order — plus a logsumexp-shifted fallback for the deep-pileup regime.
+
+    The reference normalizes with an UNSHIFTED log(sum(exp(...)))
+    (Likelihood.scala:191-196): once every exp underflows (depth >~ 1500
+    at typical base quals), its log-total is -Infinity and every
+    "normalized" likelihood becomes +Infinity/NaN — garbage that Java's
+    non-throwing NaN arithmetic then silently drops or emits as GQ-0
+    records. Reproducing that would crash Python (math domain errors) and
+    is meaningless output either way, so ONLY when the unshifted total
+    underflows to 0 do we renormalize shifted by the max (standard
+    logsumexp) — mathematically the same normalization, finite at any
+    depth; bit-parity in the non-underflow regime is untouched.
+    (DEVIATIONS.md #11.)"""
+    total = 0.0
+    for ll in log_likelihoods:
+        total += math.exp(ll)
+    if total > 0.0:
+        return math.log(total)
+    m = max((float(ll) for ll in log_likelihoods), default=float("-inf"))
+    if not math.isfinite(m):
+        return float("-inf")
+    shifted = 0.0
+    for ll in log_likelihoods:
+        shifted += math.exp(ll - m)
+    return m + math.log(shifted)
 
 
 def _term_rows(successes: np.ndarray) -> np.ndarray:
@@ -366,10 +388,7 @@ def genotype_probs_for_rows(
             continue
         row_lls = lls[off : off + n]
         # Sequential normalization in enumeration order (oracle parity).
-        total = 0.0
-        for ll in row_lls:
-            total += math.exp(ll)
-        row_lls = row_lls - _log_or_neg_inf(total)
+        row_lls = row_lls - _normalization_log_total(row_lls)
         a1s, a2s = row_patterns[r]
         pairs = [(int(a1s[i]), int(a2s[i])) for i in range(n)]
         if log_space:

@@ -442,3 +442,42 @@ def test_evidence_stats_batch_bitwise(seed):
                 assert math.isnan(g)
             else:
                 assert g == w, (j, got, want)
+
+
+def test_deep_pileup_normalization_stays_finite():
+    """Depth beyond the exp-underflow point (reference emits inf/NaN,
+    DEVIATIONS.md #11): normalized likelihoods must be finite, sum to ~1,
+    and pick the right genotype."""
+    import math
+
+    import numpy as np
+
+    from guacamole_tpu.likelihood import log_likelihoods_of_genotype_pairs
+
+    depth = 4000  # deep enough that exp(logL) underflows for every genotype
+    rng = np.random.default_rng(3)
+    # het locus: half ref (allele 0), half alt (allele 1)
+    ids = rng.integers(0, 2, size=depth)
+    success = np.full(depth, 0.9999)  # qual 40
+    pairs = [(0, 0), (0, 1), (1, 1)]
+    lls = log_likelihoods_of_genotype_pairs(ids, success, pairs, normalize=True)
+    assert np.all(np.isfinite(lls)), lls
+    probs = np.exp(lls)
+    assert abs(probs.sum() - 1.0) < 1e-6
+    assert int(np.argmax(lls)) == 1  # het genotype wins
+
+
+def test_shallow_normalization_unchanged_by_fallback():
+    """The logsumexp fallback must not perturb the non-underflow regime:
+    plain sequential normalization and the helper agree bitwise."""
+    import math
+
+    from guacamole_tpu.likelihood import _normalization_log_total
+
+    lls = [-3.5, -1.25, -700.0, -0.5]
+    total = 0.0
+    for ll in lls:
+        total += math.exp(ll)
+    assert _normalization_log_total(lls) == math.log(total)
+    # all -inf: stays -inf (empty pileup corner)
+    assert _normalization_log_total([float("-inf")] * 3) == float("-inf")
