@@ -130,6 +130,154 @@ def run_config(name, spec, tmp_root):
     }
 
 
+SCALE_DIR = os.path.join(REPO, ".bench_scale")
+
+
+def _read_vcf_snvs(path):
+    """{(contig, pos0)} of single-base records in a VCF."""
+    out = set()
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.split("\t")
+            if len(f[3]) == 1 and len(f[4]) == 1:
+                out.add((f[0], int(f[1]) - 1))
+    return out
+
+
+def run_scale_configs(tmp_root):
+    """Production-scale evidence: multi-million-read simulated fixtures at
+    depth 25x/1000x/8000x over a 1 Mbp contig plus an 8 Mbp shallow
+    contig, run through the full CLI. Correctness is gated on recall and
+    precision against the PLANTED truth (goldens are impractical at this
+    scale); throughput numbers are only reported when the gates pass.
+    Also reports a host-decode vs end-to-end breakdown."""
+    import time as _time
+
+    from guacamole_tpu import cli
+    from guacamole_tpu.utils.simulate import READ_LEN, make_scale_fixture
+
+    out = {}
+    t0 = _time.time()
+    manifest = make_scale_fixture(SCALE_DIR)
+    out["fixture"] = {
+        "generation_s": round(_time.time() - t0, 1),
+        "counts": manifest["counts"],
+        "contigs": manifest["contigs"],
+        "bands": manifest["bands"],
+        "note": "generation_s ~0 when the cached fixture is reused",
+    }
+    germ = os.path.join(SCALE_DIR, manifest["files"]["germline"])
+    tumor = os.path.join(SCALE_DIR, manifest["files"]["tumor"])
+    normal = os.path.join(SCALE_DIR, manifest["files"]["normal"])
+    truth = manifest["truth"]
+    planted_snvs = {
+        (contig, pos)
+        for contig in ("deep1m", "shallow8m")
+        for pos in truth[contig]["snv_pos"]
+    }
+    somatic_sites = set(truth["deep1m"]["somatic_pos"])
+
+    # host-decode phase alone (the native SAM decoder on the big file)
+    from guacamole_tpu.runtime.columnar import decode_sam_columnar
+
+    t0 = _time.time()
+    cols = decode_sam_columnar(germ)
+    decode_s = _time.time() - t0
+    n_germ = cols.n
+    del cols
+    out["decode_phase"] = {
+        "file": manifest["files"]["germline"],
+        "n_reads": n_germ,
+        "wall_s": round(decode_s, 2),
+        "reads_per_s": round(n_germ / decode_s, 1),
+    }
+
+    def timed_cli(tag, argv, n_reads, warm=True):
+        res = {}
+        walls = []
+        for it in range(2 if warm else 1):
+            o = os.path.join(tmp_root, f"scale-{tag}-{it}.vcf")
+            t0 = _time.time()
+            rc = cli.main(argv + ["--out", o])
+            walls.append(_time.time() - t0)
+            if rc != 0:
+                raise RuntimeError(f"scale-{tag}: CLI exited {rc}")
+            res["vcf"] = o
+        res["wall_s"] = round(min(walls), 2)
+        res["n_reads"] = n_reads
+        res["reads_per_s"] = round(n_reads / res["wall_s"], 1)
+        res["aligned_bases_per_s"] = round(
+            n_reads * READ_LEN / res["wall_s"], 1
+        )
+        return res
+
+    # 1. germline-threshold at scale (threshold 25: unreachable by 0.2%
+    # errors at any depth, ~50% het alleles clear it)
+    r = timed_cli(
+        "germline-threshold",
+        ["germline-threshold", "--reads", germ, "--threshold", "25"],
+        n_germ,
+    )
+    called = _read_vcf_snvs(r.pop("vcf"))
+    hits = len(called & planted_snvs)
+    r["snv_recall"] = round(hits / max(1, len(planted_snvs)), 4)
+    r["snv_precision"] = round(hits / max(1, len(called)), 4)
+    if r["snv_recall"] < 0.9 or r["snv_precision"] < 0.9:
+        raise RuntimeError(f"scale germline-threshold gate failed: {r}")
+    r["host_decode_fraction"] = round(decode_s / r["wall_s"], 3)
+    out["germline-threshold"] = r
+
+    # 2. germline-standard at scale (likelihood path through the deep
+    # band/spike depth buckets and the 16384 likelihood depth cap)
+    r = timed_cli(
+        "germline-standard",
+        ["germline-standard", "--reads", germ],
+        n_germ,
+    )
+    called = _read_vcf_snvs(r.pop("vcf"))
+    hits = len(called & planted_snvs)
+    r["snv_recall"] = round(hits / max(1, len(planted_snvs)), 4)
+    r["snv_precision"] = round(hits / max(1, len(called)), 4)
+    if r["snv_recall"] < 0.9 or r["snv_precision"] < 0.9:
+        raise RuntimeError(f"scale germline-standard gate failed: {r}")
+    out["germline-standard"] = r
+
+    # 3. somatic-standard at scale (tumor 25x+1000x band+8000x spike vs
+    # 25x normal; planted somatic SNVs at VAF 0.35)
+    n_som = manifest["counts"]["tumor"] + manifest["counts"]["normal"]
+    r = timed_cli(
+        "somatic-standard",
+        ["somatic-standard", "--tumor-reads", tumor,
+         "--normal-reads", normal, "--odds", "20"],
+        n_som,
+    )
+    called_pos = {p for (_c, p) in _read_vcf_snvs(r.pop("vcf"))}
+    hits = len(called_pos & somatic_sites)
+    germline_fp = len(called_pos & set(truth["deep1m"]["snv_pos"]))
+    r["somatic_recall"] = round(hits / max(1, len(somatic_sites)), 4)
+    r["germline_fp"] = germline_fp
+    if r["somatic_recall"] < 0.6:
+        raise RuntimeError(f"scale somatic gate failed: {r}")
+    out["somatic-standard"] = r
+    return out
+
+
+def run_oracle_baseline():
+    """Measured in-repo baseline: the pure-Python oracle path (object
+    pileups + scalar exact-f64 likelihoods, single thread) end-to-end on
+    each config, golden-verified (scripts/oracle_baseline.py)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "oracle_baseline.py")],
+        capture_output=True, text=True, timeout=1200,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    if proc.returncode != 0:
+        return {"error": proc.stderr.strip()[-500:]}
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def run_scaling_subprocess():
     """Config #4: the 8-shard sharded-step scaling point (virtual CPU
     mesh — this host has one chip; on a pod the same code spans chips)."""
@@ -203,11 +351,21 @@ def main() -> int:
         "reference": "MartijnAB/guacamole (Scala/Spark, local[1])",
         "wall_s_assumed": SPARK_BASELINE_WALL_S,
         "status": "assumption — the reference publishes no numbers and "
-        "no JVM exists in this environment to measure it",
+        "no JVM exists in this environment to measure it; the MEASURED "
+        "baseline is baseline_measured_python (this repo's pure-Python "
+        "oracle of the reference's semantics, golden-verified)",
     }}
     with tempfile.TemporaryDirectory() as tmp_root:
         for name, spec in CONFIGS.items():
             report["configs"][name] = run_config(name, spec, tmp_root)
+        report["baseline_measured_python"] = run_oracle_baseline()
+        for name, meas in report["baseline_measured_python"].items():
+            cfg = report["configs"].get(name)
+            if cfg and isinstance(meas, dict) and meas.get("golden_match"):
+                cfg["speedup_vs_python_oracle"] = round(
+                    meas["wall_s"] / cfg["wall_s"], 1
+                )
+        report["scale"] = run_scale_configs(tmp_root)
         report["scaling_8shard_virtual"] = run_scaling_subprocess()
         report["multihost_2proc"] = run_multihost_2proc(tmp_root)
 
@@ -216,23 +374,39 @@ def main() -> int:
         fh.write("\n")
 
     headline = report["configs"]["germline-threshold-chrM"]
-    baseline_reads_per_s = headline["n_reads"] / SPARK_BASELINE_WALL_S
+    measured = report["baseline_measured_python"].get(
+        "germline-threshold-chrM", {}
+    )
+    if isinstance(measured, dict) and measured.get("golden_match"):
+        vs_baseline = round(measured["wall_s"] / headline["wall_s"], 2)
+        baseline_status = (
+            "measured: pure-Python oracle of the reference semantics took "
+            f"{measured['wall_s']} s on this config (golden-verified; "
+            "scripts/oracle_baseline.py). The reference's own Spark "
+            "local[1] is unmeasurable here (no JVM; assumed ~60 s, see "
+            "BENCH_REPORT.json)"
+        )
+    else:
+        vs_baseline = round(
+            headline["reads_per_s"] * SPARK_BASELINE_WALL_S
+            / headline["n_reads"], 2
+        )
+        baseline_status = "assumed 60 s Spark local[1] (oracle baseline "
+        "run failed; see BENCH_REPORT.json)"
     result = {
         "metric": "chrM germline-threshold end-to-end CLI throughput "
         "(golden-verified)",
         "value": headline["reads_per_s"],
         "unit": "reads/s/chip",
-        "vs_baseline": round(
-            headline["reads_per_s"] / baseline_reads_per_s, 2
-        ),
+        "vs_baseline": vs_baseline,
         "detail": {
             "wall_s": headline["wall_s"],
             "n_reads": headline["n_reads"],
             "golden_match": True,
             "configs_in_sidecar": sorted(report["configs"])
-            + ["scaling_8shard_virtual", "multihost_2proc"],
-            "baseline_status": "assumed 60 s Spark local[1] (unmeasurable "
-            "here; see BENCH_REPORT.json)",
+            + ["baseline_measured_python", "scale",
+               "scaling_8shard_virtual", "multihost_2proc"],
+            "baseline_status": baseline_status,
         },
     }
     print(json.dumps(result))

@@ -175,6 +175,16 @@ def _add_distributed_args(p: argparse.ArgumentParser) -> None:
         default=-1,
         help="This process's index in a multi-host run",
     )
+    p.add_argument(
+        "--timeout",
+        type=float,
+        default=-1.0,
+        dest="dcn_timeout",
+        help="Abort (exit 42, one-line error) if any cross-process DCN "
+        "collective stalls longer than this many seconds — a dead peer "
+        "then fails the job promptly instead of hanging the survivors. "
+        "Default 300; 0 disables. (Also GUAC_TIMEOUT.)",
+    )
 
 
 def _default_parallelism() -> int:
@@ -217,6 +227,7 @@ def _bootstrap_multihost(args):
         getattr(args, "coordinator", ""),
         getattr(args, "num_processes", 0),
         getattr(args, "process_id", -1),
+        getattr(args, "dcn_timeout", -1.0),
     )
 
 

@@ -208,27 +208,36 @@ def _log_or_neg_inf(v: float) -> float:
     return math.log(v) if v > 0.0 else float("-inf")
 
 
+# exp() below this loses precision (results approach the f64 denormal
+# range, ~1e-308); -700 keeps a ~3.5-decimal-digit safety margin.
+_EXP_PRECISION_FLOOR = -700.0
+
+
 def _normalization_log_total(log_likelihoods) -> float:
     """log(sum(exp(lls))) with the reference's exact sequential summation
     order — plus a logsumexp-shifted fallback for the deep-pileup regime.
 
     The reference normalizes with an UNSHIFTED log(sum(exp(...)))
-    (Likelihood.scala:191-196): once every exp underflows (depth >~ 1500
-    at typical base quals), its log-total is -Infinity and every
-    "normalized" likelihood becomes +Infinity/NaN — garbage that Java's
-    non-throwing NaN arithmetic then silently drops or emits as GQ-0
-    records. Reproducing that would crash Python (math domain errors) and
-    is meaningless output either way, so ONLY when the unshifted total
-    underflows to 0 do we renormalize shifted by the max (standard
-    logsumexp) — mathematically the same normalization, finite at any
-    depth; bit-parity in the non-underflow regime is untouched.
+    (Likelihood.scala:191-196). Past depth ~1300 at typical base quals
+    that breaks in two stages: first every exp(logL) lands in the f64
+    subnormal range, where the handful of remaining mantissa bits make
+    the "normalized" likelihoods wrong by large factors (observed: a
+    probability of 1.47); a little deeper every exp underflows to 0, the
+    log-total is -Infinity, and every likelihood becomes +Infinity/NaN —
+    which Java's non-throwing NaN arithmetic silently turns into dropped
+    calls or GQ-0 records, and which crashes Python's throwing math
+    functions. So: whenever the max log-likelihood is above
+    _EXP_PRECISION_FLOOR the reference's exact sequential total is used
+    (bit-parity for the entire fixture/chrM regime); below it we
+    renormalize shifted by the max (standard logsumexp) — the same
+    normalization computed stably, finite and accurate at any depth.
     (DEVIATIONS.md #11.)"""
-    total = 0.0
-    for ll in log_likelihoods:
-        total += math.exp(ll)
-    if total > 0.0:
-        return math.log(total)
     m = max((float(ll) for ll in log_likelihoods), default=float("-inf"))
+    if m > _EXP_PRECISION_FLOOR:
+        total = 0.0
+        for ll in log_likelihoods:
+            total += math.exp(ll)
+        return _log_or_neg_inf(total)
     if not math.isfinite(m):
         return float("-inf")
     shifted = 0.0

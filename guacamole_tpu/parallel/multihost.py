@@ -27,12 +27,20 @@ set equals a single-process whole-file run.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import pickle
+import sys
+import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+
+# Default bound on any single DCN collective. The reference delegates
+# failure handling to Spark's task retry (SURVEY.md §5); here a dead peer
+# would otherwise hang every survivor inside process_allgather forever.
+DEFAULT_DCN_TIMEOUT_S = 300.0
 
 
 @dataclass(frozen=True)
@@ -41,6 +49,8 @@ class MultihostRuntime:
 
     process_index: int
     process_count: int
+    # Watchdog bound (seconds) on each DCN collective; <= 0 disables.
+    timeout_s: float = DEFAULT_DCN_TIMEOUT_S
 
     @property
     def active(self) -> bool:
@@ -55,10 +65,43 @@ class MultihostRuntime:
 SINGLE = MultihostRuntime(0, 1)
 
 
+def _watchdog_abort(op: str, timeout_s: float) -> None:
+    sys.stderr.write(
+        f"guacamole: DCN collective '{op}' did not complete within "
+        f"{timeout_s:.0f}s — a peer process likely died or hung; "
+        "aborting this process (re-run the job; see --timeout)\n"
+    )
+    sys.stderr.flush()
+    # os._exit: the main thread is blocked inside a native collective and
+    # cannot unwind; a clean nonzero exit beats an indefinite hang.
+    os._exit(42)
+
+
+@contextlib.contextmanager
+def _dcn_watchdog(runtime: MultihostRuntime, op: str):
+    """Abort the process (exit 42, one-line error) if a DCN collective
+    outlives runtime.timeout_s — so one dead process can't deadlock the
+    others; the cluster launcher then sees a nonzero exit and can retry
+    the whole batch (the Spark-retry analog at the job level)."""
+    if not runtime.active or runtime.timeout_s <= 0:
+        yield
+        return
+    timer = threading.Timer(
+        runtime.timeout_s, _watchdog_abort, args=(op, runtime.timeout_s)
+    )
+    timer.daemon = True
+    timer.start()
+    try:
+        yield
+    finally:
+        timer.cancel()
+
+
 def bootstrap(
     coordinator: str = "",
     num_processes: int = 0,
     process_id: int = -1,
+    timeout_s: float = -1.0,
 ) -> MultihostRuntime:
     """Initialize the JAX distributed runtime for a multi-process run.
 
@@ -75,6 +118,10 @@ def bootstrap(
         num_processes = int(os.environ.get("GUAC_NUM_PROCESSES", "0") or 0)
     if process_id < 0:
         process_id = int(os.environ.get("GUAC_PROCESS_ID", "-1") or -1)
+    if timeout_s < 0:
+        timeout_s = float(
+            os.environ.get("GUAC_TIMEOUT", "") or DEFAULT_DCN_TIMEOUT_S
+        )
     if num_processes <= 1:
         return SINGLE
     if not coordinator or process_id < 0:
@@ -84,13 +131,15 @@ def bootstrap(
         )
     import jax
 
+    init_timeout = max(30, int(timeout_s)) if timeout_s > 0 else 300
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
         process_id=process_id,
+        initialization_timeout=init_timeout,
     )
     assert jax.process_count() == num_processes
-    return MultihostRuntime(jax.process_index(), num_processes)
+    return MultihostRuntime(jax.process_index(), num_processes, timeout_s)
 
 
 def shard_loci_expression(
@@ -116,11 +165,16 @@ def shard_loci_expression(
     return ",".join(parts)
 
 
-def _allgather_array(arr: np.ndarray) -> np.ndarray:
-    """All-gather one per-process array over DCN; returns [P, *arr.shape]."""
+def _allgather_array(
+    arr: np.ndarray, runtime: MultihostRuntime = SINGLE, op: str = "allgather"
+) -> np.ndarray:
+    """All-gather one per-process array over DCN; returns [P, *arr.shape].
+    Guarded by the DCN watchdog: a dead peer aborts this process with a
+    one-line error instead of hanging it forever."""
     from jax.experimental import multihost_utils
 
-    return np.asarray(multihost_utils.process_allgather(arr))
+    with _dcn_watchdog(runtime, op):
+        return np.asarray(multihost_utils.process_allgather(arr))
 
 
 def allreduce_counters(
@@ -132,7 +186,7 @@ def allreduce_counters(
         return dict(counters)
     keys = sorted(counters)
     local = np.asarray([counters[k] for k in keys], dtype=np.int64)
-    summed = _allgather_array(local).sum(axis=0)
+    summed = _allgather_array(local, runtime, "allreduce_counters").sum(axis=0)
     return {k: int(v) for k, v in zip(keys, summed)}
 
 
@@ -144,11 +198,13 @@ def gather_bytes(runtime: MultihostRuntime, payload: bytes) -> List[bytes]:
     """
     if not runtime.active:
         return [payload]
-    lengths = _allgather_array(np.asarray([len(payload)], np.int64))[:, 0]
+    lengths = _allgather_array(
+        np.asarray([len(payload)], np.int64), runtime, "gather_bytes/lengths"
+    )[:, 0]
     width = max(1, int(lengths.max()))
     buf = np.zeros(width, np.uint8)
     buf[: len(payload)] = np.frombuffer(payload, np.uint8)
-    stacked = _allgather_array(buf)
+    stacked = _allgather_array(buf, runtime, "gather_bytes/payload")
     return [
         stacked[p, : int(lengths[p])].tobytes()
         for p in range(runtime.process_count)
@@ -172,4 +228,5 @@ def barrier(runtime: MultihostRuntime, name: str) -> None:
         return
     from jax.experimental import multihost_utils
 
-    multihost_utils.sync_global_devices(name)
+    with _dcn_watchdog(runtime, f"barrier/{name}"):
+        multihost_utils.sync_global_devices(name)

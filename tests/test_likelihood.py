@@ -454,17 +454,23 @@ def test_deep_pileup_normalization_stays_finite():
 
     from guacamole_tpu.likelihood import log_likelihoods_of_genotype_pairs
 
-    depth = 4000  # deep enough that exp(logL) underflows for every genotype
     rng = np.random.default_rng(3)
-    # het locus: half ref (allele 0), half alt (allele 1)
-    ids = rng.integers(0, 2, size=depth)
-    success = np.full(depth, 0.9999)  # qual 40
-    pairs = [(0, 0), (0, 1), (1, 1)]
-    lls = log_likelihoods_of_genotype_pairs(ids, success, pairs, normalize=True)
-    assert np.all(np.isfinite(lls)), lls
-    probs = np.exp(lls)
-    assert abs(probs.sum() - 1.0) < 1e-6
-    assert int(np.argmax(lls)) == 1  # het genotype wins
+    # depth 4000: full exp underflow; depth 1040: the subnormal-exp
+    # window where the unshifted normalization is wrong by large factors
+    # (a 1.47 "probability" was observed there)
+    for depth in (4000, 1040):
+        # het locus: half ref (allele 0), half alt (allele 1)
+        ids = rng.integers(0, 2, size=depth)
+        success = np.full(depth, 0.9999)  # qual 40
+        pairs = [(0, 0), (0, 1), (1, 1)]
+        lls = log_likelihoods_of_genotype_pairs(
+            ids, success, pairs, normalize=True
+        )
+        assert np.all(np.isfinite(lls)), (depth, lls)
+        probs = np.exp(lls)
+        assert abs(probs.sum() - 1.0) < 1e-6, (depth, probs)
+        assert probs.max() <= 1.0 + 1e-12, (depth, probs)
+        assert int(np.argmax(lls)) == 1  # het genotype wins
 
 
 def test_shallow_normalization_unchanged_by_fallback():

@@ -287,3 +287,93 @@ def test_shard_expressions_cover_and_partition():
         for start, end in shard.on_contig("chrM").ranges:
             covered[start:end] += 1
     assert (covered == 1).all()
+
+
+def _survivor_argv(coordinator, tmp_path, timeout_s):
+    return [
+        "germline-threshold",
+        "--reads", resource_path(CHRM),
+        "--loci", "chrM:0-16571",
+        "--parallelism", "2",
+        "--timeout", str(timeout_s),
+        "--coordinator", coordinator,
+        "--num-processes", "2",
+        "--process-id", "0",
+        "--out", str(tmp_path / "multi.vcf"),
+    ]
+
+
+def test_hung_peer_watchdog_aborts_survivor(tmp_path):
+    """Failure semantics, hang case: a peer that is alive (heartbeating —
+    so JAX's own crash detection never fires) but never joins the
+    collective must not hang the survivor forever. The --timeout DCN
+    watchdog aborts the survivor with exit 42 and a one-line error, so a
+    cluster launcher can fail/retry the job (the job-level analog of
+    Spark's task retry, which has no equivalent here — SURVEY.md §5)."""
+    import time
+
+    coordinator = f"127.0.0.1:{_free_port()}"
+    hang_code = (
+        "import time, jax;"
+        f"jax.distributed.initialize(coordinator_address='{coordinator}',"
+        "num_processes=2, process_id=1);"
+        "jax.devices();"  # join backend init so the survivor passes it
+        "time.sleep(600)"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    hung_log = open(tmp_path / "hung.log", "w")
+    hung = subprocess.Popen(
+        [sys.executable, "-c", hang_code],
+        stdout=hung_log, stderr=subprocess.STDOUT, env=env,
+    )
+    try:
+        survivor = _spawn(
+            _survivor_argv(coordinator, tmp_path, 12), tmp_path, "hang-p0"
+        )
+        t0 = time.time()
+        code = survivor.wait(timeout=180)
+        elapsed = time.time() - t0
+        log = survivor._log_path.read_text()
+        assert code == 42, f"expected watchdog exit 42, got {code}:\n{log}"
+        assert "DCN collective" in log and "did not complete" in log, log
+        # promptly: survivor work + the 12 s watchdog, not minutes
+        assert elapsed < 150, f"survivor took {elapsed:.0f}s to abort"
+    finally:
+        hung.kill()
+        hung.wait(timeout=30)
+
+
+def test_dead_peer_aborts_survivor_promptly(tmp_path):
+    """Failure semantics, crash case: when a peer process dies outright,
+    the survivor must exit nonzero promptly — via the DCN watchdog or
+    JAX's coordination-service heartbeat detection, whichever trips
+    first — never hang indefinitely."""
+    import time
+
+    coordinator = f"127.0.0.1:{_free_port()}"
+    victim_code = (
+        "import os, jax;"
+        f"jax.distributed.initialize(coordinator_address='{coordinator}',"
+        "num_processes=2, process_id=1);"
+        "os._exit(0)"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    victim_log = open(tmp_path / "victim.log", "w")
+    victim = subprocess.Popen(
+        [sys.executable, "-c", victim_code],
+        stdout=victim_log, stderr=subprocess.STDOUT, env=env,
+    )
+    survivor = _spawn(
+        _survivor_argv(coordinator, tmp_path, 12), tmp_path, "dead-p0"
+    )
+    assert victim.wait(timeout=120) == 0
+
+    t0 = time.time()
+    code = survivor.wait(timeout=240)
+    elapsed = time.time() - t0
+    log = survivor._log_path.read_text()
+    assert code != 0, f"survivor exited 0 despite dead peer:\n{log}"
+    watchdog = "DCN collective" in log and "did not complete" in log
+    heartbeat = "unhealthy" in log or "stopped sending heartbeats" in log
+    assert watchdog or heartbeat, f"unexpected abort mode (exit {code}):\n{log}"
+    assert elapsed < 200, f"survivor took {elapsed:.0f}s to abort"
