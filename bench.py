@@ -168,9 +168,11 @@ def run_scale_configs(tmp_root):
         "bands": manifest["bands"],
         "note": "generation_s ~0 when the cached fixture is reused",
     }
-    germ = os.path.join(SCALE_DIR, manifest["files"]["germline"])
-    tumor = os.path.join(SCALE_DIR, manifest["files"]["tumor"])
-    normal = os.path.join(SCALE_DIR, manifest["files"]["normal"])
+    # BAM inputs: the calls run through the production streaming path
+    # (.bai byte-range pushdown + index-depth partitioning)
+    germ = os.path.join(SCALE_DIR, manifest["files"]["germline_bam"])
+    tumor = os.path.join(SCALE_DIR, manifest["files"]["tumor_bam"])
+    normal = os.path.join(SCALE_DIR, manifest["files"]["normal_bam"])
     truth = manifest["truth"]
     planted_snvs = {
         (contig, pos)
@@ -179,16 +181,16 @@ def run_scale_configs(tmp_root):
     }
     somatic_sites = set(truth["deep1m"]["somatic_pos"])
 
-    # host-decode phase alone (the native SAM decoder on the big file)
-    from guacamole_tpu.runtime.columnar import decode_sam_columnar
+    # host-decode phase alone (the native BAM decoder on the big file)
+    from guacamole_tpu.runtime.columnar import decode_bam_columnar
 
     t0 = _time.time()
-    cols = decode_sam_columnar(germ)
+    cols = decode_bam_columnar(germ)
     decode_s = _time.time() - t0
     n_germ = cols.n
     del cols
     out["decode_phase"] = {
-        "file": manifest["files"]["germline"],
+        "file": manifest["files"]["germline_bam"],
         "n_reads": n_germ,
         "wall_s": round(decode_s, 2),
         "reads_per_s": round(n_germ / decode_s, 1),
@@ -230,10 +232,15 @@ def run_scale_configs(tmp_root):
     out["germline-threshold"] = r
 
     # 2. germline-standard at scale (likelihood path through the deep
-    # band/spike depth buckets and the 16384 likelihood depth cap)
+    # band/spike depth buckets and the 16384 likelihood depth cap).
+    # --min-likelihood 40 (GenotypeFilter.scala:135 semantics): the raw
+    # argmax caller — faithfully to the reference — calls a het wherever
+    # a single high-qual error flips the argmax at shallow depth; the
+    # phred-scaled-likelihood filter is how production runs cut those
+    # (planted hets score GQ >= ~44, single/double-error loci <= ~10).
     r = timed_cli(
         "germline-standard",
-        ["germline-standard", "--reads", germ],
+        ["germline-standard", "--reads", germ, "--min-likelihood", "40"],
         n_germ,
     )
     called = _read_vcf_snvs(r.pop("vcf"))
@@ -342,6 +349,132 @@ def run_multihost_2proc(tmp_root):
     }
 
 
+def run_multihost_weak_scaling(tmp_root):
+    """WEAK scaling proxy with honest per-process resources: each process
+    is pinned to its own physical core (sched_setaffinity), per-process
+    workload is constant (4 Mbp of the shallow 12x contig, ~480k reads,
+    BAM + .bai shard pushdown so each process decodes only its shard),
+    and the persistent compile cache is shared. Ideal weak scaling =
+    two-process wall equals single-process wall; BASELINE.md's >= 0.85
+    target maps to two_process_wall <= ~1.18x single."""
+    import socket
+
+    from guacamole_tpu.utils.simulate import make_scale_fixture
+
+    manifest = make_scale_fixture(SCALE_DIR)
+    bam = os.path.join(SCALE_DIR, manifest["files"]["germline_bam"])
+    shallow_len = manifest["contigs"]["shallow8m"]
+    half = shallow_len // 2
+    cores = sorted(os.sched_getaffinity(0))
+    if len(cores) < 2:
+        return {"error": "need >= 2 cores for the weak-scaling point"}
+
+    def spawn(argv, core, tag):
+        log = open(os.path.join(tmp_root, f"ws-{tag}.log"), "w")
+        return subprocess.Popen(
+            [sys.executable, "-m", "guacamole_tpu.cli"] + argv,
+            env=dict(os.environ, JAX_PLATFORMS="cpu"),
+            stdout=log, stderr=subprocess.STDOUT,
+            preexec_fn=lambda: os.sched_setaffinity(0, {core}),
+        )
+
+    # germline-standard: the likelihood caller is ~3x more compute per
+    # read than threshold, so per-process compute dominates fixed startup
+    # (the weak-scaling signal, not process spin-up)
+    base = ["germline-standard", "--reads", bam, "--min-likelihood", "40",
+            "--parallelism", "2"]
+
+    # warmup: populate the shared persistent compile cache for this shape
+    warm = spawn(
+        base + ["--loci", f"shallow8m:0-{half}",
+                "--out", os.path.join(tmp_root, "ws-warm.vcf")],
+        cores[0], "warm",
+    )
+    if warm.wait(timeout=1800) != 0:
+        return {"error": "weak-scaling warmup failed"}
+
+    t0 = time.time()
+    single = spawn(
+        base + ["--loci", f"shallow8m:0-{half}",
+                "--out", os.path.join(tmp_root, "ws-single.vcf")],
+        cores[0], "single",
+    )
+    if single.wait(timeout=1800) != 0:
+        return {"error": "weak-scaling single run failed"}
+    single_wall = time.time() - t0
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    two_out = os.path.join(tmp_root, "ws-two.vcf")
+    t0 = time.time()
+    procs = [
+        spawn(
+            base + [
+                "--loci", f"shallow8m:0-{shallow_len}",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+                "--out", two_out,
+            ],
+            cores[pid % len(cores)], f"two-p{pid}",
+        )
+        for pid in range(2)
+    ]
+    for proc in procs:
+        if proc.wait(timeout=1800) != 0:
+            return {"error": "weak-scaling 2-process run failed"}
+    two_wall = time.time() - t0
+
+    # correctness: the merged 2-process output over the full contig must
+    # equal an (unpinned) single-process full-contig run
+    full_out = os.path.join(tmp_root, "ws-full.vcf")
+    full = subprocess.run(
+        [sys.executable, "-m", "guacamole_tpu.cli"] + base
+        + ["--loci", f"shallow8m:0-{shallow_len}", "--out", full_out],
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        capture_output=True, timeout=1800,
+    )
+    identical = None
+    if full.returncode == 0:
+        with open(two_out, "rb") as a, open(full_out, "rb") as b:
+            identical = a.read() == b.read()
+
+    def phases(tag):
+        """Itemize a run from its progress log: seconds before the first
+        progress line (startup+init), and per-phase deltas after."""
+        import re
+
+        path = os.path.join(tmp_root, f"ws-{tag}.log")
+        try:
+            with open(path) as fh:
+                text = fh.read()
+        except OSError:
+            return None
+        out = {}
+        for m in re.finditer(r"\[(\d+\.\d+) sec\. later\]: (\w+)", text):
+            out.setdefault(m.group(2), 0.0)
+            out[m.group(2)] += float(m.group(1))
+        return {k: round(v, 2) for k, v in out.items()}
+
+    return {
+        "per_process_workload": "4 Mbp shallow8m @ 12x "
+        f"(~{manifest['counts']['germline'] // 5} reads), BAM shard "
+        "pushdown, germline-standard",
+        "single_process_wall_s": round(single_wall, 2),
+        "two_process_wall_s": round(two_wall, 2),
+        "weak_scaling_efficiency": round(single_wall / two_wall, 3),
+        "outputs_identical_to_full_single_run": identical,
+        "phase_breakdown": {
+            "single": phases("single"),
+            "two_p0": phases("two-p0"),
+            "two_p1": phases("two-p1"),
+        },
+        "note": "each process pinned to its own core; shared persistent "
+        "compile cache; per-process constant workload (weak scaling)",
+    }
+
+
 def main() -> int:
     from guacamole_tpu.platform import configure_platform
 
@@ -368,6 +501,9 @@ def main() -> int:
         report["scale"] = run_scale_configs(tmp_root)
         report["scaling_8shard_virtual"] = run_scaling_subprocess()
         report["multihost_2proc"] = run_multihost_2proc(tmp_root)
+        report["multihost_weak_scaling"] = run_multihost_weak_scaling(
+            tmp_root
+        )
 
     with open(os.path.join(REPO, "BENCH_REPORT.json"), "w") as fh:
         json.dump(report, fh, indent=2)
@@ -404,8 +540,8 @@ def main() -> int:
             "n_reads": headline["n_reads"],
             "golden_match": True,
             "configs_in_sidecar": sorted(report["configs"])
-            + ["baseline_measured_python", "scale",
-               "scaling_8shard_virtual", "multihost_2proc"],
+            + ["baseline_measured_python", "scale", "scaling_8shard_virtual",
+               "multihost_2proc", "multihost_weak_scaling"],
             "baseline_status": baseline_status,
         },
     }

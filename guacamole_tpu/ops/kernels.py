@@ -358,6 +358,56 @@ germline_likelihood_screen = functools.partial(
 )(germline_screen_math)
 
 
+def germline_screen_math_mxu(
+    ll_pack: jnp.ndarray,  # [L, D] uint16: allele_id | qual << 4
+    is_variant: jnp.ndarray,  # [L, K] bool
+    is_standard_alt: jnp.ndarray,  # [L, K] bool
+    max_alleles: int,
+    margin: float = 0.5,
+) -> jnp.ndarray:
+    """MXU formulation of germline_screen_math: the 2K masked
+    accumulations per element ARE a one-hot contraction —
+    cg[l,k,t] = sum_d onehot[l,d,k] * xy[l,d,t] — so the C/G sums can be
+    a batched dot_general (f32 accumulate; the one-hot is exact in any
+    dtype) instead of 2K VPU masked adds. Semantics identical to
+    germline_screen_math, with one representation change: the m=2 term's
+    log(0) = -inf at q == 0 becomes a -1e30 floor (an -inf operand would
+    turn 0 * -inf into NaN inside the dot; -1e30 orders identically in
+    the argmax comparison, and D * 1e30 stays far below f32 max).
+    Measured against the VPU form in scripts/kernel_bench.py; see
+    docs/SPEED_OF_LIGHT.md §2."""
+    aid = (ll_pack & jnp.uint16(0xF)).astype(jnp.uint8)
+    q = (ll_pack >> jnp.uint16(4)).astype(jnp.float32)
+    valid = ll_pack != jnp.uint16(0xFFFF)
+    err = jnp.power(10.0, q / -10.0)
+    # Invalid slots decode to q=4095 -> err=0 -> log(0)=-inf; they must be
+    # ZEROED (not just unmasked) because 0 * -inf = NaN inside the dot.
+    x = jnp.where(valid, jnp.log(2.0 * err), 0.0)  # m=0 term
+    y = jnp.where(
+        valid, jnp.maximum(jnp.log(2.0 - 2.0 * err), -1e30), 0.0
+    )  # m=2 term, floored (-inf at q == 0 would NaN-poison the dot too)
+    onehot = (
+        (aid[:, :, None] == jnp.arange(max_alleles, dtype=jnp.uint8))
+        & valid[:, :, None]
+    ).astype(jnp.float32)  # [L, D, K]
+    xy = jnp.stack([x, y], axis=-1)  # [L, D, 2]
+    cg = jax.lax.dot_general(
+        onehot,
+        xy,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [L, K, 2]
+    return _screen_from_allele_sums(
+        cg[..., 0], cg[..., 1], is_variant, is_standard_alt, max_alleles,
+        margin,
+    ) & jnp.any(valid, axis=1)
+
+
+germline_likelihood_screen_mxu = functools.partial(
+    jax.jit, static_argnames=("max_alleles", "margin")
+)(germline_screen_math_mxu)
+
+
 def tumor_screen_math(
     ll_pack: jnp.ndarray,  # [L, D] uint16: allele_id | qual << 4
     ll_mapq: jnp.ndarray,  # [L, D] uint8 per-element read MAPQ

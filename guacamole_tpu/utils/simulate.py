@@ -467,7 +467,7 @@ def make_scale_fixture(
     counts, planted truth)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.json")
-    key = {"version": 3, "scale": scale, "depth_scale": depth_scale,
+    key = {"version": 4, "scale": scale, "depth_scale": depth_scale,
            "seed": seed, "read_len": READ_LEN}
     if os.path.exists(manifest_path):
         try:
@@ -555,6 +555,22 @@ def make_scale_fixture(
         os.path.join(out_dir, files["normal"]), {"deep1m": (deep_len, normal)}
     )
     del normal
+
+    # BAM forms (+ .bai) so scale runs exercise the production streaming
+    # path: per-task byte-range pushdown, index-depth partitioning, and
+    # per-process shard loading in multi-host runs.
+    from guacamole_tpu.callers.streaming import ensure_bam_index
+    from guacamole_tpu.gio.bamwrite import sam_to_bam
+
+    for kind in list(files):
+        bam_name = files[kind].replace(".sam", ".bam")
+        n_bam = sam_to_bam(
+            os.path.join(out_dir, files[kind]),
+            os.path.join(out_dir, bam_name),
+        )
+        assert n_bam == counts[kind]
+        ensure_bam_index(os.path.join(out_dir, bam_name))
+        files[kind + "_bam"] = bam_name
 
     manifest = {
         "key": key,

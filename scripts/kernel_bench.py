@@ -1,5 +1,14 @@
-"""Steady-state device-kernel benchmark: XLA vs Pallas forms of every
-production screen, device-resident inputs (no H2D in the timed region).
+"""Steady-state device-kernel benchmark: XLA vs Pallas (vs MXU) forms of
+every production screen, device-resident inputs (no H2D in the timed
+region).
+
+Methodology: N async dispatches with a single block_until_ready at the
+end — the dispatch queue stays full, so the tunnel round trip is hidden
+and per-call time approaches device execution time. (A one-dispatch
+lax.map variant was tried and rejected: each measurement then pays one
+~20 ms tunnel completion-poll, swamping sub-100 us kernels.) Run on an
+OTHERWISE IDLE host: concurrent CPU load inflates these numbers 3-5x by
+starving the dispatch thread.
 
 Run on real TPU hardware; results are recorded in docs/SPEED_OF_LIGHT.md.
 Usage: python scripts/kernel_bench.py
@@ -12,19 +21,23 @@ import numpy as np
 import jax
 
 
-def bench(fn, *a, n=100, **kw):
+def bench(fn, *a, n=200, repeats=3, **kw):
     out = fn(*a, **kw)
     jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*a, **kw)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
-    return (time.perf_counter() - t0) / n
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*a, **kw)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
 
 def main():
     from guacamole_tpu.ops.kernels import (
         germline_likelihood_screen,
+        germline_likelihood_screen_mxu,
         tile_stats_csr,
         tumor_likelihood_screen,
     )
@@ -42,7 +55,8 @@ def main():
     buf = np.zeros(1 << 20, np.uint8)
     jax.device_put(buf, dev).block_until_ready()
     best = min(
-        bench(lambda: jax.device_put(buf, dev), n=1) for _ in range(5)
+        bench(lambda: jax.device_put(buf, dev), n=1, repeats=1)
+        for _ in range(5)
     )
     print(f"H2D 1MiB best: {best*1e3:.2f} ms "
           f"({'local' if best < 0.004 else 'remote/tunnel'} link)")
@@ -68,6 +82,8 @@ def main():
 
     t = bench(germline_likelihood_screen, pk, vv, ss, K)
     print(f"LL  XLA:    {t*1e6:6.0f} us  {el/t/1e9:6.2f} G el/s")
+    t = bench(germline_likelihood_screen_mxu, pk, vv, ss, K)
+    print(f"LL  MXU:    {t*1e6:6.0f} us  {el/t/1e9:6.2f} G el/s")
     t = bench(pallas_likelihood_screen, pk, None, vv, ss, K)
     print(f"LL  Pallas: {t*1e6:6.0f} us  {el/t/1e9:6.2f} G el/s")
     t = bench(tumor_likelihood_screen, pk, mqd, vv, ss, K)

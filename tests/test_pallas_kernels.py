@@ -274,15 +274,26 @@ def test_likelihood_screen_superset_of_f64_argmax(seed, include_alignment):
         valid, (aid & 0xF) | (qual.astype(np.uint16) << 4), 0xFFFF
     ).astype(np.uint16)
     if include_alignment:
-        got = np.asarray(
-            tumor_likelihood_screen(
-                ll_pack, mapq.astype(np.uint8), is_variant, is_standard, K
+        gots = {
+            "tumor": np.asarray(
+                tumor_likelihood_screen(
+                    ll_pack, mapq.astype(np.uint8), is_variant, is_standard, K
+                )
             )
-        )
+        }
     else:
-        got = np.asarray(
-            germline_likelihood_screen(ll_pack, is_variant, is_standard, K)
-        )
+        from guacamole_tpu.ops.kernels import germline_likelihood_screen_mxu
+
+        gots = {
+            "vpu": np.asarray(
+                germline_likelihood_screen(ll_pack, is_variant, is_standard, K)
+            ),
+            "mxu": np.asarray(
+                germline_likelihood_screen_mxu(
+                    ll_pack, is_variant, is_standard, K
+                )
+            ),
+        }
 
     # f64 oracle: argmax over pairs of the exact per-element log terms.
     i_idx, j_idx = genotype_pairs(K)
@@ -308,7 +319,10 @@ def test_likelihood_screen_superset_of_f64_argmax(seed, include_alignment):
             is_variant[li, i_idx[best]] or is_variant[li, j_idx[best]]
         )
         if argmax_variant:
-            assert got[li], f"screen missed f64-argmax-variant locus {li}"
+            for form, got in gots.items():
+                assert got[li], (
+                    f"{form} screen missed f64-argmax-variant locus {li}"
+                )
 
 
 @pytest.mark.parametrize("threshold_percent", [None, 8, 50])
