@@ -475,12 +475,87 @@ def run_multihost_weak_scaling(tmp_root):
     }
 
 
+LINK_PROBE_CODE = r"""
+import json, time, numpy as np
+import jax, jax.numpy as jnp
+try:
+    dev = jax.devices()[0]
+    if dev.platform == "cpu":
+        print(json.dumps({"platform": "cpu"}))
+        raise SystemExit(0)
+    f = jax.jit(lambda b: (b.astype(jnp.int32).sum(), b[:64]))
+    blob = np.zeros(262144, np.uint8)
+    s, h = f(jax.device_put(blob, dev))
+    np.asarray(s)
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s, h = f(jax.device_put(blob, dev))
+        np.asarray(s); np.asarray(h)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    print(json.dumps({"platform": dev.platform, "median_s": lat[1]}))
+except SystemExit:
+    raise
+except Exception as e:
+    print(json.dumps({"error": str(e)[:200]}))
+"""
+
+# A screen workload streams thousands of tile-sized round trips; above
+# this per-roundtrip latency the accelerator loses to host screens on
+# multi-million-read runs (measured: a 58 ms-median tunnel turned a 20 s
+# CPU run into 5-12 min on the chip).
+LINK_LATENCY_THRESHOLD_S = 0.02
+
+
+def probe_accelerator_link():
+    """Measure a tile-like accelerator round trip (256 KB H2D + exec +
+    fetch) in a SUBPROCESS, so this process can still choose its JAX
+    platform afterwards. Returns a decision dict."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", LINK_PROBE_CODE],
+            capture_output=True, text=True, timeout=300,
+            env=dict(os.environ),
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+        info = json.loads(line)
+    except (subprocess.TimeoutExpired, ValueError, IndexError):
+        info = {"error": "probe timed out or unparsable"}
+    if info.get("platform") == "cpu":
+        return {"decision": "cpu", "reason": "no accelerator attached"}
+    median = info.get("median_s")
+    if median is None:
+        return {
+            "decision": "cpu",
+            "reason": f"accelerator probe failed ({info.get('error')})",
+        }
+    if median > LINK_LATENCY_THRESHOLD_S:
+        return {
+            "decision": "cpu",
+            "probe_median_s": round(median, 4),
+            "reason": "accelerator link degraded: tile-like round trip "
+            f"{median*1e3:.0f} ms > {LINK_LATENCY_THRESHOLD_S*1e3:.0f} ms — "
+            "streaming thousands of screen tiles through it would be "
+            "latency-bound, so this bench runs host-side (chip-side "
+            "kernel speed-of-light numbers: docs/SPEED_OF_LIGHT.md)",
+        }
+    return {
+        "decision": "accelerator",
+        "platform": info.get("platform"),
+        "probe_median_s": round(median, 4),
+    }
+
+
 def main() -> int:
     from guacamole_tpu.platform import configure_platform
 
+    link = probe_accelerator_link()
+    if link["decision"] == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
     configure_platform()
 
-    report = {"configs": {}, "baseline": {
+    report = {"platform_decision": link, "configs": {}, "baseline": {
         "reference": "MartijnAB/guacamole (Scala/Spark, local[1])",
         "wall_s_assumed": SPARK_BASELINE_WALL_S,
         "status": "assumption — the reference publishes no numbers and "
@@ -539,6 +614,7 @@ def main() -> int:
             "wall_s": headline["wall_s"],
             "n_reads": headline["n_reads"],
             "golden_match": True,
+            "platform": link,
             "configs_in_sidecar": sorted(report["configs"])
             + ["baseline_measured_python", "scale", "scaling_8shard_virtual",
                "multihost_2proc", "multihost_weak_scaling"],
