@@ -24,6 +24,11 @@ def configure_platform(platform: Optional[str] = None) -> None:
         cache_dir = os.environ.get(
             "GUAC_JAX_CACHE", os.path.expanduser("~/.cache/guacamole_tpu/jax")
         )
+        # Partition the cache by a host/toolchain fingerprint: XLA:CPU AOT
+        # executables embed the compile machine's CPU-feature tuning, and
+        # loading one written under a different host/LLVM configuration
+        # warns of (and risks) SIGILL on every cache hit.
+        cache_dir = os.path.join(cache_dir, _host_fingerprint(jax))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -38,3 +43,20 @@ def configure_platform(platform: Optional[str] = None) -> None:
         jax.config.update("jax_platforms", choice)
     except Exception:
         pass
+
+
+def _host_fingerprint(jax) -> str:
+    import hashlib
+
+    parts = [jax.__version__]
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        import platform as _platform
+
+        parts.append(_platform.processor() or _platform.machine())
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
