@@ -59,9 +59,15 @@ def pack_tile_columnar(
     lo_bound = int(loci_arr[0])
     hi_bound = int(loci_arr[-1])
 
-    on_contig = cols.ref_id == contig_id
-    overlaps = on_contig & (cols.end > lo_bound) & (cols.start <= hi_bound)
-    sel = np.flatnonzero(overlaps)
+    window = cols.read_scan_window(contig_id, lo_bound, hi_bound)
+    w_lo, w_hi = window if window is not None else (0, cols.n)
+    on_contig = cols.ref_id[w_lo:w_hi] == contig_id
+    overlaps = (
+        on_contig
+        & (cols.end[w_lo:w_hi] > lo_bound)
+        & (cols.start[w_lo:w_hi] <= hi_bound)
+    )
+    sel = np.flatnonzero(overlaps) + w_lo
     if len(sel) == 0:
         return _empty_tile(contig_name, loci_arr, K, depth_pad or 8)
 
@@ -167,6 +173,11 @@ def _pack_tile_native(
         else None
     )
     loci_arr = np.asarray(loci, dtype=np.int64)
+    scan_window = (
+        cols.read_scan_window(contig_id, int(loci_arr[0]), int(loci_arr[-1]))
+        if len(loci_arr)
+        else None
+    )
     out = pack_tile_native(
         cols,
         contig_id,
@@ -175,6 +186,7 @@ def _pack_tile_native(
         depth_pad=depth_pad or 0,
         l_pad=l_pad,
         ref_contig=ref_contig,
+        scan_window=scan_window,
         mode=(
             {"full": 0, "screen": 1, "likelihood": 2, "likelihood_mapq": 3}[
                 fields

@@ -94,6 +94,50 @@ class ColumnarReads:
     def is_mapped_mask(self) -> np.ndarray:
         return ((self.flags_ & flags.UNMAPPED) == 0) & (self.ref_id >= 0)
 
+    def read_scan_window(self, contig_id: int, lo: int, hi: int):
+        """[r_lo, r_hi) read-index window guaranteed to contain every read
+        of contig_id overlapping loci [lo, hi], via binary search over the
+        per-contig sorted-start block (computed once and cached). Returns
+        None when reads aren't contiguously grouped by contig with
+        nondecreasing starts — callers then scan everything. Without this,
+        a whole-genome run pays an O(n_reads) scan per packed tile."""
+        index = getattr(self, "_scan_index", "unset")
+        if isinstance(index, str):
+            index = self._build_scan_index()
+            self._scan_index = index
+        if index is None:
+            return None
+        block = index.get(int(contig_id))
+        if block is None:
+            return (self.n, self.n)  # no reads on this contig: empty window
+        base, n, max_span = block
+        starts = self.start[base : base + n]
+        r_lo = base + int(
+            np.searchsorted(starts, lo - max_span, side="left")
+        )
+        r_hi = base + int(np.searchsorted(starts, hi, side="right"))
+        return (r_lo, r_hi)
+
+    def _build_scan_index(self):
+        if self.n == 0:
+            return {}
+        ref = np.asarray(self.ref_id)
+        start = np.asarray(self.start)
+        end = np.asarray(self.end)
+        cuts = np.flatnonzero(np.diff(ref) != 0) + 1
+        bounds = np.concatenate([[0], cuts, [len(ref)]])
+        index = {}
+        for b, e in zip(bounds[:-1], bounds[1:]):
+            cid = int(ref[b])
+            if cid in index:  # contig appears in two blocks: not grouped
+                return None
+            blk_start = start[b:e]
+            if len(blk_start) > 1 and np.any(np.diff(blk_start) < 0):
+                return None  # not start-sorted within the contig
+            span = int((end[b:e] - blk_start).max()) if e > b else 0
+            index[cid] = (int(b), int(e - b), span)
+        return index
+
     def select(self, mask: np.ndarray) -> "ColumnarReads":
         """Subset reads by boolean mask (event/special tables re-indexed)."""
         idx = np.flatnonzero(mask)

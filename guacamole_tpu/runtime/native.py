@@ -103,6 +103,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]  # K, depth_pad, l_pad
         + [ctypes.c_int64, ctypes.c_int64]  # mode, min_mapq
         + [ctypes.c_void_p, ctypes.c_int64]  # ref contig
+        + [ctypes.c_int64, ctypes.c_int64]  # scan_lo, scan_hi
     )
     lib.guac_free_tile.argtypes = [ctypes.c_void_p]
     lib.guac_tile_L.restype = ctypes.c_int64
@@ -156,6 +157,7 @@ def pack_tile_native(
     ref_contig: Optional[bytes] = None,
     mode: int = 0,
     min_mapq: int = 0,
+    scan_window=None,
 ):
     """Run the C++ tile packer over columnar reads. Returns a dict of numpy
     arrays (LocusTile fields + allele key tables), or None if unavailable."""
@@ -220,6 +222,8 @@ def pack_tile_native(
         min_mapq,
         _ptr(ref_arr) if ref_arr is not None else None,
         len(ref_arr) if ref_arr is not None else 0,
+        scan_window[0] if scan_window is not None else 0,
+        scan_window[1] if scan_window is not None else 0,
     )
     if not handle:
         return None

@@ -208,7 +208,13 @@ void* guac_pack_tile(
     // matching the callers' QualityAlignedReads element filter.
     int64_t min_mapq,
     // optional reference contig bytes (null = resolve from reads)
-    const uint8_t* ref_contig, int64_t ref_contig_len) {
+    const uint8_t* ref_contig, int64_t ref_contig_len,
+    // Read-index scan window [scan_lo, scan_hi): the caller may narrow
+    // the overlap scan with a binary search over its sorted starts
+    // (otherwise a whole-genome run pays an O(n_reads) scan per tile).
+    // The per-read predicate still applies, so an over-wide window only
+    // costs time. scan_hi <= 0 means "scan everything".
+    int64_t scan_lo, int64_t scan_hi) {
   PassTimer timer_;
   PackedTile* t = new PackedTile();
   int64_t L_out = std::max(l_pad, n_loci);
@@ -250,9 +256,14 @@ void* guac_pack_tile(
   if (max_threads < 1) max_threads = 1;
 
   // Select overlapping reads (columns already sorted by start per contig).
+  int64_t r_begin = 0, r_end_idx = n_reads;
+  if (scan_hi > 0) {
+    r_begin = std::max<int64_t>(0, std::min(scan_lo, n_reads));
+    r_end_idx = std::max(r_begin, std::min(scan_hi, n_reads));
+  }
   std::vector<int64_t> sel;
   sel.reserve(1024);
-  for (int64_t r = 0; r < n_reads; r++) {
+  for (int64_t r = r_begin; r < r_end_idx; r++) {
     if (ref_id[r] != contig_id) continue;
     if (end[r] <= lo_bound || start[r] > hi_bound) continue;
     sel.push_back(r);

@@ -407,3 +407,33 @@ def test_cli_error_reporting(tmp_path):
     debug = run(["--debug"])
     assert debug.returncode != 0
     assert "Traceback" in debug.stderr
+
+
+def test_truth_concordance_through_cli(resources_dir, tmp_path):
+    """--truth prints precision/recall/F1 in the reference's tab format
+    through the full CLI (Concordance.scala:72-113 flow)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # calls measured against THEMSELVES as truth: the metrics must be 1.0,
+    # so the full VCF-read + SNV-matching path is exercised non-vacuously
+    truth_vcf = str(tmp_path / "truth.vcf")
+    run_cli(
+        ["germline-threshold", "--reads", resource_path("chrM.sorted.bam")],
+        truth_vcf,
+    )
+    out2 = str(tmp_path / "g.vcf")
+    result = subprocess.run(
+        [sys.executable, "-m", "guacamole_tpu.cli", "germline-threshold",
+         "--reads", resource_path("chrM.sorted.bam"),
+         "--truth", truth_vcf,
+         "--out", out2],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    lines = result.stdout.splitlines()
+    header_idx = [
+        i for i, l in enumerate(lines)
+        if l.startswith("Precision\tRecall\tF1Score")
+    ]
+    assert header_idx, f"no concordance table in output:\n{result.stdout[-800:]}"
+    values = [float(v) for v in lines[header_idx[0] + 1].split("\t")]
+    assert values == [1.0, 1.0, 1.0], values

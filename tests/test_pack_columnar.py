@@ -179,3 +179,65 @@ def test_screen_tiles_csr_encoding(resources_dir):
     )
     np.testing.assert_array_equal(got.counts, want.counts)
     np.testing.assert_array_equal(got.candidates, want.variant_evidence)
+
+
+def test_read_scan_window_covers_all_overlaps():
+    """read_scan_window must be a superset window of the overlap set for
+    every query, and degrade to None on non-grouped/unsorted columns."""
+    import numpy as np
+
+    from guacamole_tpu.runtime.columnar import ColumnarReads
+
+    def cols_of(ref_id, start, end):
+        n = len(start)
+        z = np.zeros(n, dtype=np.int64)
+        return ColumnarReads(
+            ref_names=["a", "b"], ref_lengths=[1000, 1000], samples=["s"],
+            ref_id=np.asarray(ref_id, np.int32),
+            start=np.asarray(start, np.int64),
+            end=np.asarray(end, np.int64),
+            mapq=np.zeros(n, np.int32), flags_=np.zeros(n, np.uint16),
+            mismatches=np.zeros(n, np.int32),
+            sample_id=np.zeros(n, np.int32),
+            seq_off=np.zeros(n + 1, np.int64), seq=np.zeros(0, np.uint8),
+            qual=np.zeros(0, np.uint8),
+            cigar_off=np.zeros(n + 1, np.int64),
+            cigar_len=np.zeros(0, np.uint32), cigar_op=np.zeros(0, np.uint8),
+            md_off=np.zeros(n + 1, np.int64), md_text=np.zeros(0, np.uint8),
+            ev_off=np.zeros(n + 1, np.int64), ev_kind=np.zeros(0, np.uint8),
+            ev_base=np.zeros(0, np.uint8), ev_qual=np.zeros(0, np.uint8),
+            ev_mdref=np.zeros(0, np.uint8),
+            sp_read=z[:0], sp_offset=z[:0],
+            sp_kind=np.zeros(0, np.int32), sp_payload_offset=z[:0],
+            sp_payload_len=z[:0], sp_qual=np.zeros(0, np.int32),
+            special_payload=np.zeros(0, np.uint8),
+        )
+
+    rng = np.random.RandomState(0)
+    starts0 = np.sort(rng.randint(0, 900, size=50))
+    ends0 = starts0 + rng.randint(1, 120, size=50)
+    starts1 = np.sort(rng.randint(0, 900, size=30))
+    ends1 = starts1 + rng.randint(1, 60, size=30)
+    cols = cols_of(
+        [0] * 50 + [1] * 30,
+        np.concatenate([starts0, starts1]),
+        np.concatenate([ends0, ends1]),
+    )
+    for contig_id, s, e in ((0, starts0, ends0), (1, starts1, ends1)):
+        base = 0 if contig_id == 0 else 50
+        for lo, hi in ((0, 10), (100, 400), (850, 999), (0, 999)):
+            w = cols.read_scan_window(contig_id, lo, hi)
+            assert w is not None
+            overlap = np.flatnonzero((e > lo) & (s <= hi)) + base
+            assert all(w[0] <= r < w[1] for r in overlap), (
+                contig_id, lo, hi, w, overlap,
+            )
+    # absent contig: empty window
+    w = cols.read_scan_window(7, 0, 100)
+    assert w == (cols.n, cols.n)
+    # unsorted starts within a contig -> no window (full scan)
+    bad = cols_of([0, 0, 0], [10, 5, 20], [30, 25, 40])
+    assert bad.read_scan_window(0, 0, 100) is None
+    # contig appearing in two separate blocks -> no window
+    bad2 = cols_of([0, 1, 0], [10, 5, 20], [30, 25, 40])
+    assert bad2.read_scan_window(0, 0, 100) is None
