@@ -134,16 +134,14 @@ SCALE_DIR = os.path.join(REPO, ".bench_scale")
 
 
 def _read_vcf_snvs(path):
-    """{(contig, pos0)} of single-base records in a VCF."""
-    out = set()
-    with open(path) as fh:
-        for line in fh:
-            if line.startswith("#"):
-                continue
-            f = line.split("\t")
-            if len(f[3]) == 1 and len(f[4]) == 1:
-                out.add((f[0], int(f[1]) - 1))
-    return out
+    """{(contig, pos0)} of single-base SNV records in a VCF."""
+    from guacamole_tpu.gio.vcf import read_vcf
+
+    return {
+        (v.contig, v.start)
+        for v in read_vcf(path)
+        if len(v.ref) == 1 and all(len(a) == 1 for a in v.alts)
+    }
 
 
 def run_scale_configs(tmp_root):
@@ -563,28 +561,48 @@ def main() -> int:
         "baseline is baseline_measured_python (this repo's pure-Python "
         "oracle of the reference's semantics, golden-verified)",
     }}
+    def safe(fn, *a):
+        """Degrade a bench phase to an {'error': ...} section instead of
+        losing the whole report (the one-JSON-line contract) to a hung
+        subprocess or a gate failure in one phase."""
+        try:
+            return fn(*a)
+        except Exception as exc:  # noqa: BLE001 — report, don't crash
+            return {"error": f"{type(exc).__name__}: {exc}"[:400]}
+
     with tempfile.TemporaryDirectory() as tmp_root:
         for name, spec in CONFIGS.items():
-            report["configs"][name] = run_config(name, spec, tmp_root)
-        report["baseline_measured_python"] = run_oracle_baseline()
-        for name, meas in report["baseline_measured_python"].items():
-            cfg = report["configs"].get(name)
-            if cfg and isinstance(meas, dict) and meas.get("golden_match"):
-                cfg["speedup_vs_python_oracle"] = round(
-                    meas["wall_s"] / cfg["wall_s"], 1
-                )
-        report["scale"] = run_scale_configs(tmp_root)
-        report["scaling_8shard_virtual"] = run_scaling_subprocess()
-        report["multihost_2proc"] = run_multihost_2proc(tmp_root)
-        report["multihost_weak_scaling"] = run_multihost_weak_scaling(
-            tmp_root
+            report["configs"][name] = safe(run_config, name, spec, tmp_root)
+        report["baseline_measured_python"] = safe(run_oracle_baseline)
+        if isinstance(report["baseline_measured_python"], dict):
+            for name, meas in report["baseline_measured_python"].items():
+                cfg = report["configs"].get(name)
+                if cfg and isinstance(meas, dict) and meas.get("golden_match"):
+                    cfg["speedup_vs_python_oracle"] = round(
+                        meas["wall_s"] / cfg["wall_s"], 1
+                    )
+        report["scale"] = safe(run_scale_configs, tmp_root)
+        report["scaling_8shard_virtual"] = safe(run_scaling_subprocess)
+        report["multihost_2proc"] = safe(run_multihost_2proc, tmp_root)
+        report["multihost_weak_scaling"] = safe(
+            run_multihost_weak_scaling, tmp_root
         )
 
     with open(os.path.join(REPO, "BENCH_REPORT.json"), "w") as fh:
         json.dump(report, fh, indent=2)
         fh.write("\n")
 
-    headline = report["configs"]["germline-threshold-chrM"]
+    headline = report["configs"].get("germline-threshold-chrM")
+    if not isinstance(headline, dict) or "reads_per_s" not in headline:
+        print(json.dumps({
+            "metric": "chrM germline-threshold end-to-end CLI throughput "
+            "(golden-verified)",
+            "value": None,
+            "unit": "reads/s/chip",
+            "vs_baseline": None,
+            "detail": {"error": headline, "platform": link},
+        }))
+        return 1
     measured = report["baseline_measured_python"].get(
         "germline-threshold-chrM", {}
     )
@@ -602,8 +620,10 @@ def main() -> int:
             headline["reads_per_s"] * SPARK_BASELINE_WALL_S
             / headline["n_reads"], 2
         )
-        baseline_status = "assumed 60 s Spark local[1] (oracle baseline "
-        "run failed; see BENCH_REPORT.json)"
+        baseline_status = (
+            "assumed 60 s Spark local[1] (oracle baseline run failed; "
+            "see BENCH_REPORT.json)"
+        )
     result = {
         "metric": "chrM germline-threshold end-to-end CLI throughput "
         "(golden-verified)",

@@ -108,7 +108,8 @@ def _tile_allele_counts(
 
     fast_mask = (depth > 0) & ~overflow
     tables = tile.alleles
-    if fast_mask.any() and isinstance(tables, LazyAlleleTables):
+    use_vectorized = fast_mask.any() and isinstance(tables, LazyAlleleTables)
+    if use_vectorized:
         # allele at (locus, rank k) = key_alleles[uniq_key[first[locus]+k]]
         key_ref = [
             Bases.bases_to_string(al.ref_bases) for al in tables.key_alleles
@@ -138,22 +139,22 @@ def _tile_allele_counts(
             ))
             for l, ki, c in zip(loci_flat, key_idx, count_flat)
         )
-        fast_mask = np.zeros_like(fast_mask)  # handled
-    # list-backed oracle tiles + any remaining fast loci: per-locus path
-    for li in np.flatnonzero(fast_mask):
-        locus = int(tile.loci[li])
-        for k in range(int(num_alleles[li])):
-            allele = tables[li][k]
-            rows.append(
-                (locus, AlleleCount(
-                    sample=sample,
-                    contig=contig,
-                    locus=locus,
-                    reference=Bases.bases_to_string(allele.ref_bases),
-                    alternate=Bases.bases_to_string(allele.alt_bases),
-                    count=int(counts[li, k]),
-                ))
-            )
+    else:
+        # list-backed oracle tiles take the per-locus path
+        for li in np.flatnonzero(fast_mask):
+            locus = int(tile.loci[li])
+            for k in range(int(num_alleles[li])):
+                allele = tables[li][k]
+                rows.append(
+                    (locus, AlleleCount(
+                        sample=sample,
+                        contig=contig,
+                        locus=locus,
+                        reference=Bases.bases_to_string(allele.ref_bases),
+                        alternate=Bases.bases_to_string(allele.alt_bases),
+                        count=int(counts[li, k]),
+                    ))
+                )
     # overflow loci (>K distinct alleles): exact host fallback — rare
     for li in np.flatnonzero((depth > 0) & overflow):
         locus = int(tile.loci[li])

@@ -40,7 +40,12 @@ import numpy as np
 # Default bound on any single DCN collective. The reference delegates
 # failure handling to Spark's task retry (SURVEY.md §5); here a dead peer
 # would otherwise hang every survivor inside process_allgather forever.
-DEFAULT_DCN_TIMEOUT_S = 300.0
+# NOTE a collective also waits for SLOW peers — shard-load skew and
+# first-time XLA compiles (minutes on a remote-tunneled chip) count
+# against this bound, so the default is generous; tune with --timeout
+# when faster failure is worth the skew risk. (JAX's own coordination
+# heartbeat separately detects outright peer crashes in ~100 s.)
+DEFAULT_DCN_TIMEOUT_S = 900.0
 
 
 @dataclass(frozen=True)
@@ -68,8 +73,10 @@ SINGLE = MultihostRuntime(0, 1)
 def _watchdog_abort(op: str, timeout_s: float) -> None:
     sys.stderr.write(
         f"guacamole: DCN collective '{op}' did not complete within "
-        f"{timeout_s:.0f}s — a peer process likely died or hung; "
-        "aborting this process (re-run the job; see --timeout)\n"
+        f"{timeout_s:.0f}s — a peer process died, hung, or is running "
+        "far behind (shard skew / long first compile); aborting this "
+        "process (re-run the job; raise --timeout if peers are merely "
+        "slow)\n"
     )
     sys.stderr.flush()
     # os._exit: the main thread is blocked inside a native collective and
