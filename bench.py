@@ -1,29 +1,32 @@
 #!/usr/bin/env python
 """Benchmark harness: the BASELINE.json configs measurable on this machine.
 
-Runs the full production CLI (streaming + device screens + classify +
-VCF write) for:
+Sections (each degrades to an {'error': ...} entry rather than losing
+the report):
 
-  #1 germline-threshold on chrM.sorted.bam      (headline stdout metric)
-  #2 germline-standard on chrM.sorted.bam
-  #3 somatic-standard on the chr20 tumor/normal pair
-  #4 8-shard sharded-step scaling point (scripts/scaling_bench.py,
-     virtual CPU mesh in a subprocess — this host has one chip)
-  #5 2-process multi-host run (jax.distributed over localhost; both
-     processes share this host's cores, so the number is a correctness/
-     overhead point, not a DCN scaling measurement)
+  configs        — full-CLI chrM germline-threshold (headline) /
+                   germline-standard / chr20 somatic-standard, every run
+                   byte-compared against the committed golden VCF (a perf
+                   "win" from a correctness regression fails the bench)
+  baseline_measured_python — the pure-Python oracle of the reference's
+                   semantics end-to-end per config (golden-verified;
+                   scripts/oracle_baseline.py). This is the MEASURED
+                   baseline; the 60 s Spark local[1] figure is retained
+                   only as a labeled assumption (no JVM exists here).
+  scale          — multi-million-read simulated fixtures (25x/1000x/8000x
+                   bands + 8 Mbp shallow contig, BAM streaming pushdown)
+                   through all three callers + vaf-histogram +
+                   variant-support, gated on planted-truth
+                   recall/precision instead of goldens
+  scaling_8shard_virtual — sharded-step point on a virtual CPU mesh
+  multihost_2proc / multihost_weak_scaling — real 2-process runs over a
+                   localhost coordinator; the weak-scaling point pins
+                   each process to its own core with constant
+                   per-process workload
 
-Every timed run's output VCF is byte-compared against the committed
-golden snapshot (tests/golden) — a perf "win" from a correctness
-regression fails the bench.
-
-Baseline status: the reference publishes NO performance numbers
-(BASELINE.md) and this environment has no JVM, so the reference's Spark
-local[1] wall-clock is NOT measurable here. vs_baseline is computed
-against a documented ASSUMPTION of 60 s for the reference's single-node
-chrM run (JVM + Spark startup + single-core scan); the sidecar
-BENCH_REPORT.json carries the full per-config results and marks the
-baseline as an assumption, not a measurement.
+Platform: an accelerator-link probe runs first (tile-like round trip in
+a subprocess); a degraded link (median > 20 ms) routes the bench
+host-side with the reason recorded in platform_decision.
 
 Prints ONE JSON line to stdout; details go to BENCH_REPORT.json.
 """
@@ -266,6 +269,69 @@ def run_scale_configs(tmp_root):
     if r["somatic_recall"] < 0.6:
         raise RuntimeError(f"scale somatic gate failed: {r}")
     out["somatic-standard"] = r
+
+    # 4/5. analytics tools at scale — the vectorized emit paths must stay
+    # within ~2x of germline-threshold throughput (they share the CSR
+    # counting screens; only their host-side emit differs).
+    threshold_rps = out["germline-threshold"]["reads_per_s"]
+
+    def timed_tool(tag, argv, n_reads, outfile):
+        t0 = _time.time()
+        rc = cli.main(argv)
+        wall = _time.time() - t0
+        if rc != 0:
+            raise RuntimeError(f"scale-{tag}: CLI exited {rc}")
+        res = {
+            "wall_s": round(wall, 2),
+            "n_reads": n_reads,
+            "reads_per_s": round(n_reads / wall, 1),
+            "vs_threshold_throughput": round(
+                n_reads / wall / threshold_rps, 2
+            ),
+        }
+        if res["vs_threshold_throughput"] < 0.5:
+            raise RuntimeError(f"scale {tag} slower than 2x threshold: {res}")
+        return res, outfile
+
+    vaf_out = os.path.join(tmp_root, "scale-vaf.csv")
+    r, _ = timed_tool(
+        "vaf-histogram",
+        ["vaf-histogram", "--bins", "20", "--min-read-depth", "10",
+         "--local-out", vaf_out, germ],
+        n_germ, vaf_out,
+    )
+    with open(vaf_out) as fh:
+        lines = fh.read().strip().splitlines()
+    r["histogram_rows"] = len(lines) - 1
+    if r["histogram_rows"] < 5:
+        raise RuntimeError(f"scale vaf-histogram produced {r}")
+    out["vaf-histogram"] = r
+
+    # variant-support at the planted sites (written from the manifest)
+    sites = os.path.join(tmp_root, "scale-sites.vcf")
+    n_sites = 0
+    with open(sites, "w") as fh:
+        fh.write("##fileformat=VCFv4.1\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for contig in ("deep1m", "shallow8m"):
+            for pos, alt in zip(
+                truth[contig]["snv_pos"], truth[contig]["snv_alt"]
+            ):
+                fh.write(f"{contig}\t{pos + 1}\t.\tN\t{alt}\t.\tPASS\t.\n")
+                n_sites += 1
+    vs_out = os.path.join(tmp_root, "scale-support.csv")
+    r, _ = timed_tool(
+        "variant-support",
+        ["variant-support", "-v", sites, "-o", vs_out, germ],
+        n_germ, vs_out,
+    )
+    with open(vs_out) as fh:
+        n_rows = len(fh.read().strip().splitlines())
+    r["sites"] = n_sites
+    r["allele_count_rows"] = n_rows
+    if n_rows < n_sites:  # every covered site emits >= 1 allele row
+        raise RuntimeError(f"scale variant-support produced {r}")
+    out["variant-support"] = r
     return out
 
 
