@@ -33,7 +33,6 @@ from guacamole_tpu.likelihood import (
 from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.pileup.pileup import Pileup
 from guacamole_tpu.utils import bases as Bases
-from guacamole_tpu.variants.allele import Genotype
 from guacamole_tpu.variants.called import CalledAllele
 from guacamole_tpu.variants.evidence import AlleleEvidence
 
@@ -118,26 +117,30 @@ def calls_from_tile_rows(
     )
 
     # Pass 1: argmax gate + allele selection for every emitting row.
+    # Variant-ness comes from tile.is_variant[li, dense_id] (the packer's
+    # per-dictionary-entry ref!=alt flag — the same predicate as
+    # Allele.is_variant), so non-emitting rows never materialize their
+    # allele tables or Genotype objects. Emission order and hom-alt
+    # duplicate semantics match the oracle's genotype.non_reference_alleles
+    # walk exactly: (a1 then a2, one entry per variant allele copy).
+    iv = np.asarray(tile.is_variant)
     emit: List[tuple] = []  # (rpos, li, probability, allele, dense_id)
     for rpos, li in enumerate(rows):
         pairs, lls = per_row[rpos]
         if not pairs:
             continue
         best = int(np.argmax(lls))  # first max, like the oracle's max()
+        a1, a2 = pairs[best]
+        v1 = bool(iv[li, a1])
+        v2 = bool(iv[li, a2])
+        if not (v1 or v2):
+            continue
         probability = math.exp(lls[best])
         alleles_row = tile.alleles[li]
-        genotype = Genotype.of(
-            alleles_row[pairs[best][0]], alleles_row[pairs[best][1]]
-        )
-        if not genotype.has_variant_allele:
-            continue
-        for allele in genotype.non_reference_alleles:
-            dense_id = (
-                pairs[best][0]
-                if alleles_row[pairs[best][0]] == allele
-                else pairs[best][1]
-            )
-            emit.append((rpos, li, probability, allele, dense_id))
+        if v1:
+            emit.append((rpos, li, probability, alleles_row[a1], a1))
+        if v2:
+            emit.append((rpos, li, probability, alleles_row[a2], a2))
     if not emit:
         return []
 
