@@ -209,14 +209,17 @@ def somatic_calls_from_row_pairs(
     presence = np.zeros((R, K), dtype=bool)
     rr, cc = np.nonzero(kept_masked >= 0)
     presence[rr, kept_masked[rr, cc]] = True
+    # A "pure reference" dictionary entry is ref==alt with non-empty ref —
+    # exactly the (ref_base, ref_base) match allele, i.e.
+    # ref_match_allele_ids (event_allele yields ref==alt only for matches
+    # and the empty clipped allele). One vectorized gather instead of a
+    # per-row Python walk over the allele tables.
+    from guacamole_tpu.pack.tiles import ref_match_allele_ids
+
+    rid = ref_match_allele_ids(tumor_tile)[t_idx]  # [R], -1 = absent
     pure_ref = np.zeros((R, K), dtype=bool)
-    for r in np.flatnonzero(alive):
-        alleles_row = tumor_tile.alleles[tumor_rows[r]]
-        for k in range(int(tumor_tile.num_alleles[tumor_rows[r]])):
-            a = alleles_row[k]
-            pure_ref[r, k] = (
-                a.ref_bases == a.alt_bases and a.ref_bases != b""
-            )
+    in_dict = (rid >= 0) & (rid < K)
+    pure_ref[np.flatnonzero(in_dict), rid[in_dict]] = True
     alive &= (presence & ~pure_ref).any(axis=1)
     live = np.flatnonzero(alive)
     if not len(live):
