@@ -210,16 +210,14 @@ def somatic_calls_from_row_pairs(
     rr, cc = np.nonzero(kept_masked >= 0)
     presence[rr, kept_masked[rr, cc]] = True
     # A "pure reference" dictionary entry is ref==alt with non-empty ref —
-    # exactly the (ref_base, ref_base) match allele, i.e.
-    # ref_match_allele_ids (event_allele yields ref==alt only for matches
-    # and the empty clipped allele). One vectorized gather instead of a
-    # per-row Python walk over the allele tables.
-    from guacamole_tpu.pack.tiles import ref_match_allele_ids
+    # the oracle predicate on event alleles (matches qualify; the empty
+    # clipped allele does not). One vectorized mask instead of a per-row
+    # Python walk over the allele tables. Deliberately independent of the
+    # tile's resolved ref_base: a read whose MD-implied base disagrees
+    # with it still counts as reference support, same as the oracle.
+    from guacamole_tpu.pack.tiles import pure_ref_allele_mask
 
-    rid = ref_match_allele_ids(tumor_tile)[t_idx]  # [R], -1 = absent
-    pure_ref = np.zeros((R, K), dtype=bool)
-    in_dict = (rid >= 0) & (rid < K)
-    pure_ref[np.flatnonzero(in_dict), rid[in_dict]] = True
+    pure_ref = pure_ref_allele_mask(tumor_tile)[t_idx]  # [R, K] bool
     alive &= (presence & ~pure_ref).any(axis=1)
     live = np.flatnonzero(alive)
     if not len(live):

@@ -12,6 +12,7 @@ import sys
 from typing import List, Optional
 
 from guacamole_tpu import __version__
+from guacamole_tpu.parallel.multihost import DEFAULT_DCN_TIMEOUT_S
 from guacamole_tpu.utils.progress import DelayedMessages, progress
 
 
@@ -183,7 +184,8 @@ def _add_distributed_args(p: argparse.ArgumentParser) -> None:
         help="Abort (exit 42, one-line error) if any cross-process DCN "
         "collective stalls longer than this many seconds — a dead peer "
         "then fails the job promptly instead of hanging the survivors. "
-        "Default 300; 0 disables. (Also GUAC_TIMEOUT.)",
+        "Default %d; 0 disables. (Also GUAC_TIMEOUT.)"
+        % int(DEFAULT_DCN_TIMEOUT_S),
     )
 
 

@@ -24,13 +24,13 @@ from typing import IO, Optional
 
 import numpy as np
 
-# 4-bit base codes, "=ACMGRSVTWYHKDBN" (SAM spec §4.2.3)
-_SEQ_CODE = np.zeros(256, dtype=np.uint8)
+# 4-bit base codes, "=ACMGRSVTWYHKDBN" (SAM spec §4.2.3). Bytes outside
+# the alphabet encode as N (15), not '=' (0) — '=' means "matches the
+# reference" to BAM readers and would silently change meaning.
+_SEQ_CODE = np.full(256, 15, dtype=np.uint8)
 for _i, _b in enumerate(b"=ACMGRSVTWYHKDBN"):
     _SEQ_CODE[_b] = _i
     _SEQ_CODE[ord(chr(_b).lower())] = _i
-_SEQ_CODE[ord("N")] = 15
-_SEQ_CODE[ord("n")] = 15
 
 _BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000"

@@ -162,6 +162,56 @@ def ref_match_allele_ids(tile: "LocusTile") -> np.ndarray:
     return run(tile.alleles, np.asarray(tile.ref_base))
 
 
+def pure_ref_allele_mask(tile: "LocusTile") -> np.ndarray:
+    """[L, K] bool: dictionary entries that are "pure reference" — ref ==
+    alt with a non-empty ref (exactly the oracle predicate on event
+    alleles: matches qualify, the empty clipped allele does not).
+
+    Unlike `ref_match_allele_ids` this does NOT require the match base to
+    equal the tile's resolved ref_base: a read whose MD-implied reference
+    base disagrees with the tile's ref_base still produced a (X, X) match
+    allele, and the somatic candidate gate must treat it as reference
+    support, same as the per-element oracle does."""
+    from guacamole_tpu.pack.fast import LazyAlleleTables, _ConcatTables
+
+    K = tile.K
+
+    def run(tables) -> np.ndarray:
+        n = len(tables)
+        if isinstance(tables, _ConcatTables):
+            return np.concatenate([run(tables.first), run(tables.second)])
+        out = np.zeros((n, K), dtype=bool)
+        if isinstance(tables, LazyAlleleTables):
+            key_alleles = tables.key_alleles
+            first = np.asarray(tables.first_of_locus, dtype=np.int64)
+            uniq_key = np.asarray(tables.uniq_key, dtype=np.int64)
+            n_keys = len(key_alleles)
+            is_match = np.zeros(n_keys, dtype=bool)
+            for i, al in enumerate(key_alleles):
+                if len(al.ref_bases) >= 1 and al.ref_bases == al.alt_bases:
+                    is_match[i] = True
+            if not is_match.any() or len(uniq_key) == 0:
+                return out
+            uniq_locus = np.repeat(
+                np.arange(n, dtype=np.int64), np.diff(first[: n + 1])
+            )
+            rank = (
+                np.arange(len(uniq_locus), dtype=np.int64) - first[uniq_locus]
+            )
+            hit = is_match[uniq_key[: len(uniq_locus)]] & (rank < K)
+            out[uniq_locus[hit], rank[hit]] = True
+            return out
+        for li in range(n):
+            for k, al in enumerate(tables[li]):
+                if k >= K:
+                    break
+                if len(al.ref_bases) >= 1 and al.ref_bases == al.alt_bases:
+                    out[li, k] = True
+        return out
+
+    return run(tile.alleles)
+
+
 def pack_tile(
     reads: Sequence[MappedRead],
     contig: str,
