@@ -295,7 +295,7 @@ def call_variants(
     threshold_percent: int = 8,
     emit_ref: bool = False,
     emit_no_call: bool = False,
-    tile_size: int = 4096,
+    tile_size: int = 0,
     max_alleles: int = 8,
     reference_genome=None,
     mesh=None,
@@ -400,7 +400,7 @@ def call_variants_streaming(
     threshold_percent: int = 8,
     emit_ref: bool = False,
     emit_no_call: bool = False,
-    tile_size: int = 4096,
+    tile_size: int = 0,
     max_alleles: int = 8,
     reference_genome=None,
     mesh=None,

@@ -110,7 +110,7 @@ class ReadSource:
         self,
         contig: str,
         loci,
-        tile_size: int = 4096,
+        tile_size: int = 0,
         max_alleles: int = 8,
         reference_genome=None,
         fields: str = "full",
@@ -149,7 +149,7 @@ class ReadSource:
             self._reads,
             contig,
             loci,
-            tile_size=tile_size,
+            tile_size=tile_size or 4096,
             max_alleles=max_alleles,
             reference_genome=reference_genome,
         )

@@ -142,8 +142,9 @@ def _add_distributed_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--tile-size",
         type=int,
-        default=4096,
-        help="Loci per device tile",
+        default=0,
+        help="Loci per device tile (0 = auto: size tiles to a memory "
+        "budget so a whole region screens in O(1) kernel launches)",
     )
     p.add_argument(
         "--mesh",

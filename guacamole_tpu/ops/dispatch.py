@@ -428,15 +428,156 @@ def tumor_screen_launch(
     )
 
 
-def screen_csr_launch(
-    csr_nib: np.ndarray,  # [B] uint8
-    row_off: np.ndarray,  # [L+1] int32
-    is_variant: np.ndarray,  # [L, K] bool
-    max_alleles: int,
-    threshold_percent=None,
+def screen_on_host() -> bool:
+    """Run counting screens from the native packer's [L, K] counts on
+    host instead of shipping CSR to a device. Default: exactly when no
+    accelerator is attached — a CPU 'device' screen is the same silicon
+    with extra XLA round trips (measured: the one-hot+prefix CSR kernel
+    costs ~4 s at 2.37M-read scale where the native counts are free).
+    GUAC_HOST_SCREEN=1/0 forces (tests pin host/device equivalence)."""
+    env = os.environ.get("GUAC_HOST_SCREEN", "")
+    if env in ("0", "1"):
+        return env == "1"
+    try:
+        return jax.devices()[0].platform == "cpu"
+    except Exception:
+        return True
+
+
+def host_counts_candidates(counts, is_variant, threshold_percent):
+    """numpy twin of kernels.counts_candidates (THE candidate rule) for
+    the host fallback screen; depth is the row sum of counts, exactly as
+    the CSR device kernel recovers it."""
+    counts = np.asarray(counts)
+    is_variant = np.asarray(is_variant, dtype=bool)
+    if threshold_percent is None:
+        return ((counts > 0) & is_variant).any(axis=1)
+    depth = counts.sum(axis=1)
+    passing = (counts > 0) & (
+        counts * 100 >= depth[:, None] * (threshold_percent + 1)
+    )
+    return (passing & is_variant).any(axis=1) | (
+        (passing & ~is_variant).sum(axis=1) >= 2
+    )
+
+
+class _HostCountsScreen:
+    """Pending-compatible screen computed from native pack counts."""
+
+    __slots__ = ("_counts", "_is_variant", "_threshold", "_compact")
+
+    def __init__(self, counts, is_variant, threshold_percent, compact):
+        self._counts = counts
+        self._is_variant = is_variant
+        self._threshold = threshold_percent
+        self._compact = compact
+
+    def result(self):
+        from guacamole_tpu.runtime.native import counts_screen_native
+
+        candidates = counts_screen_native(
+            self._counts, self._is_variant, self._threshold
+        )
+        if candidates is None:
+            candidates = host_counts_candidates(
+                self._counts, self._is_variant, self._threshold
+            )
+        if self._compact:
+            idx = np.flatnonzero(candidates).astype(np.int64)
+            return CompactScreen(
+                idx, np.asarray(self._counts)[idx], len(idx)
+            )
+        return ScreenResult(
+            np.asarray(self._counts), None, None, candidates
+        )
+
+
+# Slab bound for one CSR screen launch: the XLA counting kernel
+# materializes ~8*K bytes of one-hot + prefix intermediates per blob byte,
+# so a 70 MB megatile blob in one launch would allocate gigabytes. Slabs
+# bound the working set while a whole region still screens in O(10)
+# launches (vs thousands of 4096-loci tiles). On TPU slabs are larger:
+# each H2D transfer should be megabytes so the remote tunnel's per-round-
+# trip latency amortizes (the round-4 megabatch design).
+CSR_SLAB_BYTES = 4 << 20
+CSR_SLAB_BYTES_TPU = 32 << 20
+
+
+def _csr_slab_bytes() -> int:
+    return CSR_SLAB_BYTES_TPU if on_tpu() else CSR_SLAB_BYTES
+
+
+def _csr_slab_ranges(row_off: np.ndarray, slab_bytes: int):
+    """Row ranges [(r0, r1)] whose byte spans each fit slab_bytes (one
+    over-long row still gets its own slab)."""
+    L = len(row_off) - 1
+    out = []
+    r0 = 0
+    while r0 < L:
+        target = int(row_off[r0]) + slab_bytes
+        r1 = int(np.searchsorted(row_off, target, side="right")) - 1
+        r1 = min(max(r1, r0 + 1), L)
+        out.append((r0, r1))
+        r0 = r1
+    return out
+
+
+def _bucket_rows_slab(n: int) -> int:
+    """Pad slab row counts to quarter-power-of-two steps (>= 4096) so the
+    compiled-shape set stays small across slabs."""
+    b = 4096
+    while b < n:
+        b *= 2
+    if b > 4096:
+        half = b // 2
+        for step in (1, 2, 3):
+            cand = half + (half * step) // 4
+            if cand >= n:
+                return cand
+    return b
+
+
+def _pad_slab_rows(row_off: np.ndarray, is_variant: np.ndarray):
+    """Pad a slab's row axis to its bucket: appended rows are empty (their
+    offsets repeat the blob end, their variant flags are all-false), so
+    they produce zero counts and no candidates."""
+    nr = len(row_off) - 1
+    npad = _bucket_rows_slab(nr)
+    if npad == nr:
+        return row_off, is_variant, nr
+    row_off = np.concatenate(
+        [row_off, np.full(npad - nr, row_off[-1], row_off.dtype)]
+    )
+    is_variant = np.concatenate(
+        [
+            is_variant,
+            np.zeros((npad - nr,) + is_variant.shape[1:], is_variant.dtype),
+        ]
+    )
+    return row_off, is_variant, nr
+
+
+class _MergedScreens:
+    """Slab-launched CSR screens presenting one tile-wide result."""
+
+    __slots__ = ("_pendings",)
+
+    def __init__(self, pendings):
+        self._pendings = pendings  # [(n_rows, PendingScreen)]
+
+    def result(self) -> ScreenResult:
+        parts = [(nr, p.result()) for nr, p in self._pendings]
+        return ScreenResult(
+            np.concatenate([p.counts[:nr] for nr, p in parts]),
+            None,
+            None,
+            np.concatenate([p.candidates[:nr] for nr, p in parts]),
+        )
+
+
+def _screen_csr_one_launch(
+    csr_nib, row_off, is_variant, max_alleles, threshold_percent
 ) -> PendingScreen:
-    """Dispatch the CSR counting screen (native screen-mode tiles):
-    Pallas or XLA form per kernel_path(), bit-identical outputs."""
     pad = _bucket_bytes(len(csr_nib)) - len(csr_nib)
     if pad:
         csr_nib = np.concatenate(
@@ -460,6 +601,40 @@ def screen_csr_launch(
             threshold_percent=threshold_percent,
         )
     )
+
+
+def screen_csr_launch(
+    csr_nib: np.ndarray,  # [B] uint8
+    row_off: np.ndarray,  # [L+1] int32
+    is_variant: np.ndarray,  # [L, K] bool
+    max_alleles: int,
+    threshold_percent=None,
+):
+    """Dispatch the CSR counting screen (native screen-mode tiles):
+    Pallas or XLA form per kernel_path(), bit-identical outputs. Blobs
+    beyond the slab bound split into row-aligned slab launches whose
+    results concatenate transparently at fetch."""
+    slab = _csr_slab_bytes()
+    if len(csr_nib) <= slab:
+        return _screen_csr_one_launch(
+            csr_nib, row_off, is_variant, max_alleles, threshold_percent
+        )
+    row_off = np.asarray(row_off)
+    pendings = []
+    for r0, r1 in _csr_slab_ranges(row_off, slab):
+        b0, b1 = int(row_off[r0]), int(row_off[r1])
+        so, sv, nr = _pad_slab_rows(
+            row_off[r0 : r1 + 1] - b0, np.asarray(is_variant[r0:r1])
+        )
+        pendings.append(
+            (
+                nr,
+                _screen_csr_one_launch(
+                    csr_nib[b0:b1], so, sv, max_alleles, threshold_percent
+                ),
+            )
+        )
+    return _MergedScreens(pendings)
 
 
 class CompactScreen(NamedTuple):
@@ -500,17 +675,34 @@ class PendingCompact:
         return CompactScreen(body[:n, 0], body[:n, 1:], total)
 
 
-def screen_csr_compact_launch(
-    csr_nib: np.ndarray,  # [B] uint8
-    row_off: np.ndarray,  # [L+1] int32
-    is_variant: np.ndarray,  # [L, K] bool
-    max_alleles: int,
-    threshold_percent=None,
-    cap: int = 512,
+class _MergedCompacts:
+    """Slab-launched compact screens presenting one tile-wide result.
+
+    Overflow composes naturally: an overflowed slab contributes more to
+    `total` than rows to `idx`, so the merged result's overflowed property
+    is True and the caller refetches the full screen."""
+
+    __slots__ = ("_slabs",)
+
+    def __init__(self, slabs):
+        self._slabs = slabs  # [(row_base, PendingCompact)]
+
+    def result(self) -> CompactScreen:
+        parts = [(r0, p.result()) for r0, p in self._slabs]
+        idx = np.concatenate(
+            [r0 + s.idx for r0, s in parts]
+        ) if parts else np.empty(0, np.int64)
+        counts = (
+            np.concatenate([s.counts for _r0, s in parts])
+            if parts
+            else np.empty((0, 0), np.int32)
+        )
+        return CompactScreen(idx, counts, sum(s.total for _r0, s in parts))
+
+
+def _compact_one_launch(
+    csr_nib, row_off, is_variant, max_alleles, threshold_percent, cap
 ) -> PendingCompact:
-    """Dispatch the CSR screen with device-side candidate compaction: the
-    host fetch is one small [cap+1, K+1] array instead of the full [L, K]
-    counts + [L] mask (one tunnel round trip, ~5x fewer bytes)."""
     from guacamole_tpu.ops.kernels import tile_stats_csr_compact
 
     pad = _bucket_bytes(len(csr_nib)) - len(csr_nib)
@@ -524,6 +716,44 @@ def screen_csr_compact_launch(
             threshold_percent=threshold_percent, cap=cap,
         )
     )
+
+
+def screen_csr_compact_launch(
+    csr_nib: np.ndarray,  # [B] uint8
+    row_off: np.ndarray,  # [L+1] int32
+    is_variant: np.ndarray,  # [L, K] bool
+    max_alleles: int,
+    threshold_percent=None,
+    cap: int = 512,
+):
+    """Dispatch the CSR screen with device-side candidate compaction: the
+    host fetch is one small [cap+1, K+1] array instead of the full [L, K]
+    counts + [L] mask. Blobs beyond the slab bound split into row-aligned
+    slab launches (each with a cap scaled to its row count) whose results
+    merge transparently at fetch."""
+    slab = _csr_slab_bytes()
+    if len(csr_nib) <= slab:
+        return _compact_one_launch(
+            csr_nib, row_off, is_variant, max_alleles, threshold_percent,
+            max(cap, (len(row_off) - 1) // 256),
+        )
+    row_off = np.asarray(row_off)
+    slabs = []
+    for r0, r1 in _csr_slab_ranges(row_off, slab):
+        b0, b1 = int(row_off[r0]), int(row_off[r1])
+        so, sv, _nr = _pad_slab_rows(
+            row_off[r0 : r1 + 1] - b0, np.asarray(is_variant[r0:r1])
+        )
+        slabs.append(
+            (
+                r0,
+                _compact_one_launch(
+                    csr_nib[b0:b1], so, sv, max_alleles, threshold_percent,
+                    max(cap, (len(so) - 1) // 256),
+                ),
+            )
+        )
+    return _MergedCompacts(slabs)
 
 
 def _cat_csr(tiles):
@@ -792,6 +1022,26 @@ def pipelined_batched_screens(
             if (
                 valid_of is None
                 and not use_pallas()
+                and getattr(tile, "counts32", None) is not None
+                and screen_on_host()
+            ):
+                # Host fallback: no accelerator attached, and the native
+                # packer already counted these elements — threshold the
+                # counts directly, zero device round trips.
+                in_flight.append(
+                    (
+                        item,
+                        _HostCountsScreen(
+                            tile.counts32,
+                            np.asarray(tile.is_variant),
+                            threshold_percent,
+                            compact_cap is not None,
+                        ),
+                    )
+                )
+            elif (
+                valid_of is None
+                and not use_pallas()
                 and getattr(tile, "csr_nib", None) is not None
             ):
                 # CSR tiles launch immediately: each tile is one small
@@ -808,6 +1058,10 @@ def pipelined_batched_screens(
                     # scale (87 ms -> 111-163 ms end-to-end) — the batch
                     # barrier stalls both the device and classification
                     # behind the slowest tile's packing.
+                    # (The launch itself scales the compaction width with
+                    # row count — 1 candidate per 256 loci is already
+                    # dense — so megatiles don't overflow into a full
+                    # [L, K] refetch.)
                     in_flight.append(
                         (
                             item,

@@ -247,6 +247,11 @@ def _pack_tile_native(
         d_pad=D,
         csr_nib=out["csr_nib"] if out["csr_off"].size else None,
         csr_off=out["csr_off"] if out["csr_off"].size else None,
+        counts32=(
+            out["counts"].reshape(L, K)
+            if out.get("counts") is not None and out["counts"].size
+            else None
+        ),
         ll_pack=(
             out["ll_pack"].reshape(L, D) if out["ll_pack"].size else None
         ),
@@ -261,7 +266,14 @@ def covered_loci(
     cols: ColumnarReads, contig_id: int, loci_ranges: Sequence[Tuple[int, int]]
 ) -> np.ndarray:
     """Loci from loci_ranges covered by >= 1 read, without materializing
-    uncovered spans (interval intersection)."""
+    uncovered spans (interval intersection). Computed natively when the
+    runtime library is available (identical output, pinned by
+    tests/test_pack_columnar.py); numpy fallback below."""
+    from guacamole_tpu.runtime.native import covered_loci_native
+
+    native = covered_loci_native(cols, contig_id, loci_ranges)
+    if native is not None:
+        return native
     mask = cols.ref_id == contig_id
     if not mask.any():
         return np.empty(0, dtype=np.int64)
@@ -341,6 +353,45 @@ def _depth_per_locus(
 LIKELIHOOD_DEPTH_CAP = 16384
 
 
+def _bucket_rows(n: int) -> int:
+    """Pad locus-axis lengths to quarter-power-of-two steps (>= 4096): a
+    small compiled-shape set with at most ~12% padding."""
+    b = 4096
+    while b < n:
+        b *= 2
+    if b > 4096:
+        half = b // 2
+        for step in (1, 2, 3):
+            cand = half + (half * step) // 4
+            if cand >= n:
+                return cand
+    return b
+
+
+# Auto-tile sizing (tile_size=0): one kernel launch covers as many loci as
+# a memory budget allows. Megatiles amortize the per-call Python + ctypes +
+# dispatch overhead (the round-3 host bottleneck: 2,200 x 4096-loci tiles
+# cost ~6 ms each in per-tile overhead) AND make the device path
+# latency-tolerant: O(1) transfers per region instead of thousands (the
+# replacement for the reference's one-shuffle delivery,
+# cf. /root/reference .../DistributedUtil.scala:621-626).
+MEGA_TILE_ROWS = 1 << 20
+# Dense [L, D] tiles cap L so L*D stays within ~64M cells (128 MB u16).
+MEGA_TILE_CELLS = 64 << 20
+
+
+def _auto_tile_size(n_loci: int, depth_pad: int, fields: str) -> int:
+    if fields == "screen":
+        # CSR tiles have no dense depth axis; the dispatch layer slabs
+        # oversized blobs, so one tile can cover a whole region.
+        return max(4096, min(MEGA_TILE_ROWS, _bucket_rows(n_loci)))
+    # Dense [L, D] modes (likelihood screens) keep the classic tile size:
+    # the genotype-likelihood kernels materialize per-genotype [L, D]
+    # intermediates, so megatiles would thrash memory (measured 2x wall
+    # regression at 2.37M-read scale).
+    return 4096
+
+
 def _depth_bucket(depth: np.ndarray) -> np.ndarray:
     """Bucket ceiling for each depth: 8, 16, 32, ... (powers of two; the
     compiled-shape set stays small while halving pile padding vs a x4
@@ -358,7 +409,7 @@ def iter_tiles_columnar(
     cols: ColumnarReads,
     contig_name: str,
     loci,
-    tile_size: int = 4096,
+    tile_size: int = 0,
     max_alleles: int = 8,
     reference_genome=None,
     skip_empty: bool = True,
@@ -369,11 +420,15 @@ def iter_tiles_columnar(
 ):
     """Yield a contig's loci tiles one at a time (lazy pack_tiles_columnar).
 
+    tile_size=0 (the production default) sizes tiles automatically: one
+    launch covers up to MEGA_TILE_ROWS loci (dense modes: MEGA_TILE_CELLS
+    cells), with the locus axis padded to quarter-power-of-two buckets so
+    the compiled-shape set stays small.
+
     depth_bucketing groups loci by their depth's pad bucket before tiling,
     so a tile's [L, D] grid is sized for its own loci rather than the
     contig's maximum depth (the whole-tile D would otherwise be set by the
-    deepest locus; most pileup cells would be padding). Tile shapes stay a
-    small fixed set: (tile_size, 8|32|128|512|...)."""
+    deepest locus; most pileup cells would be padding)."""
     try:
         contig_id = cols.ref_names.index(contig_name)
     except ValueError:
@@ -407,12 +462,13 @@ def iter_tiles_columnar(
         # A bucket only gets its own tiles when it can fill at least one:
         # sub-tile buckets merge upward into the next deeper bucket, so
         # kernel dispatch count stays close to the unbucketed tiling.
+        merge_floor = tile_size or 4096
         groups = []
         carry = np.empty(0, dtype=np.int64)
         uniq = [int(b) for b in np.unique(buckets)]
         for j, b in enumerate(uniq):
             group = np.concatenate([carry, all_loci[buckets == b]])
-            if len(group) >= tile_size or j == len(uniq) - 1:
+            if len(group) >= merge_floor or j == len(uniq) - 1:
                 group.sort()
                 groups.append((b, group))
                 carry = np.empty(0, dtype=np.int64)
@@ -422,19 +478,31 @@ def iter_tiles_columnar(
         groups = [(0, all_loci)]
 
     for depth_pad, group_loci in groups:
-        for i in range(0, len(group_loci), tile_size):
+        eff = tile_size or _auto_tile_size(
+            len(group_loci), depth_pad, fields
+        )
+        for i in range(0, len(group_loci), eff):
+            chunk = group_loci[i : i + eff]
+            # Partial tiles pad to a row bucket, not the full tile size —
+            # a 10k-loci tail would otherwise pad (and screen) a million
+            # sentinel rows.
+            l_pad = (
+                (eff if tile_size else min(eff, _bucket_rows(len(chunk))))
+                if pad_to_tile_size
+                else 0
+            )
             tile = pack_tile_columnar(
                 cols,
                 contig_id,
                 contig_name,
-                group_loci[i : i + tile_size],
+                chunk,
                 max_alleles=max_alleles,
                 reference_genome=reference_genome,
                 depth_pad=depth_pad or None,
-                l_pad=tile_size if pad_to_tile_size else 0,
+                l_pad=l_pad,
                 fields=fields,
                 min_mapq=min_mapq,
             )
-            if pad_to_tile_size and tile.L < tile_size:
-                tile = pad_tile_loci(tile, tile_size)
+            if pad_to_tile_size and tile.L < l_pad:
+                tile = pad_tile_loci(tile, l_pad)
             yield tile

@@ -90,6 +90,11 @@ class LocusTile:
     # The MAPQ filter baked into ll_pack at pack time (screen launches
     # verify they request the same threshold).
     ll_min_mapq: int = 0
+    # Screen-mode by-product of the native packer: [L, K] int32 counts
+    # over the same elements csr_nib encodes. The host fallback screen
+    # (no accelerator attached) thresholds these directly; the device
+    # path ignores them.
+    counts32: Optional[np.ndarray] = None
 
     @property
     def L(self) -> int:

@@ -139,7 +139,13 @@ class ColumnarReads:
         return index
 
     def select(self, mask: np.ndarray) -> "ColumnarReads":
-        """Subset reads by boolean mask (event/special tables re-indexed)."""
+        """Subset reads by boolean mask (event/special tables re-indexed).
+
+        An all-true mask returns self unchanged — a no-op filter over
+        millions of reads would otherwise pay a full fancy-indexed rebuild
+        of every per-read bounds array (~seconds at scale)."""
+        if mask.all():
+            return self
         idx = np.flatnonzero(mask)
         return self.take(idx)
 

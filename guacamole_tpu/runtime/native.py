@@ -111,6 +111,29 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.guac_tile_D.restype = ctypes.c_int64
     lib.guac_tile_D.argtypes = [ctypes.c_void_p]
 
+    if hasattr(lib, "guac_counts_screen"):
+        lib.guac_counts_screen.restype = None
+        lib.guac_counts_screen.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+
+    if hasattr(lib, "guac_covered_loci"):
+        lib.guac_covered_loci.restype = ctypes.c_void_p
+        lib.guac_covered_loci.argtypes = (
+            [ctypes.c_int64]  # n_reads
+            + [ctypes.c_void_p] * 3  # ref_id, start, end
+            + [ctypes.c_int32, ctypes.c_int64]  # contig, n_ranges
+            + [ctypes.c_void_p] * 2  # range_lo, range_hi
+            + [ctypes.c_int64, ctypes.c_int64]  # scan_lo, scan_hi
+        )
+        lib.guac_free_covered.argtypes = [ctypes.c_void_p]
+        lib.guac_covered_data.restype = ctypes.c_void_p
+        lib.guac_covered_data.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)
+        ]
+
     _lib = lib
     return _lib
 
@@ -135,6 +158,7 @@ _TILE_ACCESSORS = {
     "ll_mapq": np.uint8,
     "is_variant": np.uint8,
     "is_standard_alt": np.uint8,
+    "counts": np.int32,
     "key_blob": np.uint8,
     "key_ref_off": np.int64,
     "key_alt_off": np.int64,
@@ -231,10 +255,74 @@ def pack_tile_native(
     out = {
         name: _fetch_array(lib, handle, f"tile_{name}", dtype, owner=owner)
         for name, dtype in _TILE_ACCESSORS.items()
+        if hasattr(lib, f"guac_tile_{name}")
     }
     out["L"] = lib.guac_tile_L(handle)
     out["D"] = lib.guac_tile_D(handle)
     return out
+
+
+def counts_screen_native(
+    counts: np.ndarray, is_variant: np.ndarray, threshold
+) -> Optional[np.ndarray]:
+    """[L] bool candidate mask from [L, K] counts via the native rule
+    (None when the library/entry point is unavailable)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "guac_counts_screen"):
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    iv = np.ascontiguousarray(is_variant, dtype=np.uint8)
+    L, K = counts.shape
+    mask = np.empty(L, dtype=np.uint8)
+    lib.guac_counts_screen(
+        _ptr(counts),
+        _ptr(iv),
+        L,
+        K,
+        -1 if threshold is None else int(threshold),
+        _ptr(mask),
+    )
+    return mask.astype(bool)
+
+
+def covered_loci_native(
+    cols, contig_id: int, loci_ranges, scan_window=None
+) -> Optional[np.ndarray]:
+    """Sorted int64 loci of `loci_ranges` covered by >= 1 read, computed
+    natively (None when the library/entry point is unavailable). The
+    native call merges read intervals and materializes the loci array in
+    one pass — the Python fallback pays seconds of arange/concatenate at
+    whole-contig scale."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "guac_covered_loci"):
+        return None
+    ranges = np.asarray(loci_ranges, dtype=np.int64).reshape(-1, 2)
+    range_lo = np.ascontiguousarray(ranges[:, 0])
+    range_hi = np.ascontiguousarray(ranges[:, 1])
+    ref_id = np.ascontiguousarray(cols.ref_id)
+    start = np.ascontiguousarray(cols.start)
+    end = np.ascontiguousarray(cols.end)
+    handle = lib.guac_covered_loci(
+        cols.n,
+        _ptr(ref_id),
+        _ptr(start),
+        _ptr(end),
+        contig_id,
+        len(ranges),
+        _ptr(range_lo),
+        _ptr(range_hi),
+        scan_window[0] if scan_window is not None else 0,
+        scan_window[1] if scan_window is not None else 0,
+    )
+    if not handle:
+        return None
+    owner = _NativeOwner(lib.guac_free_covered, handle)
+    n = ctypes.c_int64()
+    ptr = lib.guac_covered_data(handle, ctypes.byref(n))
+    if not ptr or n.value == 0:
+        return np.empty(0, dtype=np.int64)
+    buf = _CBuffer(ptr, int(n.value) * 8, owner)
+    return np.asarray(buf).view(np.int64)
 
 
 _ACCESSORS = {

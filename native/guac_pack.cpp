@@ -74,6 +74,47 @@ struct AlleleKey {
   }
 };
 
+// Zero-allocation decoded view of an element code (see the code scheme at
+// the elem_code declaration), for ordering codes by allele (ref, alt)
+// byte order without materializing AlleleKey strings. buf must hold 2
+// bytes and outlive the view (short codes decode into it).
+struct KeyView {
+  const char* ref;
+  int32_t rlen;
+  const char* alt;
+  int32_t alen;
+};
+
+static inline KeyView code_view(int32_t code,
+                                const std::vector<AlleleKey>& long_keys,
+                                char* buf) {
+  int32_t tag = code & 0x70000;
+  if (tag == 0x10000) {
+    buf[0] = (char)((code >> 8) & 0xff);
+    buf[1] = (char)(code & 0xff);
+    return {buf, 1, buf + 1, 1};
+  }
+  if (tag == 0x20000) {
+    buf[0] = (char)(code & 0xff);
+    return {buf, 1, buf, 0};
+  }
+  if (tag == 0x30000) return {buf, 0, buf, 0};
+  const AlleleKey& k = long_keys[(size_t)(code - 0x40000)];
+  return {k.ref.data(), (int32_t)k.ref.size(), k.alt.data(),
+          (int32_t)k.alt.size()};
+}
+
+// Same ordering as AlleleKey::operator< (std::string compares bytes as
+// unsigned, like memcmp).
+static inline bool view_less(const KeyView& a, const KeyView& b) {
+  int c = memcmp(a.ref, b.ref, (size_t)std::min(a.rlen, b.rlen));
+  if (c) return c < 0;
+  if (a.rlen != b.rlen) return a.rlen < b.rlen;
+  c = memcmp(a.alt, b.alt, (size_t)std::min(a.alen, b.alen));
+  if (c) return c < 0;
+  return a.alen < b.alen;
+}
+
 struct PackedTile {
   int64_t L = 0, D = 0, K = 0;
   // [L]
@@ -110,6 +151,11 @@ struct PackedTile {
   // [L, K]
   std::vector<uint8_t> is_variant;
   std::vector<uint8_t> is_standard_alt;
+  // Screen-mode by-product: per-(locus, allele) element counts over the
+  // SAME elements the CSR nibbles encode (id < K, MAPQ-passing). The host
+  // fallback screen (no accelerator) thresholds these directly instead of
+  // shipping CSR to a device; the TPU path ignores them.
+  std::vector<int32_t> counts;  // [L, K] (csr mode only)
   // allele key table: global sorted keys + per-locus key index lists
   std::vector<uint8_t> key_blob;     // concatenated ref+alt bytes
   std::vector<int64_t> key_ref_off;  // n_keys+1 (start of ref of key i)
@@ -294,8 +340,11 @@ void* guac_pack_tile(
   // every per-row fill below is race-free. Reads are bucketed into every
   // block they overlap, preserving sel (start-sorted) order per block so
   // slot assignment matches the sequential packers.
-  int64_t block_size =
-      std::max<int64_t>(256, (n_loci + max_threads - 1) / max_threads);
+  // 8 blocks per thread (strided assignment): depth is not uniform along
+  // the locus axis (coverage bands/spikes), so per-thread single blocks
+  // leave one thread with most of the elements.
+  int64_t block_size = std::max<int64_t>(
+      256, (n_loci + max_threads * 8 - 1) / (max_threads * 8));
   int64_t nblocks = (n_loci + block_size - 1) / block_size;
   std::vector<std::vector<int64_t>> block_members((size_t)nblocks);
   for (size_t i = 0; i < sel.size(); i++) {
@@ -426,8 +475,11 @@ void* guac_pack_tile(
   std::vector<AlleleKey> long_keys;
   std::map<AlleleKey, int32_t> long_key_ids;
   std::mutex long_key_mu;
-  raw_vector<int32_t> elem_code(csr ? elem_off[n_loci] : n_loci * D);
-  std::vector<int32_t> fill(n_loci, 0);
+  // CSR mode runs a single locus-major fill pass (below) and needs no
+  // per-element code buffer (at 9M loci / 140M elements this buffer was
+  // >0.5 GB written+reread across two read-major passes).
+  raw_vector<int32_t> elem_code(csr ? 0 : n_loci * D);
+  std::vector<int32_t> fill(csr ? 0 : n_loci, 0);
 
   timer_.mark("codes_alloc");
   // Parallel padding pass (dense modes only — CSR has no padding):
@@ -476,6 +528,281 @@ void* guac_pack_tile(
   std::vector<std::vector<uint8_t>> thread_seen(
       (size_t)pass3_threads, std::vector<uint8_t>(0x40000, 0));
   std::vector<std::vector<int32_t>> thread_distinct((size_t)pass3_threads);
+  // Per-block uniq tables (stitched serially at the end). Dense modes
+  // store global sorted-key RANKS (pass 4); CSR stores raw CODES, which
+  // the stitch remaps once the global key table exists.
+  std::vector<std::vector<int32_t>> block_uniq((size_t)nblocks);
+  std::vector<std::vector<int64_t>> block_counts((size_t)nblocks);
+  t->num_alleles.assign(L_out, 0);
+  t->is_variant.assign(L_out * K, 0);
+  t->is_standard_alt.assign(L_out * K, 0);
+  if (csr) t->counts.assign(L_out * K, 0);
+  t->uniq_off.assign(L_out + 1, 0);
+
+  if (csr) {
+    // --- CSR single pass: locus-major fill -----------------------------
+    // One sweep per block: a sliding active-read window delivers each
+    // row's elements in read-start order (identical slot order to the
+    // read-major fill); the row's distinct codes sort by allele order
+    // in-place, assigning dense ids, nibbles, counts, and flags in one
+    // touch per element. Replaces the two read-major passes (elem_code
+    // write + reread) the dense modes still use.
+    parallel_blocks(nblocks, max_threads, [&](int64_t blk, int th) {
+      int64_t bs = blk * block_size;
+      int64_t be = std::min(bs + block_size, n_loci);
+      const std::vector<int64_t>& members = block_members[(size_t)blk];
+      std::vector<uint8_t>& seen_short = thread_seen[(size_t)th];
+      std::vector<int32_t>& distinct_short = thread_distinct[(size_t)th];
+      auto& uniq = block_uniq[(size_t)blk];
+      auto& cnts = block_counts[(size_t)blk];
+      cnts.reserve((size_t)(be - bs));
+      // Active-read window: two parallel compact arrays — the event-
+      // pointer (pre-biased by -start so the row's event indexes as
+      // kindp[locus]) and the expiry row. Parallel 8+8 bytes keep the
+      // compaction copy small; everything else the hot loop needs hangs
+      // off the same entry.
+      std::vector<int64_t> act_bias;  // ev_off[r] - start[r]
+      std::vector<int64_t> act_hi;    // exclusive end row
+      std::vector<int32_t> act_member;  // member index (cold fields)
+      act_bias.reserve(256);
+      act_hi.reserve(256);
+      act_member.reserve(256);
+      size_t next_m = 0;
+      std::vector<int32_t> row_codes;
+      std::vector<int32_t> distinct;
+      std::vector<int32_t> sorted_codes;
+      // Per-row base-byte LUTs: nearly every element is an EV_BASE code
+      // (match/mismatch), whose code varies only in the base byte at a
+      // fixed row — one 256-entry table turns both distinct-collection
+      // and code->id mapping into single indexed loads instead of linear
+      // scans over the row's distinct codes. Reset via touched lists.
+      uint8_t seen_base[256] = {0};
+      int16_t id_base[256];
+      uint8_t touched[256];
+      int n_touched = 0;
+      // Integer order key that sorts short codes identically to their
+      // (ref, alt) allele byte order (empty-before-nonempty, then byte
+      // value): ref/alt each encode as 0 when empty else 0x100 | byte.
+      // Long keys get the sentinel and force the comparator path.
+      auto order_of = [](int32_t code) -> uint32_t {
+        int32_t tag = code & 0x70000;
+        if (tag == 0x10000)
+          return ((0x100u | ((code >> 8) & 0xff)) << 16) |
+                 (0x100u | (code & 0xff));
+        if (tag == 0x20000) return (0x100u | (code & 0xff)) << 16;
+        if (tag == 0x30000) return 0;
+        return 0xFFFFFFFFu;
+      };
+      for (int64_t row = bs; row < be; row++) {
+        int64_t locus = loci[row];
+        while (next_m < members.size() &&
+               read_rows[(size_t)members[next_m]].first <= row) {
+          int64_t i = members[next_m];
+          if (read_rows[(size_t)i].second > row) {
+            int64_t r = sel[(size_t)i];
+            act_bias.push_back(ev_off[r] - start[r]);
+            act_hi.push_back(read_rows[(size_t)i].second);
+            act_member.push_back((int32_t)i);
+          }
+          next_m++;
+        }
+        int32_t dn = t->depth[row];
+        uint8_t* nib_row = t->csr_nib.data() + t->csr_off[row];
+        memset(nib_row, 0xFF, (size_t)((dn + 1) / 2));
+        row_codes.clear();
+        distinct.clear();
+        uint8_t rb = t->ref_base[row];
+        size_t w = 0;
+        size_t n_act = act_hi.size();
+        for (size_t a = 0; a < n_act; a++) {
+          if (act_hi[a] <= row) continue;  // expired
+          int64_t bias = act_bias[a];
+          if (w != a) {
+            act_hi[w] = act_hi[a];
+            act_bias[w] = bias;
+            act_member[w] = act_member[a];
+          }
+          size_t me = w++;
+          if (min_mapq > 0 &&
+              mapq[sel[(size_t)act_member[me]]] < min_mapq) {
+            // MAPQ-filtered: holds its slot (0xF nibble), no tables.
+            row_codes.push_back(-2);
+            continue;
+          }
+          int64_t ei = bias + locus;
+          uint8_t kind = ev_kind[ei];
+          int32_t code;
+          switch (kind) {
+            case EV_BASE:
+              code = 0x10000 | ((int32_t)rb << 8) | ev_base[ei];
+              break;
+            case EV_MID_DELETION:
+              code = 0x20000 | ev_mdref[ei];
+              break;
+            case EV_CLIPPED:
+              code = 0x30000;
+              break;
+            default: {  // INSERTION or DELETION anchor
+              int64_t r = sel[(size_t)act_member[me]];
+              int64_t off = locus - start[r];
+              AlleleKey key;
+              auto sp_it = special_by_read.find(r);
+              if (sp_it != special_by_read.end()) {
+                auto it = sp_it->second.find(off);
+                if (it != sp_it->second.end()) {
+                  int64_t s = it->second;
+                  std::string payload(
+                      reinterpret_cast<const char*>(special_payload +
+                                                    sp_payload_offset[s]),
+                      sp_payload_len[s]);
+                  if (sp_kind[s] == EV_INSERTION) {
+                    key.ref = payload.substr(0, 1);
+                    key.alt = payload;
+                  } else {
+                    key.ref = std::string(1, (char)rb) + payload;
+                    key.alt = key.ref.substr(0, 1);
+                  }
+                }
+              }
+              int32_t id;
+              {
+                std::lock_guard<std::mutex> lock(long_key_mu);
+                auto found = long_key_ids.find(key);
+                if (found == long_key_ids.end()) {
+                  id = (int32_t)long_keys.size();
+                  long_keys.push_back(key);
+                  long_key_ids[key] = id;
+                } else {
+                  id = found->second;
+                }
+              }
+              code = 0x40000 + id;
+              break;
+            }
+          }
+          row_codes.push_back(code);
+          if ((code & 0x70000) == 0x10000) {
+            uint8_t b = (uint8_t)(code & 0xff);
+            if (!seen_base[b]) {
+              seen_base[b] = 1;
+              touched[n_touched++] = b;
+              distinct.push_back(code);
+              if (!seen_short[code]) {
+                seen_short[code] = 1;
+                distinct_short.push_back(code);
+              }
+            }
+          } else {
+            if (code < 0x40000 && !seen_short[code]) {
+              seen_short[code] = 1;
+              distinct_short.push_back(code);
+            }
+            bool fresh = true;
+            for (int32_t d : distinct)
+              if (d == code) {
+                fresh = false;
+                break;
+              }
+            if (fresh) distinct.push_back(code);
+          }
+        }
+        act_bias.resize(w);
+        act_hi.resize(w);
+        act_member.resize(w);
+        // Sort this locus's distinct codes by allele order (ties — equal
+        // decoded keys from different codes — by code, deterministic).
+        // Short codes order by their integer order key (no decoding);
+        // rows containing a long key fall back to the full comparator.
+        sorted_codes.assign(distinct.begin(), distinct.end());
+        bool has_long = false;
+        for (int32_t d : sorted_codes)
+          if ((d & 0x70000) == 0x40000) {
+            has_long = true;
+            break;
+          }
+        if (!has_long) {
+          // Insertion sort by order key: n_distinct is tiny (~ploidy +
+          // error kinds), and this avoids std::sort + memcmp dispatch
+          // per row (8M shallow rows pay it otherwise).
+          for (size_t a = 1; a < sorted_codes.size(); a++) {
+            int32_t c = sorted_codes[a];
+            uint32_t oc = order_of(c);
+            size_t b = a;
+            while (b > 0) {
+              uint32_t ob = order_of(sorted_codes[b - 1]);
+              if (ob < oc || (ob == oc && sorted_codes[b - 1] < c)) break;
+              sorted_codes[b] = sorted_codes[b - 1];
+              b--;
+            }
+            sorted_codes[b] = c;
+          }
+        } else {
+          std::sort(sorted_codes.begin(), sorted_codes.end(),
+                    [&](int32_t a, int32_t b) {
+                      char ba[2], bb[2];
+                      KeyView va = code_view(a, long_keys, ba);
+                      KeyView vb = code_view(b, long_keys, bb);
+                      if (view_less(va, vb)) return true;
+                      if (view_less(vb, va)) return false;
+                      return a < b;
+                    });
+        }
+        int64_t n_distinct = (int64_t)sorted_codes.size();
+        if (n_distinct > K) t->overflow[row] = 1;
+        t->num_alleles[row] = (int16_t)std::min<int64_t>(n_distinct, K);
+        for (int64_t u = 0; u < n_distinct; u++) {
+          uniq.push_back(sorted_codes[u]);
+          if (u < K) {
+            char b2[2];
+            KeyView v = code_view(sorted_codes[u], long_keys, b2);
+            bool is_var =
+                v.rlen != v.alen ||
+                memcmp(v.ref, v.alt, (size_t)v.rlen) != 0;
+            t->is_variant[row * K + u] = is_var ? 1 : 0;
+            bool std_alt = true;
+            for (int32_t c = 0; c < v.alen; c++)
+              if (!is_standard((uint8_t)v.alt[c])) std_alt = false;
+            t->is_standard_alt[row * K + u] = std_alt ? 1 : 0;
+          }
+        }
+        cnts.push_back(n_distinct);
+        // Map each element's code to its dense id (EV_BASE via the LUT,
+        // other kinds via a scan of the few distinct); write nibble +
+        // count.
+        for (int64_t u = 0; u < n_distinct; u++)
+          if ((sorted_codes[(size_t)u] & 0x70000) == 0x10000)
+            id_base[sorted_codes[(size_t)u] & 0xff] = (int16_t)u;
+        dn = (int32_t)std::min<int64_t>(dn, (int64_t)row_codes.size());
+        int32_t* counts_row = t->counts.data() + row * K;
+        for (int32_t slot = 0; slot < dn; slot++) {
+          int32_t code = row_codes[(size_t)slot];
+          if (code < 0) continue;
+          int64_t id;
+          if ((code & 0x70000) == 0x10000) {
+            id = id_base[code & 0xff];
+          } else {
+            id = -1;
+            for (int64_t u = 0; u < n_distinct; u++)
+              if (sorted_codes[(size_t)u] == code) {
+                id = u;
+                break;
+              }
+          }
+          if (id >= 0 && id < K) {
+            counts_row[id]++;
+            int shift = (slot & 1) * 4;
+            nib_row[slot >> 1] = (uint8_t)(
+                (nib_row[slot >> 1] & ~(0xF << shift)) |
+                ((int)id << shift));
+          }
+        }
+        // Reset the per-row LUTs via the touched list.
+        for (int i = 0; i < n_touched; i++) seen_base[touched[i]] = 0;
+        n_touched = 0;
+      }
+    });
+    timer_.mark("csr_single_pass");
+  } else
   parallel_blocks(nblocks, max_threads, [&](int64_t blk, int th) {
     int64_t bs = blk * block_size;
     int64_t be = std::min(bs + block_size, n_loci);
@@ -617,8 +944,15 @@ void* guac_pack_tile(
   std::vector<std::pair<AlleleKey, int32_t>> keyed;
   keyed.reserve(distinct_codes.size());
   for (int32_t code : distinct_codes) keyed.push_back({decode(code), code});
+  // Ties (equal decoded keys from different codes) break by code so the
+  // global rank order is deterministic AND matches the per-locus sorted
+  // order of the CSR single pass.
   std::sort(keyed.begin(), keyed.end(),
-            [](const auto& a, const auto& b) { return a.first < b.first; });
+            [](const auto& a, const auto& b) {
+              if (a.first < b.first) return true;
+              if (b.first < a.first) return false;
+              return a.second < b.second;
+            });
   // Flat code -> sorted rank table (O(1) per-element lookups below).
   std::vector<int32_t> code_to_rank((size_t)code_space, -1);
   t->key_ref_off.push_back(0);
@@ -632,15 +966,11 @@ void* guac_pack_tile(
   }
 
   timer_.mark("key_table");
-  // Pass 4: per-locus dense allele ids + uniq table + variant flags
-  // (parallel over blocks with per-block uniq buffers, stitched serially).
-  t->num_alleles.assign(L_out, 0);
-  t->is_variant.assign(L_out * K, 0);
-  t->is_standard_alt.assign(L_out * K, 0);
-  t->uniq_off.assign(L_out + 1, 0);
-  std::vector<std::vector<int32_t>> block_uniq((size_t)nblocks);
-  std::vector<std::vector<int64_t>> block_counts((size_t)nblocks);
+  // Pass 4 (dense modes only — the CSR single pass already assigned ids):
+  // per-locus dense allele ids + uniq table + variant flags (parallel
+  // over blocks with per-block uniq buffers, stitched serially).
   int64_t n_keys = (int64_t)keyed.size();
+  if (!csr) {
   // Distinct ranks per locus are found by marking a per-thread [n_keys]
   // scratch (reset row-by-row via the touched list) instead of sorting all
   // dn element ranks: O(dn + distinct*log distinct) per row instead of
@@ -714,6 +1044,7 @@ void* guac_pack_tile(
         if (id < K) {
           if (full) t->allele_id[cell] = (int16_t)id;
           if (ll) t->ll_pack[cell] |= (uint16_t)id;
+          if (csr) t->counts[row * K + id]++;
           if (nib_row != nullptr) {
             int shift = (slot & 1) * 4;
             nib_row[slot >> 1] = (uint8_t)((nib_row[slot >> 1] &
@@ -741,8 +1072,10 @@ void* guac_pack_tile(
       }
     }
   });
+  }  // !csr
   timer_.mark("pass4_ids");
-  // Stitch per-block uniq tables into the global offsets/values.
+  // Stitch per-block uniq tables into the global offsets/values. CSR
+  // blocks recorded raw codes — remap them to global sorted ranks here.
   int64_t total_uniq = 0;
   for (auto& u : block_uniq) total_uniq += (int64_t)u.size();
   t->uniq_key.reserve((size_t)total_uniq);
@@ -752,8 +1085,14 @@ void* guac_pack_tile(
       t->uniq_off[row_cursor + 1] = t->uniq_off[row_cursor] + c;
       row_cursor++;
     }
-    t->uniq_key.insert(t->uniq_key.end(), block_uniq[(size_t)blk].begin(),
-                       block_uniq[(size_t)blk].end());
+    if (csr) {
+      for (int32_t code : block_uniq[(size_t)blk])
+        t->uniq_key.push_back(code_to_rank[code]);
+    } else {
+      t->uniq_key.insert(t->uniq_key.end(),
+                         block_uniq[(size_t)blk].begin(),
+                         block_uniq[(size_t)blk].end());
+    }
   }
   // Sentinel rows (L padding) keep the last offset.
   for (int64_t row = row_cursor; row < L_out; row++)
@@ -794,10 +1133,139 @@ TILE_ACCESSOR(ll_pack, ll_pack, uint16_t)
 TILE_ACCESSOR(ll_mapq, ll_mapq, uint8_t)
 TILE_ACCESSOR(is_variant, is_variant, uint8_t)
 TILE_ACCESSOR(is_standard_alt, is_standard_alt, uint8_t)
+TILE_ACCESSOR(counts, counts, int32_t)
 TILE_ACCESSOR(key_blob, key_blob, uint8_t)
 TILE_ACCESSOR(key_ref_off, key_ref_off, int64_t)
 TILE_ACCESSOR(key_alt_off, key_alt_off, int64_t)
 TILE_ACCESSOR(uniq_key, uniq_key, int32_t)
 TILE_ACCESSOR(uniq_off, uniq_off, int64_t)
+
+// ---------------------------------------------------------------------------
+// Covered-loci computation: the loci of the given ranges covered by >= 1
+// read, as one sorted int64 array (the native form of
+// pack/columnar.py::covered_loci — a whole-region call costs ~ms where the
+// Python interval merge + arange materialization costs ~seconds).
+// ---------------------------------------------------------------------------
+
+struct CoveredLoci {
+  raw_vector<int64_t> loci;
+};
+
+void* guac_covered_loci(
+    int64_t n_reads, const int32_t* ref_id, const int64_t* start,
+    const int64_t* end, int32_t contig_id,
+    int64_t n_ranges, const int64_t* range_lo, const int64_t* range_hi,
+    // Optional read-index scan window (see guac_pack_tile); hi <= 0 means
+    // "scan everything".
+    int64_t scan_lo, int64_t scan_hi) {
+  int64_t r_begin = 0, r_end = n_reads;
+  if (scan_hi > 0) {
+    r_begin = std::max<int64_t>(0, std::min(scan_lo, n_reads));
+    r_end = std::max(r_begin, std::min(scan_hi, n_reads));
+  }
+  std::vector<std::pair<int64_t, int64_t>> iv;
+  iv.reserve(1024);
+  bool sorted = true;
+  int64_t prev = INT64_MIN;
+  for (int64_t r = r_begin; r < r_end; r++) {
+    if (ref_id[r] != contig_id) continue;
+    if (end[r] <= start[r]) continue;
+    iv.push_back({start[r], end[r]});
+    if (start[r] < prev) sorted = false;
+    prev = start[r];
+  }
+  CoveredLoci* out = new CoveredLoci();
+  if (iv.empty() || n_ranges == 0) return out;
+  if (!sorted) std::sort(iv.begin(), iv.end());
+  // Merge into maximal covered intervals.
+  std::vector<std::pair<int64_t, int64_t>> merged;
+  merged.reserve(iv.size());
+  int64_t cs = iv[0].first, ce = iv[0].second;
+  for (size_t i = 1; i < iv.size(); i++) {
+    if (iv[i].first > ce) {
+      merged.push_back({cs, ce});
+      cs = iv[i].first;
+      ce = iv[i].second;
+    } else {
+      ce = std::max(ce, iv[i].second);
+    }
+  }
+  merged.push_back({cs, ce});
+  // Intersect with the (sorted, disjoint) loci ranges and size the output.
+  int64_t total = 0;
+  size_t ci = 0;
+  for (int64_t g = 0; g < n_ranges; g++) {
+    int64_t s = range_lo[g], e = range_hi[g];
+    while (ci < merged.size() && merged[ci].second <= s) ci++;
+    for (size_t cj = ci; cj < merged.size() && merged[cj].first < e; cj++) {
+      int64_t lo = std::max(s, merged[cj].first);
+      int64_t hi = std::min(e, merged[cj].second);
+      if (hi > lo) total += hi - lo;
+    }
+  }
+  out->loci.resize((size_t)total);
+  int64_t w = 0;
+  ci = 0;
+  for (int64_t g = 0; g < n_ranges; g++) {
+    int64_t s = range_lo[g], e = range_hi[g];
+    while (ci < merged.size() && merged[ci].second <= s) ci++;
+    for (size_t cj = ci; cj < merged.size() && merged[cj].first < e; cj++) {
+      int64_t lo = std::max(s, merged[cj].first);
+      int64_t hi = std::min(e, merged[cj].second);
+      for (int64_t x = lo; x < hi; x++) out->loci[(size_t)w++] = x;
+    }
+  }
+  return out;
+}
+
+void guac_free_covered(void* handle) {
+  delete static_cast<CoveredLoci*>(handle);
+}
+
+// The candidate rule over [L, K] counts (numpy twin: ops/dispatch.py::
+// host_counts_candidates; device twin: ops/kernels.py::counts_candidates).
+// threshold < 0 means "no threshold" (any variant allele with evidence).
+// Writes L bytes of 0/1 into out_mask. One linear pass, no temporaries —
+// the numpy form allocates several [L, K] intermediates (~GBs at 9M loci).
+void guac_counts_screen(
+    const int32_t* counts, const uint8_t* is_variant, int64_t L, int64_t K,
+    int64_t threshold, uint8_t* out_mask) {
+  for (int64_t r = 0; r < L; r++) {
+    const int32_t* row = counts + r * K;
+    const uint8_t* iv = is_variant + r * K;
+    uint8_t cand = 0;
+    if (threshold < 0) {
+      for (int64_t k = 0; k < K; k++)
+        if (row[k] > 0 && iv[k]) {
+          cand = 1;
+          break;
+        }
+    } else {
+      int64_t depth = 0;
+      for (int64_t k = 0; k < K; k++) depth += row[k];
+      int64_t bar = depth * (threshold + 1);
+      int ref_passing = 0;
+      for (int64_t k = 0; k < K; k++) {
+        if (row[k] > 0 && (int64_t)row[k] * 100 >= bar) {
+          if (iv[k]) {
+            cand = 1;
+            break;
+          }
+          if (++ref_passing >= 2) {
+            cand = 1;
+            break;
+          }
+        }
+      }
+    }
+    out_mask[r] = cand;
+  }
+}
+
+const int64_t* guac_covered_data(void* handle, int64_t* n) {
+  CoveredLoci* c = static_cast<CoveredLoci*>(handle);
+  *n = (int64_t)c->loci.size();
+  return c->loci.data();
+}
 
 }  // extern "C"
