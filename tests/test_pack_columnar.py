@@ -181,6 +181,84 @@ def test_screen_tiles_csr_encoding(resources_dir):
     np.testing.assert_array_equal(got.candidates, want.variant_evidence)
 
 
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_native_counts_match_device_screen(resources_dir):
+    """The screen-mode packer's [L, K] counts by-product and the native
+    candidate rule (the host fallback screen) must equal the device CSR
+    screen exactly — counts, candidates, and the compact form."""
+    from guacamole_tpu.ops.dispatch import (
+        host_counts_candidates,
+        screen_csr_launch,
+    )
+    from guacamole_tpu.runtime.native import counts_screen_native
+
+    path = resource_path("chrM.sorted.bam")
+    cols = decode_bam_columnar(path)
+    mapped_cols = cols.select(cols.is_mapped_mask)
+    contig_id = mapped_cols.ref_names.index("chrM")
+    loci = list(range(1000, 3048))
+    screen = pack_tile_columnar(
+        mapped_cols, contig_id, "chrM", loci, fields="screen"
+    )
+    assert screen.counts32 is not None
+    for threshold in (None, 8, 25):
+        dev = screen_csr_launch(
+            np.asarray(screen.csr_nib),
+            np.asarray(screen.csr_off, np.int32),
+            np.asarray(screen.is_variant),
+            screen.K,
+            threshold_percent=threshold,
+        ).result()
+        np.testing.assert_array_equal(screen.counts32, dev.counts)
+        host_np = host_counts_candidates(
+            screen.counts32, screen.is_variant, threshold
+        )
+        host_nat = counts_screen_native(
+            screen.counts32, screen.is_variant, threshold
+        )
+        np.testing.assert_array_equal(host_np, np.asarray(dev.candidates))
+        np.testing.assert_array_equal(host_nat, np.asarray(dev.candidates))
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_covered_loci_native_matches_python(resources_dir):
+    """Native covered-loci must equal the numpy interval-merge fallback,
+    including multi-range and empty cases."""
+    from unittest import mock
+
+    from guacamole_tpu.pack import columnar as pc
+
+    path = resource_path("chrM.sorted.bam")
+    cols = decode_bam_columnar(path).select(
+        decode_bam_columnar(path).is_mapped_mask
+    )
+    contig_id = cols.ref_names.index("chrM")
+    cases = [
+        [(0, 16571)],
+        [(0, 100), (5000, 5100), (16000, 17000)],
+        [(20000, 21000)],  # beyond the contig: no coverage
+        [],
+    ]
+    for ranges in cases:
+        native = pc.covered_loci(cols, contig_id, ranges)
+        with mock.patch(
+            "guacamole_tpu.runtime.native.covered_loci_native",
+            return_value=None,
+        ):
+            python = pc.covered_loci(cols, contig_id, ranges)
+        np.testing.assert_array_equal(native, python)
+
+
+def test_host_screen_env_override(monkeypatch):
+    """GUAC_HOST_SCREEN pins the screen implementation choice."""
+    from guacamole_tpu.ops import dispatch
+
+    monkeypatch.setenv("GUAC_HOST_SCREEN", "1")
+    assert dispatch.screen_on_host() is True
+    monkeypatch.setenv("GUAC_HOST_SCREEN", "0")
+    assert dispatch.screen_on_host() is False
+
+
 def test_read_scan_window_covers_all_overlaps():
     """read_scan_window must be a superset window of the overlap set for
     every query, and degrade to None on non-grouped/unsorted columns."""
