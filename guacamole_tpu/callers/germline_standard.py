@@ -237,11 +237,21 @@ def call_variants(
                 }
 
     from guacamole_tpu.ops.dispatch import (
+        PendingCandidates,
         candidates_of,
         germline_screen_launch,
         pipelined,
+        screen_on_host,
         screen_tile_launch,
     )
+
+    # Host fallback screen (no accelerator attached): the native packer
+    # computes the same factored likelihood-screen rule during the CSR
+    # single pass (guac_pack.cpp ll_candidates, f64), so no dense
+    # [L, D] likelihood tiles and no device kernels are built at all.
+    # With an accelerator (or a mesh), the device screen path is used.
+    host_screen = mesh is None and screen_on_host()
+    screen_fields = "screen" if host_screen else "likelihood"
 
     def tiles():
         for task_loci, sample_sources in task_iter():
@@ -253,8 +263,9 @@ def call_variants(
                         tile_size=tile_size,
                         max_alleles=max_alleles,
                         reference_genome=reference_genome,
-                        fields="likelihood",
+                        fields=screen_fields,
                         min_mapq=min_alignment_quality,
+                        ll_screen_margin=0.5 if host_screen else 0.0,
                     ):
                         yield sample_name, sample_source, contig, tile
 
@@ -262,6 +273,8 @@ def call_variants(
         tile = item[3]
         if not tile.L:
             return None
+        if getattr(tile, "ll_candidates", None) is not None:
+            return PendingCandidates(np.asarray(tile.ll_candidates))
         if getattr(tile, "ll_pack", None) is not None:
             # Device genotype-likelihood screen: candidates are loci whose
             # best variant genotype comes within a safety margin of the
@@ -327,13 +340,32 @@ def call_variants(
             if pending is None:
                 continue
             cand = candidates_of(pending.result())
-            candidate_loci = [
-                int(tile.loci[li])
-                for li in np.flatnonzero(cand | np.asarray(tile.overflow))
-                if tile.depth[li] > 0
-            ]
-            if candidate_loci:
-                yield sample_name, sample_source, contig, candidate_loci
+            rows = np.flatnonzero(
+                (cand | np.asarray(tile.overflow))
+                & (np.asarray(tile.depth)[: tile.L] > 0)
+            )
+            if not len(rows):
+                continue
+            # Group candidates by depth bucket (and bound rows x depth):
+            # one sparse confirm tile over mixed depths would pad every
+            # row to the deepest candidate's bucket — with megatile
+            # screens that's a [all-candidates, deepest-bucket] grid,
+            # gigabytes of padding at scale.
+            loci_arr = np.asarray(tile.loci)[rows]
+            depths = np.asarray(tile.depth)[rows]
+            from guacamole_tpu.pack.columnar import _depth_bucket
+
+            buckets = _depth_bucket(depths)
+            for b in np.unique(buckets):
+                group = loci_arr[buckets == b]
+                max_rows = max(1024, (32 << 20) // int(b))
+                for i in range(0, len(group), max_rows):
+                    yield (
+                        sample_name,
+                        sample_source,
+                        contig,
+                        [int(x) for x in group[i : i + max_rows]],
+                    )
 
     with ThreadPoolExecutor(max_workers=1) as executor:
 

@@ -115,6 +115,7 @@ class ReadSource:
         reference_genome=None,
         fields: str = "full",
         min_mapq: int = 0,
+        ll_screen_margin: float = 0.0,
     ) -> Iterator:
         """Yield tiles one at a time so callers can overlap device kernels
         on tile i with host packing of tile i+1.
@@ -141,6 +142,7 @@ class ReadSource:
                 reference_genome=reference_genome,
                 fields=fields,
                 min_mapq=min_mapq,
+                ll_screen_margin=ll_screen_margin,
             )
             return
         from guacamole_tpu.pack.tiles import pack_tiles

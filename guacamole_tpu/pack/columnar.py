@@ -35,6 +35,7 @@ def pack_tile_columnar(
     l_pad: int = 0,
     fields: str = "full",
     min_mapq: int = 0,
+    ll_screen_margin: float = 0.0,
 ) -> LocusTile:
     """Pack one tile from columnar reads (must be sorted by start).
 
@@ -47,6 +48,7 @@ def pack_tile_columnar(
         tile = _pack_tile_native(
             cols, contig_id, contig_name, loci, max_alleles,
             reference_genome, depth_pad, l_pad, fields, min_mapq,
+            ll_screen_margin,
         )
         if tile is not None:
             return tile
@@ -161,7 +163,7 @@ def pack_tile_columnar(
 
 def _pack_tile_native(
     cols, contig_id, contig_name, loci, max_alleles, reference_genome,
-    depth_pad, l_pad=0, fields="full", min_mapq=0,
+    depth_pad, l_pad=0, fields="full", min_mapq=0, ll_screen_margin=0.0,
 ) -> Optional[LocusTile]:
     from guacamole_tpu.pack.fast import LazyAlleleTables
     from guacamole_tpu.runtime.native import pack_tile_native
@@ -195,6 +197,7 @@ def _pack_tile_native(
             else 0
         ),
         min_mapq=min_mapq,
+        ll_screen_margin=ll_screen_margin,
     )
     if out is None:
         return None
@@ -250,6 +253,12 @@ def _pack_tile_native(
         counts32=(
             out["counts"].reshape(L, K)
             if out.get("counts") is not None and out["counts"].size
+            else None
+        ),
+        ll_candidates=(
+            out["ll_candidates"].astype(bool)
+            if out.get("ll_candidates") is not None
+            and out["ll_candidates"].size
             else None
         ),
         ll_pack=(
@@ -417,6 +426,7 @@ def iter_tiles_columnar(
     depth_bucketing: bool = True,
     fields: str = "full",
     min_mapq: int = 0,
+    ll_screen_margin: float = 0.0,
 ):
     """Yield a contig's loci tiles one at a time (lazy pack_tiles_columnar).
 
@@ -502,6 +512,7 @@ def iter_tiles_columnar(
                 l_pad=l_pad,
                 fields=fields,
                 min_mapq=min_mapq,
+                ll_screen_margin=ll_screen_margin,
             )
             if pad_to_tile_size and tile.L < l_pad:
                 tile = pad_tile_loci(tile, l_pad)

@@ -95,6 +95,10 @@ class LocusTile:
     # (no accelerator attached) thresholds these directly; the device
     # path ignores them.
     counts32: Optional[np.ndarray] = None
+    # Host form of the germline likelihood screen (screen-mode pack with
+    # ll_screen_margin > 0): [L] bool candidate flags, same factored rule
+    # as ops/kernels.py::germline_screen_math in f64.
+    ll_candidates: Optional[np.ndarray] = None
 
     @property
     def L(self) -> int:
@@ -544,6 +548,23 @@ def pad_tile_loci(tile: LocusTile, target_l: int) -> LocusTile:
             ),
             csr_off=np.concatenate(
                 [off, np.full(pad, off[-1], dtype=np.int32)]
+            ),
+            counts32=(
+                None
+                if tile.counts32 is None
+                else np.concatenate(
+                    [
+                        tile.counts32,
+                        np.zeros((pad, tile.K), tile.counts32.dtype),
+                    ]
+                )
+            ),
+            ll_candidates=(
+                None
+                if tile.ll_candidates is None
+                else np.concatenate(
+                    [tile.ll_candidates, np.zeros(pad, dtype=bool)]
+                )
             ),
         )
 

@@ -104,6 +104,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         + [ctypes.c_int64, ctypes.c_int64]  # mode, min_mapq
         + [ctypes.c_void_p, ctypes.c_int64]  # ref contig
         + [ctypes.c_int64, ctypes.c_int64]  # scan_lo, scan_hi
+        + [ctypes.c_double]  # ll_screen_margin
     )
     lib.guac_free_tile.argtypes = [ctypes.c_void_p]
     lib.guac_tile_L.restype = ctypes.c_int64
@@ -159,6 +160,7 @@ _TILE_ACCESSORS = {
     "is_variant": np.uint8,
     "is_standard_alt": np.uint8,
     "counts": np.int32,
+    "ll_candidates": np.uint8,
     "key_blob": np.uint8,
     "key_ref_off": np.int64,
     "key_alt_off": np.int64,
@@ -182,6 +184,7 @@ def pack_tile_native(
     mode: int = 0,
     min_mapq: int = 0,
     scan_window=None,
+    ll_screen_margin: float = 0.0,
 ):
     """Run the C++ tile packer over columnar reads. Returns a dict of numpy
     arrays (LocusTile fields + allele key tables), or None if unavailable."""
@@ -248,6 +251,7 @@ def pack_tile_native(
         len(ref_arr) if ref_arr is not None else 0,
         scan_window[0] if scan_window is not None else 0,
         scan_window[1] if scan_window is not None else 0,
+        float(ll_screen_margin),
     )
     if not handle:
         return None

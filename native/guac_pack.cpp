@@ -17,6 +17,7 @@
 #include <algorithm>
 #include <chrono>
 #include <cstdint>
+#include <cmath>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -156,6 +157,13 @@ struct PackedTile {
   // fallback screen (no accelerator) thresholds these directly instead of
   // shipping CSR to a device; the TPU path ignores them.
   std::vector<int32_t> counts;  // [L, K] (csr mode only)
+  // Host form of the germline genotype-likelihood screen (requested via
+  // ll_screen_margin > 0 on csr tiles): [L] 0/1 candidate flags from the
+  // same factored per-allele-sum rule as ops/kernels.py::
+  // germline_screen_math, accumulated in f64 (error << margin at any
+  // CSR depth, so the flags are a strict superset of exact-argmax
+  // variant loci — the host confirm re-evaluates them exactly).
+  std::vector<uint8_t> ll_candidates;  // [L] (csr + margin only)
   // allele key table: global sorted keys + per-locus key index lists
   std::vector<uint8_t> key_blob;     // concatenated ref+alt bytes
   std::vector<int64_t> key_ref_off;  // n_keys+1 (start of ref of key i)
@@ -260,7 +268,10 @@ void* guac_pack_tile(
     // (otherwise a whole-genome run pays an O(n_reads) scan per tile).
     // The per-read predicate still applies, so an over-wide window only
     // costs time. scan_hi <= 0 means "scan everything".
-    int64_t scan_lo, int64_t scan_hi) {
+    int64_t scan_lo, int64_t scan_hi,
+    // > 0 on csr tiles: also emit the germline likelihood-screen
+    // candidate flags with this margin (see PackedTile::ll_candidates).
+    double ll_screen_margin = 0.0) {
   PassTimer timer_;
   PackedTile* t = new PackedTile();
   int64_t L_out = std::max(l_pad, n_loci);
@@ -537,6 +548,22 @@ void* guac_pack_tile(
   t->is_variant.assign(L_out * K, 0);
   t->is_standard_alt.assign(L_out * K, 0);
   if (csr) t->counts.assign(L_out * K, 0);
+  bool ll_screen = csr && ll_screen_margin > 0.0 && K <= 16;
+  if (ll_screen) t->ll_candidates.assign(L_out, 0);
+  // Per-quality log terms of the factored likelihood screen: for error
+  // probability err = 10^(-q/10), x = log(2*err) (an element's m=0
+  // contribution), y = log(2-2*err) (m=2). Matches
+  // ops/kernels.py::germline_screen_math.
+  static double ll_x[256], ll_y[256];
+  static std::once_flag ll_lut_once;
+  if (ll_screen)
+    std::call_once(ll_lut_once, [] {
+      for (int q = 0; q < 256; q++) {
+        double err = pow(10.0, q / -10.0);
+        ll_x[q] = log(2.0 * err);
+        ll_y[q] = q == 0 ? -INFINITY : log(2.0 - 2.0 * err);
+      }
+    });
   t->uniq_off.assign(L_out + 1, 0);
 
   if (csr) {
@@ -569,8 +596,10 @@ void* guac_pack_tile(
       act_member.reserve(256);
       size_t next_m = 0;
       std::vector<int32_t> row_codes;
+      std::vector<uint8_t> row_quals;  // parallel to row_codes (ll screen)
       std::vector<int32_t> distinct;
       std::vector<int32_t> sorted_codes;
+      double ll_c[16], ll_g[16];
       // Per-row base-byte LUTs: nearly every element is an EV_BASE code
       // (match/mismatch), whose code varies only in the base byte at a
       // fixed row — one 256-entry table turns both distinct-collection
@@ -610,6 +639,7 @@ void* guac_pack_tile(
         uint8_t* nib_row = t->csr_nib.data() + t->csr_off[row];
         memset(nib_row, 0xFF, (size_t)((dn + 1) / 2));
         row_codes.clear();
+        if (ll_screen) row_quals.clear();
         distinct.clear();
         uint8_t rb = t->ref_base[row];
         size_t w = 0;
@@ -627,6 +657,7 @@ void* guac_pack_tile(
               mapq[sel[(size_t)act_member[me]]] < min_mapq) {
             // MAPQ-filtered: holds its slot (0xF nibble), no tables.
             row_codes.push_back(-2);
+            if (ll_screen) row_quals.push_back(0);
             continue;
           }
           int64_t ei = bias + locus;
@@ -681,6 +712,7 @@ void* guac_pack_tile(
             }
           }
           row_codes.push_back(code);
+          if (ll_screen) row_quals.push_back(ev_qual[ei]);
           if ((code & 0x70000) == 0x10000) {
             uint8_t b = (uint8_t)(code & 0xff);
             if (!seen_base[b]) {
@@ -774,6 +806,11 @@ void* guac_pack_tile(
             id_base[sorted_codes[(size_t)u] & 0xff] = (int16_t)u;
         dn = (int32_t)std::min<int64_t>(dn, (int64_t)row_codes.size());
         int32_t* counts_row = t->counts.data() + row * K;
+        if (ll_screen) {
+          memset(ll_c, 0, sizeof(ll_c));
+          memset(ll_g, 0, sizeof(ll_g));
+        }
+        int32_t n_ll_valid = 0;
         for (int32_t slot = 0; slot < dn; slot++) {
           int32_t code = row_codes[(size_t)slot];
           if (code < 0) continue;
@@ -790,11 +827,42 @@ void* guac_pack_tile(
           }
           if (id >= 0 && id < K) {
             counts_row[id]++;
+            if (ll_screen) {
+              uint8_t q = row_quals[(size_t)slot];
+              ll_c[id] += ll_x[q];
+              ll_g[id] += ll_y[q];
+              n_ll_valid++;
+            }
             int shift = (slot & 1) * 4;
             nib_row[slot >> 1] = (uint8_t)(
                 (nib_row[slot >> 1] & ~(0xF << shift)) |
                 ((int)id << shift));
           }
+        }
+        if (ll_screen && n_ll_valid > 0) {
+          // Pair scores from the per-allele sums (the common all-element
+          // term cancels): ll(i,j) = -c_i - c_j (i != j), -c_i + g_i
+          // (i == i). Candidate when the best variant genotype comes
+          // within the margin of the best reference genotype.
+          const uint8_t* iv = t->is_variant.data() + row * K;
+          const uint8_t* sa = t->is_standard_alt.data() + row * K;
+          int32_t na = (int32_t)std::min<int64_t>(n_distinct, K);
+          double best_var = -INFINITY, best_ref = -INFINITY;
+          for (int32_t i = 0; i < na; i++) {
+            if (!sa[i]) continue;
+            for (int32_t j = i; j < na; j++) {
+              if (!sa[j]) continue;
+              double score =
+                  i == j ? -ll_c[i] + ll_g[i] : -ll_c[i] - ll_c[j];
+              if (iv[i] || iv[j]) {
+                if (score > best_var) best_var = score;
+              } else {
+                if (score > best_ref) best_ref = score;
+              }
+            }
+          }
+          t->ll_candidates[row] =
+              best_var >= best_ref - ll_screen_margin ? 1 : 0;
         }
         // Reset the per-row LUTs via the touched list.
         for (int i = 0; i < n_touched; i++) seen_base[touched[i]] = 0;
@@ -1134,6 +1202,7 @@ TILE_ACCESSOR(ll_mapq, ll_mapq, uint8_t)
 TILE_ACCESSOR(is_variant, is_variant, uint8_t)
 TILE_ACCESSOR(is_standard_alt, is_standard_alt, uint8_t)
 TILE_ACCESSOR(counts, counts, int32_t)
+TILE_ACCESSOR(ll_candidates, ll_candidates, uint8_t)
 TILE_ACCESSOR(key_blob, key_blob, uint8_t)
 TILE_ACCESSOR(key_ref_off, key_ref_off, int64_t)
 TILE_ACCESSOR(key_alt_off, key_alt_off, int64_t)
