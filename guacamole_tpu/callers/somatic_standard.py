@@ -453,11 +453,19 @@ def call_variants(
         task_iter = lambda: iter(task_sources)  # noqa: E731
 
     from guacamole_tpu.ops.dispatch import (
+        PendingCandidates,
         candidates_of,
         pipelined,
+        screen_on_host,
         screen_tile_launch,
         tumor_screen_launch,
     )
+
+    # Host fallback screen (no accelerator): the native packer evaluates
+    # the tumor likelihood screen (alignment-included) inline during the
+    # CSR single pass — no dense [L, D] tumor tiles, no device kernels.
+    host_screen = mesh is None and screen_on_host()
+    screen_fields = "screen" if host_screen else "likelihood_mapq"
 
     def tiles():
         for task_loci, tumor, normal in task_iter():
@@ -468,8 +476,10 @@ def call_variants(
                     tile_size=tile_size,
                     max_alleles=max_alleles,
                     reference_genome=reference_genome,
-                    fields="likelihood_mapq",
+                    fields=screen_fields,
                     min_mapq=min_alignment_quality,
+                    ll_screen_margin=0.5 if host_screen else 0.0,
+                    ll_screen_kind=2,
                 ):
                     yield contig, tile, tumor, normal
 
@@ -477,6 +487,8 @@ def call_variants(
         tile = item[1]
         if not tile.L:
             return None
+        if getattr(tile, "ll_candidates", None) is not None:
+            return PendingCandidates(np.asarray(tile.ll_candidates))
         if getattr(tile, "ll_mapq", None) is not None:
             # Tumor argmax-genotype screen (alignment-included f32
             # likelihoods with a safety margin): a superset of loci the
@@ -582,12 +594,27 @@ def call_variants(
             if pending is None:
                 continue
             cand = candidates_of(pending.result())
-            candidates = np.flatnonzero(cand | np.asarray(tile.overflow))
-            candidate_loci = [
-                int(tile.loci[li]) for li in candidates if tile.depth[li] > 0
-            ]
-            if candidate_loci:
-                yield contig, tile, candidates, candidate_loci, tumor, normal
+            rows = np.flatnonzero(
+                (cand | np.asarray(tile.overflow))
+                & (np.asarray(tile.depth)[: tile.L] > 0)
+            )
+            if not len(rows):
+                continue
+            # Group candidates by the tumor depth bucket and bound
+            # rows x depth per confirm pair — one sparse tile pair over
+            # all of a megatile's candidates would pad every row to the
+            # deepest candidate's bucket (see germline_standard).
+            depths = np.asarray(tile.depth)[rows]
+            from guacamole_tpu.pack.columnar import _depth_bucket
+
+            buckets = _depth_bucket(depths)
+            for b in np.unique(buckets):
+                group = rows[buckets == b]
+                max_rows = max(1024, (32 << 20) // int(b))
+                for i in range(0, len(group), max_rows):
+                    chunk = group[i : i + max_rows]
+                    loci_chunk = [int(tile.loci[li]) for li in chunk]
+                    yield contig, tile, chunk, loci_chunk, tumor, normal
 
     with ThreadPoolExecutor(max_workers=2) as executor:
 

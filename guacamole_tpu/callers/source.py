@@ -116,6 +116,7 @@ class ReadSource:
         fields: str = "full",
         min_mapq: int = 0,
         ll_screen_margin: float = 0.0,
+        ll_screen_kind: int = 1,
     ) -> Iterator:
         """Yield tiles one at a time so callers can overlap device kernels
         on tile i with host packing of tile i+1.
@@ -143,6 +144,7 @@ class ReadSource:
                 fields=fields,
                 min_mapq=min_mapq,
                 ll_screen_margin=ll_screen_margin,
+                ll_screen_kind=ll_screen_kind,
             )
             return
         from guacamole_tpu.pack.tiles import pack_tiles

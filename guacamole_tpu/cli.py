@@ -302,7 +302,21 @@ def _streaming_partitions(args, loci_set, path):
         partition_loci_uniformly,
     )
 
-    tasks = args.parallelism or _default_parallelism()
+    tasks = args.parallelism
+    if not tasks:
+        # Each task's IO + decode runs on a background thread while the
+        # previous task packs/screens, so on big inputs more tasks than
+        # devices keeps the pipeline full (~16 MB compressed per task;
+        # small inputs stay single-task). Explicit --parallelism wins.
+        import os as _os
+
+        try:
+            size = _os.stat(path).st_size
+        except OSError:
+            size = 0
+        tasks = max(
+            _default_parallelism(), min(8, max(1, size // (16 << 20)))
+        )
     if args.partition_accuracy == 0:
         return partition_loci_uniformly(tasks, loci_set)
     from guacamole_tpu.callers.streaming import ensure_bam_index

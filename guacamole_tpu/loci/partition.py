@@ -101,10 +101,30 @@ def count_regions_per_micro_partition(
             los = np.searchsorted(cmap.ends, starts, side="right")
             his = np.searchsorted(cmap.starts, ends, side="left")
             values = np.asarray(cmap.values, dtype=np.int64)
-            for lo, hi in zip(los.tolist(), his.tolist()):
-                if hi > lo:
-                    # distinct micro partitions overlapped by this region
-                    counts[np.unique(values[lo:hi])] += 1
+            steps = np.diff(values)
+            if len(values) == 0:
+                continue
+            if not len(steps) or ((steps >= 0) & (steps <= 1)).all():
+                # Uniform micro partitions are consecutive within a
+                # contig, so the distinct micros overlapped by a region
+                # are exactly the integer range [values[lo], values[hi-1]]
+                # — counted for every region at once with two bincounts
+                # over a difference array (the per-region np.unique loop
+                # cost ~6 us x millions of reads).
+                sel = his > los
+                if not sel.any():
+                    continue
+                vlo = values[los[sel]]
+                vhi = values[his[sel] - 1]
+                diff = np.bincount(
+                    vlo, minlength=num_micro + 1
+                ) - np.bincount(vhi + 1, minlength=num_micro + 1)
+                counts += np.cumsum(diff[:num_micro])
+            else:
+                for lo, hi in zip(los.tolist(), his.tolist()):
+                    if hi > lo:
+                        # distinct micro partitions overlapped by region
+                        counts[np.unique(values[lo:hi])] += 1
     return counts
 
 

@@ -36,6 +36,7 @@ def pack_tile_columnar(
     fields: str = "full",
     min_mapq: int = 0,
     ll_screen_margin: float = 0.0,
+    ll_screen_kind: int = 1,
 ) -> LocusTile:
     """Pack one tile from columnar reads (must be sorted by start).
 
@@ -48,7 +49,7 @@ def pack_tile_columnar(
         tile = _pack_tile_native(
             cols, contig_id, contig_name, loci, max_alleles,
             reference_genome, depth_pad, l_pad, fields, min_mapq,
-            ll_screen_margin,
+            ll_screen_margin, ll_screen_kind,
         )
         if tile is not None:
             return tile
@@ -164,6 +165,7 @@ def pack_tile_columnar(
 def _pack_tile_native(
     cols, contig_id, contig_name, loci, max_alleles, reference_genome,
     depth_pad, l_pad=0, fields="full", min_mapq=0, ll_screen_margin=0.0,
+    ll_screen_kind=1,
 ) -> Optional[LocusTile]:
     from guacamole_tpu.pack.fast import LazyAlleleTables
     from guacamole_tpu.runtime.native import pack_tile_native
@@ -198,6 +200,7 @@ def _pack_tile_native(
         ),
         min_mapq=min_mapq,
         ll_screen_margin=ll_screen_margin,
+        ll_screen_kind=ll_screen_kind,
     )
     if out is None:
         return None
@@ -427,6 +430,7 @@ def iter_tiles_columnar(
     fields: str = "full",
     min_mapq: int = 0,
     ll_screen_margin: float = 0.0,
+    ll_screen_kind: int = 1,
 ):
     """Yield a contig's loci tiles one at a time (lazy pack_tiles_columnar).
 
@@ -513,6 +517,7 @@ def iter_tiles_columnar(
                 fields=fields,
                 min_mapq=min_mapq,
                 ll_screen_margin=ll_screen_margin,
+                ll_screen_kind=ll_screen_kind,
             )
             if pad_to_tile_size and tile.L < l_pad:
                 tile = pad_tile_loci(tile, l_pad)

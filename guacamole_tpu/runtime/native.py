@@ -104,7 +104,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         + [ctypes.c_int64, ctypes.c_int64]  # mode, min_mapq
         + [ctypes.c_void_p, ctypes.c_int64]  # ref contig
         + [ctypes.c_int64, ctypes.c_int64]  # scan_lo, scan_hi
-        + [ctypes.c_double]  # ll_screen_margin
+        + [ctypes.c_double, ctypes.c_int64]  # ll_screen_margin, kind
     )
     lib.guac_free_tile.argtypes = [ctypes.c_void_p]
     lib.guac_tile_L.restype = ctypes.c_int64
@@ -185,6 +185,7 @@ def pack_tile_native(
     min_mapq: int = 0,
     scan_window=None,
     ll_screen_margin: float = 0.0,
+    ll_screen_kind: int = 1,
 ):
     """Run the C++ tile packer over columnar reads. Returns a dict of numpy
     arrays (LocusTile fields + allele key tables), or None if unavailable."""
@@ -252,6 +253,7 @@ def pack_tile_native(
         scan_window[0] if scan_window is not None else 0,
         scan_window[1] if scan_window is not None else 0,
         float(ll_screen_margin),
+        int(ll_screen_kind),
     )
     if not handle:
         return None

@@ -269,9 +269,11 @@ void* guac_pack_tile(
     // The per-read predicate still applies, so an over-wide window only
     // costs time. scan_hi <= 0 means "scan everything".
     int64_t scan_lo, int64_t scan_hi,
-    // > 0 on csr tiles: also emit the germline likelihood-screen
-    // candidate flags with this margin (see PackedTile::ll_candidates).
-    double ll_screen_margin = 0.0) {
+    // > 0 on csr tiles: also emit likelihood-screen candidate flags with
+    // this margin (see PackedTile::ll_candidates). ll_screen_kind picks
+    // the model: 1 = germline (base quality only), 2 = tumor
+    // (alignment-included: success = (1-err_q)(1-err_m)).
+    double ll_screen_margin = 0.0, int64_t ll_screen_kind = 1) {
   PassTimer timer_;
   PackedTile* t = new PackedTile();
   int64_t L_out = std::max(l_pad, n_loci);
@@ -549,19 +551,38 @@ void* guac_pack_tile(
   t->is_standard_alt.assign(L_out * K, 0);
   if (csr) t->counts.assign(L_out * K, 0);
   bool ll_screen = csr && ll_screen_margin > 0.0 && K <= 16;
+  bool ll_tumor = ll_screen && ll_screen_kind == 2;
   if (ll_screen) t->ll_candidates.assign(L_out, 0);
-  // Per-quality log terms of the factored likelihood screen: for error
-  // probability err = 10^(-q/10), x = log(2*err) (an element's m=0
-  // contribution), y = log(2-2*err) (m=2). Matches
-  // ops/kernels.py::germline_screen_math.
+  // Per-quality log terms of the factored likelihood screens: an
+  // element's m=0 genotype contribution is x = log(2*(1-pc)) and its
+  // m=2 contribution y = log(2*pc), where the success probability pc is
+  // 1 - 10^(-q/10) for the germline model (kernels.py::
+  // germline_screen_math) and (1-err_q)(1-err_m) for the tumor model
+  // (kernels.py::tumor_screen_math), indexed by quality (germline) or
+  // quality * 256 + MAPQ (tumor).
   static double ll_x[256], ll_y[256];
-  static std::once_flag ll_lut_once;
-  if (ll_screen)
+  static double llm_x[256 * 256], llm_y[256 * 256];
+  static std::once_flag ll_lut_once, llm_lut_once;
+  if (ll_screen && !ll_tumor)
     std::call_once(ll_lut_once, [] {
       for (int q = 0; q < 256; q++) {
         double err = pow(10.0, q / -10.0);
         ll_x[q] = log(2.0 * err);
         ll_y[q] = q == 0 ? -INFINITY : log(2.0 - 2.0 * err);
+      }
+    });
+  if (ll_tumor)
+    std::call_once(llm_lut_once, [] {
+      for (int q = 0; q < 256; q++) {
+        double err_q = pow(10.0, q / -10.0);
+        for (int m = 0; m < 256; m++) {
+          double err_m = pow(10.0, m / -10.0);
+          double pc = (1.0 - err_q) * (1.0 - err_m);
+          double one_minus = err_q + err_m - err_q * err_m;
+          llm_x[q * 256 + m] = log(2.0 * one_minus);
+          llm_y[q * 256 + m] =
+              pc > 0.0 ? log(2.0 * pc) : -INFINITY;
+        }
       }
     });
   t->uniq_off.assign(L_out + 1, 0);
@@ -597,6 +618,7 @@ void* guac_pack_tile(
       size_t next_m = 0;
       std::vector<int32_t> row_codes;
       std::vector<uint8_t> row_quals;  // parallel to row_codes (ll screen)
+      std::vector<uint8_t> row_mapqs;  // parallel (tumor ll screen)
       std::vector<int32_t> distinct;
       std::vector<int32_t> sorted_codes;
       double ll_c[16], ll_g[16];
@@ -640,6 +662,7 @@ void* guac_pack_tile(
         memset(nib_row, 0xFF, (size_t)((dn + 1) / 2));
         row_codes.clear();
         if (ll_screen) row_quals.clear();
+        if (ll_tumor) row_mapqs.clear();
         distinct.clear();
         uint8_t rb = t->ref_base[row];
         size_t w = 0;
@@ -658,6 +681,7 @@ void* guac_pack_tile(
             // MAPQ-filtered: holds its slot (0xF nibble), no tables.
             row_codes.push_back(-2);
             if (ll_screen) row_quals.push_back(0);
+            if (ll_tumor) row_mapqs.push_back(0);
             continue;
           }
           int64_t ei = bias + locus;
@@ -713,6 +737,11 @@ void* guac_pack_tile(
           }
           row_codes.push_back(code);
           if (ll_screen) row_quals.push_back(ev_qual[ei]);
+          if (ll_tumor) {
+            int32_t m = mapq[sel[(size_t)act_member[me]]];
+            row_mapqs.push_back(
+                (uint8_t)(m < 0 ? 0 : (m > 255 ? 255 : m)));
+          }
           if ((code & 0x70000) == 0x10000) {
             uint8_t b = (uint8_t)(code & 0xff);
             if (!seen_base[b]) {
@@ -828,9 +857,16 @@ void* guac_pack_tile(
           if (id >= 0 && id < K) {
             counts_row[id]++;
             if (ll_screen) {
-              uint8_t q = row_quals[(size_t)slot];
-              ll_c[id] += ll_x[q];
-              ll_g[id] += ll_y[q];
+              if (ll_tumor) {
+                int idx = (int)row_quals[(size_t)slot] * 256 +
+                          (int)row_mapqs[(size_t)slot];
+                ll_c[id] += llm_x[idx];
+                ll_g[id] += llm_y[idx];
+              } else {
+                uint8_t q = row_quals[(size_t)slot];
+                ll_c[id] += ll_x[q];
+                ll_g[id] += ll_y[q];
+              }
               n_ll_valid++;
             }
             int shift = (slot & 1) * 4;
