@@ -211,6 +211,7 @@ def write_variants(
     out_path: str = "",
     contig_lengths: Optional[Dict[str, int]] = None,
     max_genotypes: int = 0,
+    vcf_header_compat: str = "",
 ) -> None:
     """Write calls: stdout JSON (default), .json file, or .vcf file
     (cf. Common.scala:246-304)."""
@@ -232,7 +233,10 @@ def write_variants(
                 out.close()
     elif lower.endswith(".vcf"):
         progress(f"Writing genotypes to VCF file: {out_path}.")
-        write_vcf(records, out_path, contig_lengths)
+        write_vcf(
+            records, out_path, contig_lengths,
+            header_compat=vcf_header_compat,
+        )
     else:
         # Any other path gets ADAM-Genotype Parquet, matching the
         # reference's adamParquetSave fallthrough (Common.scala:295-303).

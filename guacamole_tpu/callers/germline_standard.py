@@ -574,6 +574,7 @@ def main(argv, _add_fns) -> int:
             args.out,
             contig_lengths=contig_lengths,
             max_genotypes=args.max_genotypes,
+            vcf_header_compat=getattr(args, "vcf_header_compat", ""),
         )
         if args.truth:
             _add_fns["print_concordance"](args, records)

@@ -936,5 +936,6 @@ def main(argv, _add_fns) -> int:
             args.out,
             contig_lengths=normal_lengths,
             max_genotypes=args.max_genotypes,
+            vcf_header_compat=getattr(args, "vcf_header_compat", ""),
         )
     return 0

@@ -123,6 +123,17 @@ def _add_output_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--fragment-length", type=int, default=10000, help=argparse.SUPPRESS
     )
+    p.add_argument(
+        "--vcf-header-compat",
+        default="",
+        choices=["", "adam016"],
+        dest="vcf_header_compat",
+        help="VCF header boilerplate: default (this framework's header) "
+        "or 'adam016' (the ADAM-0.16-era saveAsVcf header the reference "
+        "emitted, Common.scala:290-293) — record content is identical "
+        "either way; see BASELINE.md for the record-level parity "
+        "contract.",
+    )
 
 
 def _add_distributed_args(p: argparse.ArgumentParser) -> None:
@@ -482,6 +493,7 @@ def cmd_germline_threshold(argv: List[str]) -> int:
             args.out,
             contig_lengths=contig_lengths,
             max_genotypes=args.max_genotypes,
+            vcf_header_compat=getattr(args, "vcf_header_compat", ""),
         )
         if args.truth:
             _print_concordance(args, records)

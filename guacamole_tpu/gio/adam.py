@@ -267,6 +267,125 @@ def _read_to_row(read, contig_lengths: Dict[str, int]) -> dict:
     return row
 
 
+def _avro_field(name: str, avro_type) -> dict:
+    """A nullable Avro field the way bdg-formats declares them: a
+    ["null", T] union with default null."""
+    return {"name": name, "type": ["null", avro_type], "default": None}
+
+
+_AVRO_CONTIG = {
+    "type": "record",
+    "name": "Contig",
+    "namespace": "org.bdgenomics.formats.avro",
+    "fields": [
+        _avro_field("contigName", "string"),
+        _avro_field("contigLength", "long"),
+    ],
+}
+
+
+def _avro_alignment_schema() -> str:
+    """bdg-formats AlignmentRecord Avro schema (the fields this writer
+    emits), as parquet-avro embeds it. Listed in the exact order of the
+    Parquet columns below."""
+    import json as _json
+
+    fields = [
+        _avro_field("contig", _AVRO_CONTIG),
+        _avro_field("start", "long"),
+        _avro_field("mapq", "int"),
+        _avro_field("readName", "string"),
+        _avro_field("sequence", "string"),
+        _avro_field("qual", "string"),
+        _avro_field("cigar", "string"),
+        _avro_field("readPaired", "boolean"),
+        _avro_field("properPair", "boolean"),
+        _avro_field("readMapped", "boolean"),
+        _avro_field("mateMapped", "boolean"),
+        _avro_field("failedVendorQualityChecks", "boolean"),
+        _avro_field("duplicateRead", "boolean"),
+        _avro_field("readNegativeStrand", "boolean"),
+        _avro_field("mateNegativeStrand", "boolean"),
+        _avro_field(
+            "mateContig",
+            "org.bdgenomics.formats.avro.Contig",
+        ),
+        _avro_field("mateAlignmentStart", "long"),
+        _avro_field("inferredInsertSize", "long"),
+        _avro_field("mismatchingPositions", "string"),
+        _avro_field("recordGroupSample", "string"),
+        _avro_field("readNum", "int"),
+    ]
+    return _json.dumps(
+        {
+            "type": "record",
+            "name": "AlignmentRecord",
+            "namespace": "org.bdgenomics.formats.avro",
+            "fields": fields,
+        }
+    )
+
+
+def _avro_genotype_schema() -> str:
+    """bdg-formats Genotype Avro schema (the fields this writer emits)."""
+    import json as _json
+
+    variant = {
+        "type": "record",
+        "name": "Variant",
+        "namespace": "org.bdgenomics.formats.avro",
+        "fields": [
+            _avro_field(
+                "contig",
+                {
+                    "type": "record",
+                    "name": "Contig",
+                    "namespace": "org.bdgenomics.formats.avro",
+                    "fields": [_avro_field("contigName", "string")],
+                },
+            ),
+            _avro_field("start", "long"),
+            _avro_field("end", "long"),
+            _avro_field("referenceAllele", "string"),
+            _avro_field("alternateAllele", "string"),
+        ],
+    }
+    fields = [
+        _avro_field("variant", variant),
+        _avro_field("sampleId", "string"),
+        _avro_field(
+            "alleles", {"type": "array", "items": "string"}
+        ),
+        _avro_field("genotypeQuality", "int"),
+        _avro_field("readDepth", "int"),
+        _avro_field("expectedAlleleDosage", "float"),
+        _avro_field("referenceReadDepth", "int"),
+        _avro_field("alternateReadDepth", "int"),
+    ]
+    return _json.dumps(
+        {
+            "type": "record",
+            "name": "Genotype",
+            "namespace": "org.bdgenomics.formats.avro",
+            "fields": fields,
+        }
+    )
+
+
+def _with_avro_metadata(table, avro_schema_json: str):
+    """Embed the Avro schema in the Parquet key-value metadata exactly
+    where parquet-avro (and so ADAM-era AvroReadSupport) looks for it —
+    the 'parquet.avro.schema' footer key (plus the legacy 'avro.schema'
+    alias older parquet-mr reads). The byte-level Parquet container is
+    still pyarrow's, but Avro-aware readers now recognize the records
+    (cf. the reference's adamParquetSave, Common.scala:295-303)."""
+    meta = dict(table.schema.metadata or {})
+    meta[b"parquet.avro.schema"] = avro_schema_json.encode()
+    meta[b"avro.schema"] = avro_schema_json.encode()
+    meta[b"writer.model.name"] = b"avro"
+    return table.replace_schema_metadata(meta)
+
+
 def write_adam(
     path: str,
     reads: Sequence[object],
@@ -307,7 +426,9 @@ def write_adam(
             ("readNum", pa.int32()),
         ]
     )
-    table = pa.Table.from_pylist(rows, schema=schema)
+    table = _with_avro_metadata(
+        pa.Table.from_pylist(rows, schema=schema), _avro_alignment_schema()
+    )
     os.makedirs(path, exist_ok=True)
     pq.write_table(table, os.path.join(path, "part-r-00000.parquet"))
     with open(os.path.join(path, "_SUCCESS"), "w"):
@@ -369,7 +490,9 @@ def write_genotypes_parquet(records, path: str) -> None:
                 "alternateReadDepth": rec.alternate_read_depth,
             }
         )
-    table = pa.Table.from_pylist(rows, schema=schema)
+    table = _with_avro_metadata(
+        pa.Table.from_pylist(rows, schema=schema), _avro_genotype_schema()
+    )
     os.makedirs(path, exist_ok=True)
     pq.write_table(table, os.path.join(path, "part-r-00000.parquet"))
     with open(os.path.join(path, "_SUCCESS"), "w"):

@@ -57,16 +57,43 @@ VCF_HEADER_LINES = [
     '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">',
 ]
 
+# --vcf-header-compat adam016: the header boilerplate an ADAM-0.16-era
+# saveAsVcf run writes (Common.scala:290-293 — htsjdk VCFHeader via
+# hadoop-bam's KeyIgnoringVCFOutputFormat). Reconstructed from the
+# htsjdk-1.x standard header lines ADAM's converter registered, in
+# htsjdk's sorted emission order (FORMAT lines alphabetical by ID); no
+# ##source line (htsjdk adds none). Body records are identical either
+# way — the parity contract is record-level (BASELINE.md); this mode
+# exists so a future JVM-vs-here diff can be byte-level after at most
+# header inspection. Pinned by tests/golden/chrM.germline-threshold.adam016-header.txt.
+ADAM016_HEADER_LINES = [
+    "##fileformat=VCFv4.1",
+    '##FORMAT=<ID=AD,Number=.,Type=Integer,Description='
+    '"Allelic depths for the ref and alt alleles in the order listed">',
+    '##FORMAT=<ID=DP,Number=1,Type=Integer,Description='
+    '"Approximate read depth (reads with MQ=255 or with bad mates are '
+    'filtered)">',
+    '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description='
+    '"Genotype Quality">',
+    '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+]
+
 
 def write_vcf(
     records: Sequence[VcfRecord],
     path: str,
     contig_lengths: Optional[Dict[str, int]] = None,
+    header_compat: str = "",
 ) -> None:
     records = sorted(records, key=lambda r: (r.contig, r.start, r.ref, r.alt))
     sample_names = sorted({r.sample_name for r in records}) or ["default"]
+    header = (
+        ADAM016_HEADER_LINES
+        if header_compat == "adam016"
+        else VCF_HEADER_LINES
+    )
     with open(path, "w") as out:
-        for line in VCF_HEADER_LINES:
+        for line in header:
             out.write(line + "\n")
         if contig_lengths:
             for contig, length in sorted(contig_lengths.items()):

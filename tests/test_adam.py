@@ -122,3 +122,54 @@ def test_write_variants_dispatches_parquet(tmp_path):
     write_variants(records, out)
     rows = read_genotypes_parquet(out)
     assert len(rows) == 1 and rows[0]["variant"]["start"] == 10
+
+
+def test_avro_schema_metadata_embedded(adam_path, tmp_path):
+    """ADAM-era interop: the Parquet footer must carry the bdg-formats
+    Avro schema under the keys parquet-avro readers look for
+    ('parquet.avro.schema' + legacy 'avro.schema'), with the record
+    names/namespace and field list matching the Parquet columns."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    part = os.path.join(adam_path, "part-r-00000.parquet")
+    meta = pq.read_schema(part).metadata
+    assert b"parquet.avro.schema" in meta
+    assert b"avro.schema" in meta
+    assert meta[b"writer.model.name"] == b"avro"
+    schema = json.loads(meta[b"parquet.avro.schema"].decode())
+    assert schema["name"] == "AlignmentRecord"
+    assert schema["namespace"] == "org.bdgenomics.formats.avro"
+    avro_fields = [f["name"] for f in schema["fields"]]
+    parquet_fields = [f.name for f in pq.read_schema(part)]
+    assert avro_fields == parquet_fields
+    # Every field is a bdg-style nullable union with default null.
+    for f in schema["fields"]:
+        assert isinstance(f["type"], list) and f["type"][0] == "null"
+        assert f["default"] is None
+
+    # Genotype output carries its schema too.
+    from guacamole_tpu.gio.adam import write_genotypes_parquet
+
+    class _Rec:
+        contig = "chr1"
+        start = 5
+        ref = "A"
+        alt = "T"
+        sample_name = "s"
+        genotype = ("Ref", "Alt")
+        genotype_quality = 30
+        read_depth = 10
+        reference_read_depth = 6
+        alternate_read_depth = 4
+
+    out = str(tmp_path / "genotypes.adam")
+    write_genotypes_parquet([_Rec()], out)
+    gmeta = pq.read_schema(
+        os.path.join(out, "part-r-00000.parquet")
+    ).metadata
+    gschema = json.loads(gmeta[b"parquet.avro.schema"].decode())
+    assert gschema["name"] == "Genotype"
+    assert gschema["namespace"] == "org.bdgenomics.formats.avro"

@@ -437,3 +437,32 @@ def test_truth_concordance_through_cli(resources_dir, tmp_path):
     assert header_idx, f"no concordance table in output:\n{result.stdout[-800:]}"
     values = [float(v) for v in lines[header_idx[0] + 1].split("\t")]
     assert values == [1.0, 1.0, 1.0], values
+
+
+def test_germline_threshold_adam016_header_compat(resources_dir, tmp_path):
+    """--vcf-header-compat adam016 swaps ONLY the header boilerplate for
+    the reconstructed ADAM-0.16 saveAsVcf header (Common.scala:290-293);
+    body records are byte-identical to the default golden."""
+    out = str(tmp_path / "compat.vcf")
+    run_cli(
+        [
+            "germline-threshold",
+            "--reads", resource_path("chrM.sorted.bam"),
+            "--parallelism", "2",
+            "--vcf-header-compat", "adam016",
+        ],
+        out,
+    )
+    from guacamole_tpu.gio.vcf import ADAM016_HEADER_LINES
+
+    with open(out) as f:
+        lines = f.read().splitlines()
+    n = len(ADAM016_HEADER_LINES)
+    assert lines[:n] == ADAM016_HEADER_LINES
+    # htsjdk emits no ##source line; contig lines follow the boilerplate.
+    assert lines[n].startswith("##contig=")
+    with open(os.path.join(GOLDEN, "chrM.germline-threshold.vcf")) as f:
+        golden_lines = f.read().splitlines()
+    body = [l for l in lines if not l.startswith("##")]
+    golden_body = [l for l in golden_lines if not l.startswith("##")]
+    assert body == golden_body
