@@ -227,7 +227,8 @@ def run_scale_configs(tmp_root):
     hits = len(called & planted_snvs)
     r["snv_recall"] = round(hits / max(1, len(planted_snvs)), 4)
     r["snv_precision"] = round(hits / max(1, len(called)), 4)
-    if r["snv_recall"] < 0.9 or r["snv_precision"] < 0.9:
+    # Measured: recall 0.95 / precision 0.9819 (docs/MISCALL_TAXONOMY.md)
+    if r["snv_recall"] < 0.93 or r["snv_precision"] < 0.97:
         raise RuntimeError(f"scale germline-threshold gate failed: {r}")
     r["host_decode_fraction"] = round(decode_s / r["wall_s"], 3)
     out["germline-threshold"] = r
@@ -248,7 +249,12 @@ def run_scale_configs(tmp_root):
     hits = len(called & planted_snvs)
     r["snv_recall"] = round(hits / max(1, len(planted_snvs)), 4)
     r["snv_precision"] = round(hits / max(1, len(called)), 4)
-    if r["snv_recall"] < 0.9 or r["snv_precision"] < 0.9:
+    # Measured: recall 0.9693 / precision 0.9373; EVERY miscall replays
+    # identically through the exact oracle (100% oracle-agrees: 389
+    # error-flip hets past the phred-40 filter, 184 shallow het
+    # dropouts — docs/MISCALL_TAXONOMY.md), so precision is gated at the
+    # measured reference-semantics margin, not an unreachable 0.97.
+    if r["snv_recall"] < 0.95 or r["snv_precision"] < 0.92:
         raise RuntimeError(f"scale germline-standard gate failed: {r}")
     out["germline-standard"] = r
 
@@ -266,7 +272,10 @@ def run_scale_configs(tmp_root):
     germline_fp = len(called_pos & set(truth["deep1m"]["snv_pos"]))
     r["somatic_recall"] = round(hits / max(1, len(somatic_sites)), 4)
     r["germline_fp"] = germline_fp
-    if r["somatic_recall"] < 0.6:
+    # Measured: recall 1.0; 11 germline hets leak through the reference's
+    # shared-variant odds gate with the oracle in exact agreement
+    # (docs/MISCALL_TAXONOMY.md) — gate at measured + reseed margin.
+    if r["somatic_recall"] < 0.9 or germline_fp > 13:
         raise RuntimeError(f"scale somatic gate failed: {r}")
     out["somatic-standard"] = r
 

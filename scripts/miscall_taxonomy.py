@@ -37,13 +37,15 @@ SCALE_DIR = os.path.join(REPO, ".bench_scale")
 
 
 def read_vcf_snvs(path):
+    """{(contig, pos0): (ref, alt)} — 0-based, matching the simulator's
+    truth positions (VCF POS is 1-based)."""
     out = {}
     for line in open(path):
         if line.startswith("#"):
             continue
         f = line.rstrip("\n").split("\t")
         if len(f[3]) == 1 and len(f[4]) == 1:
-            out[(f[0], int(f[1]))] = (f[3], f[4])
+            out[(f[0], int(f[1]) - 1)] = (f[3], f[4])
     return out
 
 
@@ -195,11 +197,20 @@ def main():
         n_support = sum(
             1 for e in npi.elements if alt and e.allele.alt_bases == alt
         )
-        label = (
-            "oracle-agrees:normal-undersampled"
-            if agrees and n_support <= 1
-            else ("oracle-agrees:other" if agrees else "divergence")
-        )
+        if not agrees:
+            label = "divergence"
+        elif n_support <= 1:
+            label = "oracle-agrees:normal-undersampled"
+        else:
+            # The reference's gate is odds = tumorL / sum(normal variant
+            # genotype likelihoods) x 100 >= threshold
+            # (SomaticStandardCaller.scala:217-221): when BOTH samples
+            # are confidently variant (a germline het), odds ~ 1 and
+            # 100 >= 20 passes — the gate measures tumor confidence
+            # relative to normal variant mass, not subtraction. Most such
+            # sites are removed by the somatic filter stack; these leaked
+            # through it, with the oracle in exact agreement.
+            label = "oracle-agrees:shared-variant-odds-gate"
         som_tax[label] = som_tax.get(label, 0) + 1
         if len(som_examples) < 8:
             som_examples.append(
