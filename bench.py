@@ -634,6 +634,82 @@ def probe_accelerator_link():
     }
 
 
+ACCELERATOR_ENDTOEND_CODE = r"""
+import json, os, sys, time
+os.environ.pop("JAX_PLATFORMS", None)
+from guacamole_tpu.platform import configure_platform
+configure_platform()
+import jax
+dev = jax.devices()[0]
+if dev.platform == "cpu":
+    print(json.dumps({"skipped": "no accelerator attached"}))
+    raise SystemExit(0)
+from guacamole_tpu import cli
+argv = json.loads(sys.argv[1])
+golden = sys.argv[2]
+out_dir = sys.argv[3]
+with open(golden, "rb") as fh:
+    want = fh.read()
+walls = []
+for it in range(3):
+    out = os.path.join(out_dir, f"accel-{it}.vcf")
+    t0 = time.time()
+    rc = cli.main(argv + ["--out", out])
+    walls.append(time.time() - t0)
+    if rc != 0:
+        print(json.dumps({"error": f"CLI exited {rc}"}))
+        raise SystemExit(0)
+    with open(out, "rb") as fh:
+        if fh.read() != want:
+            print(json.dumps({"error": "output differs from golden"}))
+            raise SystemExit(0)
+print(json.dumps({
+    "platform": dev.platform,
+    "golden_match": True,
+    "wall_s_cold": round(walls[0], 3),
+    "wall_s": round(min(walls[1:]), 3),
+}))
+"""
+
+
+def run_accelerator_endtoend(tmp_root):
+    """The round-4 north-star point: germline-threshold chrM end-to-end
+    ON the attached accelerator (the axon TPU), golden-byte-verified.
+
+    The megabatch transfer design (auto megatiles + slabbed CSR screen
+    launches, O(1) round trips per region) makes this viable over the
+    remote tunnel; the first iteration pays compile + link warmup, the
+    reported wall is the best warm iteration. Runs in a subprocess with
+    a hard timeout so a degraded tunnel degrades to an 'error' entry,
+    never a hung bench (the host-side sections are unaffected)."""
+    spec = CONFIGS["germline-threshold-chrM"]
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", ACCELERATOR_ENDTOEND_CODE,
+             json.dumps(spec["argv"]),
+             os.path.join(GOLDEN, spec["golden"]), tmp_root],
+            capture_output=True, text=True, timeout=560, env=env,
+        )
+        line = (
+            proc.stdout.strip().splitlines()[-1]
+            if proc.stdout.strip()
+            else "{}"
+        )
+        info = json.loads(line)
+    except subprocess.TimeoutExpired:
+        return {"error": "accelerator end-to-end timed out (tunnel in a "
+                "bad window); host-side sections unaffected"}
+    except (ValueError, IndexError):
+        return {"error": f"unparsable: {proc.stderr.strip()[-300:]}"}
+    if "wall_s" in info:
+        n_reads = 38461  # chrM config read count (golden-pinned input)
+        info["n_reads"] = n_reads
+        info["reads_per_s"] = round(n_reads / info["wall_s"], 1)
+        info["golden"] = spec["golden"]
+    return info
+
+
 def main() -> int:
     from guacamole_tpu.platform import configure_platform
 
@@ -660,6 +736,13 @@ def main() -> int:
             return {"error": f"{type(exc).__name__}: {exc}"[:400]}
 
     with tempfile.TemporaryDirectory() as tmp_root:
+        # The on-accelerator end-to-end point runs FIRST (the tunnel's
+        # good windows come and go; grab one before the long host-side
+        # sections) and in a subprocess, so the rest of the bench is
+        # unaffected either way.
+        report["accelerator_endtoend"] = safe(
+            run_accelerator_endtoend, tmp_root
+        )
         for name, spec in CONFIGS.items():
             report["configs"][name] = safe(run_config, name, spec, tmp_root)
         report["baseline_measured_python"] = safe(run_oracle_baseline)
@@ -713,20 +796,45 @@ def main() -> int:
             "assumed 60 s Spark local[1] (oracle baseline run failed; "
             "see BENCH_REPORT.json)"
         )
+    accel = report.get("accelerator_endtoend") or {}
+    if isinstance(accel, dict) and accel.get("golden_match"):
+        # The north-star point: the framework ran end-to-end on its
+        # target hardware, golden-byte-verified — report THAT as the
+        # headline, with the (often faster on tiny chrM) host-fallback
+        # numbers in the sidecar. The megabatch transfer design is what
+        # makes the remote tunnel survivable: O(1) round trips/region.
+        headline_value = accel["reads_per_s"]
+        headline_wall = accel["wall_s"]
+        link = {
+            "decision": accel.get("platform", "tpu"),
+            "reason": "end-to-end golden-verified on the attached "
+            "accelerator (megabatch transfers; first real on-chip "
+            "end-to-end number). Host-side bench sections ran on the "
+            "CPU fallback per the link probe — see BENCH_REPORT.json.",
+            "probe": link,
+            "endtoend": accel,
+        }
+        if isinstance(measured, dict) and measured.get("golden_match"):
+            vs_baseline = round(measured["wall_s"] / headline_wall, 2)
+    else:
+        headline_value = headline["reads_per_s"]
+        headline_wall = headline["wall_s"]
     result = {
         "metric": "chrM germline-threshold end-to-end CLI throughput "
         "(golden-verified)",
-        "value": headline["reads_per_s"],
+        "value": headline_value,
         "unit": "reads/s/chip",
         "vs_baseline": vs_baseline,
         "detail": {
-            "wall_s": headline["wall_s"],
+            "wall_s": headline_wall,
             "n_reads": headline["n_reads"],
             "golden_match": True,
             "platform": link,
+            "cpu_fallback_wall_s": headline["wall_s"],
             "configs_in_sidecar": sorted(report["configs"])
-            + ["baseline_measured_python", "scale", "scaling_8shard_virtual",
-               "multihost_2proc", "multihost_weak_scaling"],
+            + ["accelerator_endtoend", "baseline_measured_python", "scale",
+               "scaling_8shard_virtual", "multihost_2proc",
+               "multihost_weak_scaling"],
             "baseline_status": baseline_status,
         },
     }
