@@ -507,7 +507,7 @@ def main(argv, _add_fns) -> int:
     loci_builder = resolve_loci_builder(args.loci, args.loci_from_file)
     mh = _add_fns["bootstrap_multihost"](args)
     loci_builder, empty_shard = _add_fns["multihost_shard_builder"](
-        mh, loci_builder, args.reads
+        mh, loci_builder, args.reads, args
     )
     if empty_shard:
         from guacamole_tpu.loci.lociset import parse_loci
@@ -566,7 +566,7 @@ def main(argv, _add_fns) -> int:
     )
     progress("Called %d genotypes after filtering." % len(filtered))
     records = _add_fns["multihost_finalize"](
-        mh, [called_allele_to_vcf_record(c) for c in filtered]
+        mh, [called_allele_to_vcf_record(c) for c in filtered], args
     )
     if mh.is_writer:
         write_variants(

@@ -820,7 +820,7 @@ def main(argv, _add_fns) -> int:
     loci_builder = resolve_loci_builder(args.loci, args.loci_from_file)
     mh = _add_fns["bootstrap_multihost"](args)
     loci_builder, empty_shard = _add_fns["multihost_shard_builder"](
-        mh, loci_builder, args.tumor_reads
+        mh, loci_builder, args.tumor_reads, args
     )
     if empty_shard:
         from guacamole_tpu.loci.lociset import parse_loci
@@ -928,7 +928,7 @@ def main(argv, _add_fns) -> int:
     )
     progress("Computed %d genotypes after basic filtering." % len(filtered))
     records = _add_fns["multihost_finalize"](
-        mh, [called_somatic_allele_to_vcf_record(c) for c in filtered]
+        mh, [called_somatic_allele_to_vcf_record(c) for c in filtered], args
     )
     if mh.is_writer:
         write_variants(

@@ -265,7 +265,7 @@ def main(argv, _add_fns) -> int:
     load_filters = InputFilters.empty
     if mh.active:
         loci_builder, empty_shard = _add_fns["multihost_shard_builder"](
-            mh, loci_builder, args.bams[0]
+            mh, loci_builder, args.bams[0], args
         )
         if empty_shard:
             from guacamole_tpu.loci.lociset import parse_loci

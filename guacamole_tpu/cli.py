@@ -189,6 +189,16 @@ def _add_distributed_args(p: argparse.ArgumentParser) -> None:
         help="This process's index in a multi-host run",
     )
     p.add_argument(
+        "--recover",
+        action="store_true",
+        help="Resume a failed multi-process run from its completed "
+        "per-shard results (<out>.shards/): re-execute only the missing "
+        "shards' loci in this single process, merge, and write output "
+        "identical to an undisturbed run. The task-retry analog of the "
+        "reference's Spark lineage recovery (README.md:66-88); see "
+        "docs/MULTIHOST.md.",
+    )
+    p.add_argument(
         "--timeout",
         type=float,
         default=-1.0,
@@ -245,14 +255,50 @@ def _bootstrap_multihost(args):
     )
 
 
-def _multihost_shard_builder(mh, loci_builder, reads_path):
+def _multihost_shard_builder(mh, loci_builder, reads_path, args=None):
     """Restrict the loci builder to this process's shard (each process
     then .bai-reads only its own shard's byte ranges). Returns
-    (builder-or-None, shard_is_empty)."""
-    if not mh.active:
-        return loci_builder, False
+    (builder-or-None, shard_is_empty).
+
+    With --recover (single process): load the failed run's completed
+    shard records from <out>.shards/, stash them for _multihost_finalize,
+    and restrict the builder to the MISSING shards' loci only."""
     from guacamole_tpu.gio.load import header_contig_lengths
     from guacamole_tpu.loci.lociset import parse_loci
+
+    if (
+        args is not None
+        and getattr(args, "recover", False)
+        and not mh.active
+    ):
+        from guacamole_tpu.parallel.multihost import (
+            load_shards,
+            missing_shards_expression,
+        )
+
+        out = getattr(args, "out", "")
+        count, have = load_shards(out)
+        if count == 0:
+            raise SystemExit(
+                f"guacamole: --recover found no shard files at "
+                f"{out}.shards/ — nothing to resume"
+            )
+        lengths = header_contig_lengths(reads_path)
+        loci_set = loci_builder.result(lengths)
+        expr = missing_shards_expression(loci_set, count, have)
+        args._recovered_records = [
+            r for idx in sorted(have) for r in have[idx]
+        ]
+        progress(
+            "Recovering: %d/%d shards on disk; re-executing %s"
+            % (len(have), count, expr or "(nothing — all present)")
+        )
+        if not expr:
+            return None, True
+        return parse_loci(expr), False
+
+    if not mh.active:
+        return loci_builder, False
     from guacamole_tpu.parallel.multihost import shard_loci_expression
 
     lengths = header_contig_lengths(reads_path)
@@ -275,19 +321,65 @@ def _multihost_counters(mh, **counters):
     return allreduce_counters(mh, counters)
 
 
-def _multihost_finalize(mh, records):
+def _multihost_finalize(mh, records, args=None):
     """Merge per-process VCF records over DCN; every process receives the
     full set (progress counters stay truthful everywhere) but only
-    process 0 should write (mh.is_writer)."""
-    if not mh.active:
-        return records
-    from guacamole_tpu.parallel.multihost import gather_objects
+    process 0 should write (mh.is_writer).
 
-    merged = gather_objects(mh, records)
-    merged.sort(
-        key=lambda r: (r.contig, r.start, r.sample_name, r.ref, r.alt)
+    Multi-process: each process persists its shard to <out>.shards/
+    BEFORE the merge, so completed work survives a peer's death and
+    --recover can resume (the Spark task-retry analog); shard files are
+    cleaned up once the merge succeeds. --recover (single process):
+    merge this run's recomputed records with the loaded shards."""
+    out = getattr(args, "out", "") if args is not None else ""
+    if mh.active:
+        import os as _os
+
+        from guacamole_tpu.parallel.multihost import (
+            clear_shards,
+            gather_objects,
+            persist_shard,
+        )
+
+        # Test-only fault injection: simulate this process dying mid-run
+        # (before it persists or merges anything), so the recovery test
+        # exercises a genuinely lost shard.
+        die = _os.environ.get("GUAC_TEST_EXIT_BEFORE_MERGE", "")
+        if die != "" and int(die) == mh.process_index:
+            sys.stderr.write(
+                "guacamole: GUAC_TEST_EXIT_BEFORE_MERGE fault hook — "
+                "exiting before shard persist/merge\n"
+            )
+            _os._exit(43)
+        if out:
+            persist_shard(
+                out, mh.process_index, mh.process_count, records
+            )
+        merged = gather_objects(mh, records)
+        merged.sort(
+            key=lambda r: (r.contig, r.start, r.sample_name, r.ref, r.alt)
+        )
+        # The merge delivered every shard to every process: the
+        # crash-recovery files are no longer needed.
+        if out and mh.is_writer:
+            clear_shards(out)
+        return merged
+    recovered = (
+        getattr(args, "_recovered_records", None)
+        if args is not None
+        else None
     )
-    return merged
+    if recovered is not None:
+        from guacamole_tpu.parallel.multihost import clear_shards
+
+        merged = list(records) + list(recovered)
+        merged.sort(
+            key=lambda r: (r.contig, r.start, r.sample_name, r.ref, r.alt)
+        )
+        if out:
+            clear_shards(out)
+        return merged
+    return records
 
 
 def _partition(args, loci_set, *read_lists):
@@ -427,7 +519,7 @@ def cmd_germline_threshold(argv: List[str]) -> int:
     loci_builder = resolve_loci_builder(args.loci, args.loci_from_file)
     mh = _bootstrap_multihost(args)
     loci_builder, empty_shard = _multihost_shard_builder(
-        mh, loci_builder, args.reads
+        mh, loci_builder, args.reads, args
     )
     reference = (
         ReferenceGenome.from_fasta(args.reference_fasta)
@@ -481,7 +573,9 @@ def cmd_germline_threshold(argv: List[str]) -> int:
             mesh=mesh,
         )
     progress("Called %d genotypes." % len(calls))
-    records = _multihost_finalize(mh, [c.to_vcf_record() for c in calls])
+    records = _multihost_finalize(
+        mh, [c.to_vcf_record() for c in calls], args
+    )
     if mh.active:
         progress(
             "Merged %d genotypes across %d processes."

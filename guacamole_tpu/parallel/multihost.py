@@ -230,6 +230,107 @@ def gather_objects(runtime: MultihostRuntime, items: Sequence) -> List:
     return merged
 
 
+# ---------------------------------------------------------------------------
+# Shard persistence + recovery: the task-retry analog.
+#
+# The reference inherits Spark's lineage-based task retry (SURVEY.md §5 /
+# /root/reference/README.md:66-88): a lost task re-executes from its
+# immutable input. jax.distributed cannot resurrect a dead peer inside a
+# live job (collectives require every process), so recovery is
+# relaunch-based, built on the same property Spark relies on — shards are
+# deterministic functions of immutable inputs:
+#
+#  1. every process persists its computed shard records to
+#     <out>.shards/shard-<i>-of-<n>.pkl (atomic rename) BEFORE entering
+#     the DCN merge, so completed work survives any peer's death;
+#  2. a dead peer trips the DCN watchdog — survivors exit 42 with their
+#     shard files on disk;
+#  3. `guacamole <cmd> ... --recover` (single process) loads the
+#     completed shard files, re-executes ONLY the missing shards' loci
+#     (BAM + .bai pushdown make that cheap), merges, and writes output
+#     byte-identical to an undisturbed run (pinned by
+#     tests/test_multihost_runtime.py::test_recover_after_killed_process).
+# ---------------------------------------------------------------------------
+
+
+def shard_dir(out_path: str) -> str:
+    return out_path + ".shards"
+
+
+def persist_shard(
+    out_path: str, process_index: int, process_count: int, records
+) -> None:
+    """Atomically persist this process's computed shard records."""
+    if not out_path:
+        return
+    d = shard_dir(out_path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{process_index}")
+    with open(tmp, "wb") as fh:
+        pickle.dump(
+            {
+                "process_index": process_index,
+                "process_count": process_count,
+                "records": list(records),
+            },
+            fh,
+            protocol=4,
+        )
+    os.replace(
+        tmp,
+        os.path.join(
+            d, f"shard-{process_index}-of-{process_count}.pkl"
+        ),
+    )
+
+
+def load_shards(out_path: str):
+    """(process_count, {process_index: records}) from a failed run's
+    shard directory; (0, {}) when none exists."""
+    d = shard_dir(out_path)
+    if not os.path.isdir(d):
+        return 0, {}
+    have: Dict[int, list] = {}
+    count = 0
+    for name in sorted(os.listdir(d)):
+        if not name.startswith("shard-") or not name.endswith(".pkl"):
+            continue
+        with open(os.path.join(d, name), "rb") as fh:
+            payload = pickle.load(fh)
+        count = max(count, int(payload["process_count"]))
+        have[int(payload["process_index"])] = payload["records"]
+    return count, have
+
+
+def clear_shards(out_path: str) -> None:
+    """Remove a run's shard directory (after a successful merge)."""
+    import shutil
+
+    shutil.rmtree(shard_dir(out_path), ignore_errors=True)
+
+
+def missing_shards_expression(loci_set, process_count: int, have) -> str:
+    """The loci expression covering every shard NOT in `have` (the work a
+    --recover run re-executes), '' when nothing is missing. Shard
+    boundaries are recomputed exactly as the original run's
+    shard_loci_expression did (uniform split, deterministic)."""
+    from guacamole_tpu.loci.partition import partition_loci_uniformly
+
+    partitions = partition_loci_uniformly(process_count, loci_set)
+    inverse = partitions.inverse_map()
+    parts = []
+    for idx in range(process_count):
+        if idx in have:
+            continue
+        shard = inverse.get(idx)
+        if shard is None or shard.count == 0:
+            continue
+        for contig in shard.contigs:
+            for start, end in shard.on_contig(contig).ranges:
+                parts.append(f"{contig}:{start}-{end}")
+    return ",".join(parts)
+
+
 def barrier(runtime: MultihostRuntime, name: str) -> None:
     if not runtime.active:
         return
