@@ -33,7 +33,7 @@ def variant_loci_from_reads(
     min_variant_allele_frequency: int = 0,
     print_stats: bool = False,
     sample_percent: int = 100,
-    tile_size: int = 4096,
+    tile_size: int = 0,
     mesh=None,
 ) -> List[VariantLocus]:
     """All loci with non-reference evidence and their VAFs
@@ -48,14 +48,69 @@ def variant_loci_from_reads(
     source = (
         reads if isinstance(reads, ReadSource) else ReadSource.from_reads(reads)
     )
-    names = source.sample_names()
-    sample_name = names[0] if names else "default"
-    out: List[VariantLocus] = []
     inverse = loci_partitions.inverse_map()
 
-    def tiles():
+    def task_iter():
         for task in sorted(inverse):
-            task_loci = inverse[task]
+            yield inverse[task], source
+
+    return _variant_loci_over_tasks(
+        task_iter(),
+        min_read_depth=min_read_depth,
+        min_variant_allele_frequency=min_variant_allele_frequency,
+        print_stats=print_stats,
+        sample_percent=sample_percent,
+        tile_size=tile_size,
+        mesh=mesh,
+    )
+
+
+def variant_loci_streaming(
+    path: str,
+    loci_partitions: LociMap,
+    **kwargs,
+) -> Optional[List[VariantLocus]]:
+    """Streaming variant_loci_from_reads: each partition task decodes
+    only its own BAM byte ranges (.bai pushdown) on a background thread
+    while the previous task packs/screens — the same pipeline the main
+    callers use. Identical output to load-then-scan (same task order,
+    same tiles). None when streaming is unavailable. Reads are NOT
+    filtered, matching the reference's (dead) filter variable
+    (VAFHistogram.scala:91-103)."""
+    from guacamole_tpu.callers.streaming import iter_task_sources
+    from guacamole_tpu.reads.read import InputFilters
+
+    task_sources = iter_task_sources(
+        path, InputFilters.empty, loci_partitions
+    )
+    if task_sources is None:
+        return None
+    return _variant_loci_over_tasks(
+        ((task_loci, src) for _task, task_loci, src in task_sources),
+        **kwargs,
+    )
+
+
+def _variant_loci_over_tasks(
+    task_iter,
+    min_read_depth: int = 0,
+    min_variant_allele_frequency: int = 0,
+    print_stats: bool = False,
+    sample_percent: int = 100,
+    tile_size: int = 0,
+    mesh=None,
+) -> List[VariantLocus]:
+    """Shared screen + VAF-emit loop over (task_loci, source) tasks."""
+    from guacamole_tpu.ops.dispatch import prefetch_iter
+
+    out: List[VariantLocus] = []
+    first_sample: List[str] = []
+
+    def tiles():
+        for task_loci, source in task_iter:
+            if not first_sample:
+                names = source.sample_names()
+                first_sample.append(names[0] if names else "default")
             for contig in task_loci.contigs:
                 for tile in source.iter_tiles(
                     contig,
@@ -63,7 +118,7 @@ def variant_loci_from_reads(
                     tile_size=tile_size,
                     fields="screen",
                 ):
-                    yield contig, tile
+                    yield contig, tile, source
 
     if mesh is not None:
         from guacamole_tpu.parallel.mesh import mesh_csr_screens
@@ -73,10 +128,10 @@ def variant_loci_from_reads(
         )
     else:
         screen_iter = pipelined_batched_screens(
-            tiles(), tile_of=lambda item: item[1]
+            prefetch_iter(tiles(), ahead=2), tile_of=lambda item: item[1]
         )
     min_vaf = min_variant_allele_frequency / 100.0
-    for (contig, tile), pending in screen_iter:
+    for (contig, tile, source), pending in screen_iter:
         stats = pending.result() if pending is not None else None
         if stats is None:
             continue
@@ -107,7 +162,11 @@ def variant_loci_from_reads(
             for l, v in zip(loci_emit, vaf_emit)
         )
     if print_stats and out:
-        print_vaf_stats(sample_name, out, sample_percent)
+        print_vaf_stats(
+            first_sample[0] if first_sample else "default",
+            out,
+            sample_percent,
+        )
     return out
 
 
@@ -273,36 +332,76 @@ def main(argv, _add_fns) -> int:
             loci_builder = parse_loci("")
         load_filters = InputFilters.create(overlaps_loci=loci_builder)
     mesh = _add_fns["resolve_mesh"](args)
-    sources = [
-        load_read_source(
-            bam,
-            load_filters,
-            recompute_mdtags=args.recompute_md_tags,
-            use_native=args.bam_reader_api in ("best", "native"),
-        )
-        for bam in args.bams
-    ]
-    loci_set = loci_builder.result(sources[0][1])
-    partitions = partition_loci_from_args(
-        args.parallelism,
-        args.partition_accuracy,
-        loci_set,
-        sources[0][0],
-        default_parallelism=_add_fns["default_parallelism"](),
+    vl_kwargs = dict(
+        min_read_depth=args.min_read_depth,
+        min_variant_allele_frequency=args.min_vaf,
+        print_stats=args.print_stats and not mh.active,
+        sample_percent=args.sample_percent,
+        tile_size=args.tile_size,
+        mesh=mesh,
     )
-    all_variant_loci = [
-        variant_loci_from_reads(
-            src,
-            partitions,
-            min_read_depth=args.min_read_depth,
-            min_variant_allele_frequency=args.min_vaf,
-            print_stats=args.print_stats and not mh.active,
-            sample_percent=args.sample_percent,
-            tile_size=args.tile_size,
-            mesh=mesh,
+    # Streaming path: partition once from the first BAM's index (the
+    # reference also partitions once from the first ReadSet,
+    # VAFHistogram.scala:112-116), then each task decodes only its own
+    # byte ranges with the next task's IO on a background thread — the
+    # same pipeline the main callers use.
+    all_variant_loci = None
+    sample_names: List[str] = []
+    if (
+        not args.recompute_md_tags
+        and args.bam_reader_api in ("best", "native")
+        and "streaming_partitions" in _add_fns
+        and all(b.lower().endswith(".bam") for b in args.bams)
+    ):
+        from guacamole_tpu.gio.load import header_contig_lengths
+
+        try:
+            lengths = header_contig_lengths(args.bams[0])
+            loci_set = loci_builder.result(lengths)
+            partitions = _add_fns["streaming_partitions"](
+                args, loci_set, args.bams[0]
+            )
+        except Exception:
+            partitions = None
+        if partitions is not None:
+            from guacamole_tpu.gio.bam import BamFile
+
+            all_variant_loci = []
+            for bam in args.bams:
+                res = variant_loci_streaming(bam, partitions, **vl_kwargs)
+                if res is None:
+                    all_variant_loci = None
+                    sample_names = []
+                    break
+                all_variant_loci.append(res)
+                rg = BamFile(bam).header.read_group_samples
+                samples = sorted(set(rg.values()))
+                sample_names.append(samples[0] if samples else "default")
+    if all_variant_loci is None:
+        sources = [
+            load_read_source(
+                bam,
+                load_filters,
+                recompute_mdtags=args.recompute_md_tags,
+                use_native=args.bam_reader_api in ("best", "native"),
+            )
+            for bam in args.bams
+        ]
+        loci_set = loci_builder.result(sources[0][1])
+        partitions = partition_loci_from_args(
+            args.parallelism,
+            args.partition_accuracy,
+            loci_set,
+            sources[0][0],
+            default_parallelism=_add_fns["default_parallelism"](),
         )
-        for src, _ in sources
-    ]
+        all_variant_loci = [
+            variant_loci_from_reads(src, partitions, **vl_kwargs)
+            for src, _ in sources
+        ]
+        sample_names = [
+            (src.sample_names() or ["default"])[0] for src, _ in sources
+        ]
     if mh.active:
         from guacamole_tpu.parallel.multihost import gather_objects
 
@@ -318,21 +417,18 @@ def main(argv, _add_fns) -> int:
             for b in range(len(args.bams))
         ]
         if args.print_stats and mh.is_writer:
-            for (src, _), variant_loci in zip(sources, all_variant_loci):
+            for sample, variant_loci in zip(sample_names, all_variant_loci):
                 if variant_loci:
-                    names = src.sample_names()
                     print_vaf_stats(
-                        names[0] if names else "default",
-                        variant_loci,
-                        args.sample_percent,
+                        sample, variant_loci, args.sample_percent
                     )
         if not mh.is_writer:
             return 0
     bin_size = 100 // args.bins
     lines: List[str] = []
-    for bam, (src, _), variant_loci in zip(args.bams, sources, all_variant_loci):
-        names = src.sample_names()
-        sample = names[0] if names else "default"
+    for bam, sample, variant_loci in zip(
+        args.bams, sample_names, all_variant_loci
+    ):
         histogram = generate_vaf_histogram(variant_loci, args.bins)
         for bin_start in sorted(histogram):
             lines.append(
