@@ -562,6 +562,73 @@ def run_multihost_weak_scaling(tmp_root):
     }
 
 
+MEM_WRAPPER_CODE = r"""
+import json, resource, sys, time
+from guacamole_tpu.platform import configure_platform
+configure_platform()
+from guacamole_tpu import cli
+t0 = time.time()
+rc = cli.main(json.loads(sys.argv[1]))
+print(json.dumps({
+    "rc": rc,
+    "wall_s": round(time.time() - t0, 2),
+    "maxrss_mb": round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+    ),
+}))
+"""
+
+SCALE10_DIR = os.path.join(REPO, ".bench_scale10")
+
+
+def run_memory_scaling(tmp_root):
+    """Peak-RSS evidence for the O(tile)-memory claim (round-4 VERDICT
+    item 8): germline-threshold at 2.37M reads and at a ~10x fixture
+    (23.7M reads), on the streaming path (per-task .bai pushdown) vs the
+    whole-file load path. Streaming memory must stay FLAT across the
+    10x input growth (gate: 10x streaming RSS <= 2x the 1x streaming
+    RSS); the whole-file path is the comparator that scales with input.
+    Reference analog: range-compressed loci rationale, LociMap.scala:28-36
+    — memory proportional to working state, not input span."""
+    from guacamole_tpu.utils.simulate import make_scale_fixture
+
+    manifest1 = make_scale_fixture(SCALE_DIR)
+    manifest10 = make_scale_fixture(SCALE10_DIR, scale=10.0)
+    runs = {
+        "streaming_1x": (SCALE_DIR, manifest1, {}),
+        "wholefile_1x": (SCALE_DIR, manifest1, {"GUAC_NO_STREAMING": "1"}),
+        "streaming_10x": (SCALE10_DIR, manifest10, {}),
+    }
+    out = {}
+    for tag, (d, manifest, extra_env) in runs.items():
+        bam = os.path.join(d, manifest["files"]["germline_bam"])
+        argv = ["germline-threshold", "--reads", bam, "--threshold", "25",
+                "--out", os.path.join(tmp_root, f"mem-{tag}.vcf")]
+        proc = subprocess.run(
+            [sys.executable, "-c", MEM_WRAPPER_CODE, json.dumps(argv)],
+            capture_output=True, text=True, timeout=1800,
+            env=dict(os.environ, JAX_PLATFORMS="cpu", **extra_env),
+        )
+        try:
+            info = json.loads(proc.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            info = {"error": proc.stderr.strip()[-300:]}
+        if info.get("rc") not in (None, 0):
+            info = {"error": f"CLI exited {info['rc']}"}
+        info["n_reads"] = manifest["counts"]["germline"]
+        out[tag] = info
+    s1 = out["streaming_1x"].get("maxrss_mb")
+    s10 = out["streaming_10x"].get("maxrss_mb")
+    if s1 and s10:
+        out["streaming_rss_growth_10x_input"] = round(s10 / s1, 2)
+        if s10 > 2.0 * s1:
+            raise RuntimeError(
+                f"streaming peak RSS grew {s10 / s1:.2f}x on a 10x input "
+                f"({s1} -> {s10} MB) — the O(tile) memory claim regressed"
+            )
+    return out
+
+
 LINK_PROBE_CODE = r"""
 import json, time, numpy as np
 import jax, jax.numpy as jnp
@@ -754,6 +821,7 @@ def main() -> int:
                         meas["wall_s"] / cfg["wall_s"], 1
                     )
         report["scale"] = safe(run_scale_configs, tmp_root)
+        report["memory_scaling"] = safe(run_memory_scaling, tmp_root)
         report["scaling_8shard_virtual"] = safe(run_scaling_subprocess)
         report["multihost_2proc"] = safe(run_multihost_2proc, tmp_root)
         report["multihost_weak_scaling"] = safe(
@@ -833,8 +901,8 @@ def main() -> int:
             "cpu_fallback_wall_s": headline["wall_s"],
             "configs_in_sidecar": sorted(report["configs"])
             + ["accelerator_endtoend", "baseline_measured_python", "scale",
-               "scaling_8shard_virtual", "multihost_2proc",
-               "multihost_weak_scaling"],
+               "memory_scaling", "scaling_8shard_virtual",
+               "multihost_2proc", "multihost_weak_scaling"],
             "baseline_status": baseline_status,
         },
     }

@@ -417,8 +417,11 @@ def _streaming_partitions(args, loci_set, path):
             size = _os.stat(path).st_size
         except OSError:
             size = 0
+        # ~16 MB compressed per task keeps per-task working memory flat
+        # as inputs grow (the O(task) memory claim, gated by the bench's
+        # memory_scaling section).
         tasks = max(
-            _default_parallelism(), min(8, max(1, size // (16 << 20)))
+            _default_parallelism(), min(64, max(1, size // (16 << 20)))
         )
     if args.partition_accuracy == 0:
         return partition_loci_uniformly(tasks, loci_set)
@@ -433,7 +436,13 @@ def _streaming_partitions(args, loci_set, path):
 
 
 def _streaming_eligible(args) -> bool:
-    """The read-loading configurations the streaming path supports."""
+    """The read-loading configurations the streaming path supports.
+    GUAC_NO_STREAMING=1 forces the whole-file load path (the memory-
+    scaling bench's comparator; also useful for debugging)."""
+    import os as _os
+
+    if _os.environ.get("GUAC_NO_STREAMING", "") == "1":
+        return False
     return (
         not args.no_sequence_dictionary
         and not args.recompute_md_tags
