@@ -440,10 +440,16 @@ def run_multihost_weak_scaling(tmp_root):
 
     from guacamole_tpu.utils.simulate import make_scale_fixture
 
-    manifest = make_scale_fixture(SCALE_DIR)
-    bam = os.path.join(SCALE_DIR, manifest["files"]["germline_bam"])
+    # The 10x fixture's 80 Mbp shallow contig: per-process compute (~26 s
+    # of germline-standard) must dominate fixed startup for the division
+    # of two walls to measure scaling rather than spin-up (the round-3
+    # 4 Mbp workload stopped qualifying once the caller got 4x faster).
+    manifest = make_scale_fixture(SCALE10_DIR, scale=10.0)
+    bam = os.path.join(SCALE10_DIR, manifest["files"]["germline_bam"])
     shallow_len = manifest["contigs"]["shallow8m"]
-    half = shallow_len // 2
+    # Per-process span: 20 Mbp @ 12x (~2.4M reads, ~25 s of pinned
+    # germline-standard — compute >> startup, bench-budget friendly).
+    half = shallow_len // 4
     cores = sorted(os.sched_getaffinity(0))
     if len(cores) < 2:
         return {"error": "need >= 2 cores for the weak-scaling point"}
@@ -498,7 +504,7 @@ def run_multihost_weak_scaling(tmp_root):
         procs = [
             spawn(
                 base + [
-                    "--loci", f"shallow8m:0-{shallow_len}",
+                    "--loci", f"shallow8m:0-{2 * half}",
                     "--coordinator", f"127.0.0.1:{port}",
                     "--num-processes", "2", "--process-id", str(pid),
                     "--out", two_out,
@@ -516,12 +522,14 @@ def run_multihost_weak_scaling(tmp_root):
     # correctness: the merged 2-process output over the full contig must
     # equal an (unpinned) single-process full-contig run
     full_out = os.path.join(tmp_root, "ws-full.vcf")
+    t0 = time.time()
     full = subprocess.run(
         [sys.executable, "-m", "guacamole_tpu.cli"] + base
-        + ["--loci", f"shallow8m:0-{shallow_len}", "--out", full_out],
+        + ["--loci", f"shallow8m:0-{2 * half}", "--out", full_out],
         env=dict(os.environ, JAX_PLATFORMS="cpu"),
         capture_output=True, timeout=1800,
     )
+    full_wall = time.time() - t0
     identical = None
     if full.returncode == 0:
         with open(two_out, "rb") as a, open(full_out, "rb") as b:
@@ -545,12 +553,23 @@ def run_multihost_weak_scaling(tmp_root):
         return {k: round(v, 2) for k, v in out.items()}
 
     return {
-        "per_process_workload": "4 Mbp shallow8m @ 12x "
-        f"(~{manifest['counts']['germline'] // 5} reads), BAM shard "
-        "pushdown, germline-standard",
+        "per_process_workload": f"{half // 10**6} Mbp shallow contig "
+        "@ 12x (~2.4M reads), BAM shard pushdown, germline-standard",
         "single_process_wall_s": round(single_wall, 2),
         "two_process_wall_s": round(two_wall, 2),
         "weak_scaling_efficiency": round(single_wall / two_wall, 3),
+        # Isolation comparator: ONE unpinned process doing the SAME total
+        # work on the same two cores (no DCN, no process split). The
+        # ratio two_process_wall / this separates framework+DCN overhead
+        # from plain two-streams-sharing-DRAM contention (on one physical
+        # host both pinned processes contend for the same memory
+        # bandwidth, which separate hosts would not). < 1 means the
+        # process split is FASTER than single-process internal threading
+        # on the same silicon.
+        "same_work_one_process_two_cores_wall_s": round(full_wall, 2),
+        "two_process_wall_over_same_work_wall": (
+            round(two_wall / full_wall, 3) if full.returncode == 0 else None
+        ),
         "outputs_identical_to_full_single_run": identical,
         "phase_breakdown": {
             "single": phases("single"),
