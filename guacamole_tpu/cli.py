@@ -417,11 +417,13 @@ def _streaming_partitions(args, loci_set, path):
             size = _os.stat(path).st_size
         except OSError:
             size = 0
-        # ~16 MB compressed per task keeps per-task working memory flat
-        # as inputs grow (the O(task) memory claim, gated by the bench's
-        # memory_scaling section).
+        # ~8 MB compressed per task: enough tasks that the per-task
+        # decode (background thread) fully overlaps the previous task's
+        # pack/classify (measured best at 2.37M-read scale), and
+        # per-task working memory stays flat as inputs grow (the O(task)
+        # memory claim, gated by the bench's memory_scaling section).
         tasks = max(
-            _default_parallelism(), min(64, max(1, size // (16 << 20)))
+            _default_parallelism(), min(64, max(1, size // (8 << 20)))
         )
     if args.partition_accuracy == 0:
         return partition_loci_uniformly(tasks, loci_set)

@@ -225,7 +225,9 @@ def _pack_tile_native(
         if a.size == 0 and L * D > 0:
             return None
         a = a.reshape(L, D)
-        return a.astype(bool) if as_bool else a
+        # Native uint8 0/1 flags reinterpret as bool without copying
+        # (astype would copy megatile-sized arrays).
+        return a.view(np.bool_) if as_bool else a
 
     return LocusTile(
         contig=contig_name,
@@ -241,10 +243,10 @@ def _pack_tile_native(
         read_index=grid("read_index"),
         valid=grid("valid", as_bool=True),
         alleles=alleles,
-        is_variant=out["is_variant"].reshape(L, K).astype(bool),
-        is_standard_alt=out["is_standard_alt"].reshape(L, K).astype(bool),
+        is_variant=out["is_variant"].reshape(L, K).view(np.bool_),
+        is_standard_alt=out["is_standard_alt"].reshape(L, K).view(np.bool_),
         num_alleles=out["num_alleles"],
-        overflow=out["overflow"].astype(bool),
+        overflow=out["overflow"].view(np.bool_),
         packed_nib=(
             out["packed_nib"].reshape(L, (D + 1) // 2)
             if out["packed_nib"].size
@@ -259,7 +261,7 @@ def _pack_tile_native(
             else None
         ),
         ll_candidates=(
-            out["ll_candidates"].astype(bool)
+            out["ll_candidates"].view(np.bool_)
             if out.get("ll_candidates") is not None
             and out["ll_candidates"].size
             else None
