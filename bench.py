@@ -734,11 +734,12 @@ from guacamole_tpu import cli
 argv = json.loads(sys.argv[1])
 golden = sys.argv[2]
 out_dir = sys.argv[3]
+tag = sys.argv[4]
 with open(golden, "rb") as fh:
     want = fh.read()
 walls = []
 for it in range(3):
-    out = os.path.join(out_dir, f"accel-{it}.vcf")
+    out = os.path.join(out_dir, f"accel-{tag}-{it}.vcf")
     t0 = time.time()
     rc = cli.main(argv + ["--out", out])
     walls.append(time.time() - t0)
@@ -758,23 +759,14 @@ print(json.dumps({
 """
 
 
-def run_accelerator_endtoend(tmp_root):
-    """The round-4 north-star point: germline-threshold chrM end-to-end
-    ON the attached accelerator (the axon TPU), golden-byte-verified.
-
-    The megabatch transfer design (auto megatiles + slabbed CSR screen
-    launches, O(1) round trips per region) makes this viable over the
-    remote tunnel; the first iteration pays compile + link warmup, the
-    reported wall is the best warm iteration. Runs in a subprocess with
-    a hard timeout so a degraded tunnel degrades to an 'error' entry,
-    never a hung bench (the host-side sections are unaffected)."""
-    spec = CONFIGS["germline-threshold-chrM"]
+def _accelerator_one_config(name, tmp_root):
+    spec = CONFIGS[name]
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     try:
         proc = subprocess.run(
             [sys.executable, "-c", ACCELERATOR_ENDTOEND_CODE,
              json.dumps(spec["argv"]),
-             os.path.join(GOLDEN, spec["golden"]), tmp_root],
+             os.path.join(GOLDEN, spec["golden"]), tmp_root, name],
             capture_output=True, text=True, timeout=560, env=env,
         )
         line = (
@@ -789,11 +781,52 @@ def run_accelerator_endtoend(tmp_root):
     except (ValueError, IndexError):
         return {"error": f"unparsable: {proc.stderr.strip()[-300:]}"}
     if "wall_s" in info:
-        n_reads = 38461  # chrM config read count (golden-pinned input)
-        info["n_reads"] = n_reads
-        info["reads_per_s"] = round(n_reads / info["wall_s"], 1)
         info["golden"] = spec["golden"]
     return info
+
+
+# Read counts of the golden-pinned inputs (count_reads would need a
+# second load; these are fixed fixtures).
+_CONFIG_READS = {
+    "germline-threshold-chrM": 38461,
+    "germline-standard-chrM": 38461,
+    "somatic-standard-chr20": 1947,
+}
+
+
+def run_accelerator_endtoend(tmp_root):
+    """The round-4 north-star points: the golden configs end-to-end ON
+    the attached accelerator (the axon TPU), golden-byte-verified —
+    germline-threshold first (the headline), then the likelihood callers
+    (whose device genotype-likelihood screens this also validates on
+    real hardware).
+
+    The megabatch transfer design (auto megatiles + slabbed screen
+    launches, O(1) round trips per region) makes this viable over the
+    remote tunnel; each config's first iteration pays compile + link
+    warmup, the reported wall is the best warm iteration. Every config
+    runs in its own subprocess with a hard timeout so a degraded tunnel
+    degrades to an 'error' entry, never a hung bench; if the headline
+    config fails, the rest are skipped (the link is down)."""
+    out = {}
+    for name in (
+        "germline-threshold-chrM",
+        "germline-standard-chrM",
+        "somatic-standard-chr20",
+    ):
+        info = _accelerator_one_config(name, tmp_root)
+        if "wall_s" in info:
+            info["n_reads"] = _CONFIG_READS[name]
+            info["reads_per_s"] = round(
+                _CONFIG_READS[name] / info["wall_s"], 1
+            )
+        out[name] = info
+        if name == "germline-threshold-chrM" and "wall_s" not in info:
+            out["skipped_rest"] = "headline config failed; link down"
+            break
+    # Backwards-compatible headline fields at the top level.
+    head = out.get("germline-threshold-chrM", {})
+    return {**head, "configs": out}
 
 
 def main() -> int:
