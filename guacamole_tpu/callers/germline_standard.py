@@ -161,6 +161,12 @@ def calls_from_tile_rows(
         masks, mapq[e_rpos], quals[e_rpos], mismatches_all[e_li]
     )
 
+    # Depth counts batched across all emits (4 x n_emit tiny .sum calls
+    # cost ~1 s at 117k emitting rows).
+    read_depths = e_valid.sum(axis=1)
+    allele_depths = masks.sum(axis=1)
+    forward_depths = (e_valid & e_strand).sum(axis=1)
+    allele_forward_depths = (masks & e_strand).sum(axis=1)
     calls: List[CalledAllele] = []
     for j, (rpos, li, probability, allele, dense_id) in enumerate(emit):
         calls.append(
@@ -171,10 +177,10 @@ def calls_from_tile_rows(
                 allele=allele,
                 evidence=AlleleEvidence(
                     likelihood=probability,
-                    read_depth=int(e_valid[j].sum()),
-                    allele_read_depth=int(masks[j].sum()),
-                    forward_depth=int((e_valid[j] & e_strand[j]).sum()),
-                    allele_forward_depth=int((masks[j] & e_strand[j]).sum()),
+                    read_depth=int(read_depths[j]),
+                    allele_read_depth=int(allele_depths[j]),
+                    forward_depth=int(forward_depths[j]),
+                    allele_forward_depth=int(allele_forward_depths[j]),
                     mean_mapping_quality=float(stats[0][j]),
                     median_mapping_quality=float(stats[1][j]),
                     mean_base_quality=float(stats[2][j]),

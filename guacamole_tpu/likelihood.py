@@ -390,20 +390,37 @@ def genotype_probs_for_rows(
         acc[lo:hi] = np.cumsum(terms[:, ::-1], axis=1)[:, -1]
     lls = (acc + math.log(1.0)) - log2 * depths[pair_row]
 
+    # Sequential per-row normalization in enumeration order (oracle
+    # parity). The native form runs the identical scalar math (same libm
+    # exp/log Python's math module calls, same order) over all rows in
+    # one pass; the Python loop is the fallback and the definition.
+    from guacamole_tpu.runtime.native import normalize_ll_rows_native
+
+    row_off = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_off[1:])
+    lls = np.ascontiguousarray(lls, dtype=np.float64)
+    normalized = normalize_ll_rows_native(lls, row_off)
+
     off = 0
     for r in range(R):
         n = int(counts[r])
         if not n:
             continue
         row_lls = lls[off : off + n]
-        # Sequential normalization in enumeration order (oracle parity).
-        row_lls = row_lls - _normalization_log_total(row_lls)
+        if not normalized:
+            row_lls = row_lls - _normalization_log_total(row_lls)
         a1s, a2s = row_patterns[r]
         pairs = [(int(a1s[i]), int(a2s[i])) for i in range(n)]
         if log_space:
-            results[r] = (pairs, [float(ll) for ll in row_lls])
+            # Already an f64 ndarray slice; consumers argmax/index it
+            # (a per-row Python float list cost ~1 s of re-wrapping at
+            # 137k candidate rows).
+            results[r] = (pairs, row_lls)
         else:
-            results[r] = (pairs, [math.exp(float(ll)) for ll in row_lls])
+            results[r] = (
+                pairs,
+                np.asarray([math.exp(float(ll)) for ll in row_lls]),
+            )
         off += n
     return results
 

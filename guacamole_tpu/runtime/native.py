@@ -112,6 +112,12 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.guac_tile_D.restype = ctypes.c_int64
     lib.guac_tile_D.argtypes = [ctypes.c_void_p]
 
+    if hasattr(lib, "guac_normalize_ll_rows"):
+        lib.guac_normalize_ll_rows.restype = None
+        lib.guac_normalize_ll_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64
+        ]
+
     if hasattr(lib, "guac_counts_screen"):
         lib.guac_counts_screen.restype = None
         lib.guac_counts_screen.argtypes = [
@@ -266,6 +272,22 @@ def pack_tile_native(
     out["L"] = lib.guac_tile_L(handle)
     out["D"] = lib.guac_tile_D(handle)
     return out
+
+
+def normalize_ll_rows_native(
+    lls: np.ndarray, row_off: np.ndarray
+) -> bool:
+    """In-place per-row normalization of flat genotype log-likelihoods
+    (the native twin of likelihood._normalization_log_total + subtract —
+    bit-identical: same libm calls, same sequential order). Returns False
+    when the library/entry point is unavailable (caller falls back)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "guac_normalize_ll_rows"):
+        return False
+    assert lls.dtype == np.float64 and lls.flags.c_contiguous
+    row_off = np.ascontiguousarray(row_off, dtype=np.int64)
+    lib.guac_normalize_ll_rows(_ptr(lls), _ptr(row_off), len(row_off) - 1)
+    return True
 
 
 def counts_screen_native(

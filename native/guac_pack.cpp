@@ -1327,6 +1327,38 @@ void guac_free_covered(void* handle) {
   delete static_cast<CoveredLoci*>(handle);
 }
 
+// In-place per-row normalization of genotype log-likelihoods — the
+// native twin of likelihood.py::_normalization_log_total + subtraction
+// (called per candidate row in the exact confirm; the Python loop costs
+// ~8 us x 137k rows at scale). Bit-identical by construction: same libm
+// exp/log calls (Python's math.exp/math.log are these), same sequential
+// accumulation order, same -700 precision floor and logsumexp fallback
+// (DEVIATIONS.md #11).
+void guac_normalize_ll_rows(double* lls, const int64_t* row_off,
+                            int64_t n_rows) {
+  const double kFloor = -700.0;
+  for (int64_t r = 0; r < n_rows; r++) {
+    int64_t lo = row_off[r], hi = row_off[r + 1];
+    if (hi <= lo) continue;
+    double m = -INFINITY;
+    for (int64_t i = lo; i < hi; i++)
+      if (lls[i] > m) m = lls[i];
+    double norm;
+    if (m > kFloor) {
+      double total = 0.0;
+      for (int64_t i = lo; i < hi; i++) total += exp(lls[i]);
+      norm = total > 0.0 ? log(total) : -INFINITY;
+    } else if (!std::isfinite(m)) {
+      norm = -INFINITY;
+    } else {
+      double shifted = 0.0;
+      for (int64_t i = lo; i < hi; i++) shifted += exp(lls[i] - m);
+      norm = m + log(shifted);
+    }
+    for (int64_t i = lo; i < hi; i++) lls[i] -= norm;
+  }
+}
+
 // The candidate rule over [L, K] counts (numpy twin: ops/dispatch.py::
 // host_counts_candidates; device twin: ops/kernels.py::counts_candidates).
 // threshold < 0 means "no threshold" (any variant allele with evidence).
