@@ -1084,7 +1084,13 @@ def pipelined_batched_screens(
                 groups.setdefault(key, []).append(item)
                 if len(groups[key]) >= batch:
                     flush(key)
-        while len(in_flight) > max_in_flight:
+        # Megatiles shrink the in-flight window: each queued item pins
+        # its tile's native buffers AND (via the item tuple) its task's
+        # columnar chunk, so eight ~1M-row tiles in flight held ~4 tasks'
+        # full decode chunks alive at once (a monotone multi-GB RSS ramp
+        # at scale). Two in flight still overlaps pack with classify.
+        window = 2 if tile.L >= (1 << 17) else max_in_flight
+        while len(in_flight) > window:
             yield in_flight.popleft()
     for key in list(groups):
         flush(key)
