@@ -347,6 +347,50 @@ def run_scale_configs(tmp_root):
     if n_rows < n_sites:  # every covered site emits >= 1 allele row
         raise RuntimeError(f"scale variant-support produced {r}")
     out["variant-support"] = r
+
+    # 6. structural-variant on the planted-deletion paired fixture
+    # (400k paired records, two het deletions of 6/9 kb): every planted
+    # deletion must be recovered by exactly one call within 200 bp.
+    from guacamole_tpu.utils.simulate import make_sv_fixture
+
+    sv_manifest = make_sv_fixture(SCALE_DIR)
+    sv_sam = os.path.join(SCALE_DIR, sv_manifest["files"]["sv_sam"])
+    sv_out = os.path.join(tmp_root, "scale-sv.txt")
+    t0 = _time.time()
+    rc = cli.main(
+        ["structural-variant", "--reads", sv_sam, "--output", sv_out]
+    )
+    sv_wall = _time.time() - t0
+    if rc != 0:
+        raise RuntimeError(f"scale structural-variant: CLI exited {rc}")
+    import re as _re
+
+    with open(sv_out) as fh:
+        called = [
+            (int(a), int(b))
+            for _c, a, b in _re.findall(
+                r"GenomeRange\((\w+),(\d+),(\d+)\)", fh.read()
+            )
+        ]
+    matched = 0
+    for lo, hi in sv_manifest["truth_deletions"]:
+        hits = [
+            c for c in called if abs(c[0] - lo) <= 200 and abs(c[1] - hi) <= 200
+        ]
+        matched += 1 if len(hits) == 1 else 0
+    r = {
+        "wall_s": round(sv_wall, 2),
+        "n_records": sv_manifest["counts"]["records"],
+        "records_per_s": round(
+            sv_manifest["counts"]["records"] / sv_wall, 1
+        ),
+        "planted_deletions": len(sv_manifest["truth_deletions"]),
+        "recovered_within_200bp": matched,
+        "calls": len(called),
+    }
+    if matched != len(sv_manifest["truth_deletions"]) or len(called) > matched + 1:
+        raise RuntimeError(f"scale structural-variant gate failed: {r}")
+    out["structural-variant"] = r
     return out
 
 

@@ -588,3 +588,134 @@ def make_scale_fixture(
     with open(manifest_path, "w") as fh:
         json.dump(manifest, fh)
     return manifest
+
+
+def make_sv_fixture(
+    out_dir: str,
+    length: int = 2_000_000,
+    depth: int = 20,
+    mean_insert: int = 350,
+    sd_insert: int = 40,
+    deletions: Tuple[Tuple[int, int], ...] = ((500_000, 6_000),
+                                              (1_300_000, 9_000)),
+    seed: int = 2027,
+) -> dict:
+    """Paired-end fixture with planted large HETEROZYGOUS deletions for
+    the structural-variant caller (idempotent, cached by manifest key).
+
+    Fragments sample from two haplotypes: the reference and an ALT with
+    the deletions excised. An alt fragment whose insert window straddles
+    an excised interval maps back to reference coordinates with its
+    insert inflated by the deletion length — exactly the discordant-pair
+    signal the caller's median+5*MAD threshold detects
+    (cf. /root/reference .../StructuralVariantCaller.scala:102-129).
+    Reads never cross breakpoints (such fragments are dropped), so every
+    read aligns exactly (MD = read length); pairs carry proper RNEXT/
+    PNEXT/TLEN. Returns the manifest with the planted truth intervals.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "sv_manifest.json")
+    key = {"version": 1, "length": length, "depth": depth,
+           "mean_insert": mean_insert, "sd_insert": sd_insert,
+           "deletions": [list(d) for d in deletions], "seed": seed,
+           "read_len": READ_LEN}
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as fh:
+                manifest = json.load(fh)
+            if manifest.get("key") == key and os.path.exists(
+                os.path.join(out_dir, manifest["files"]["sv_sam"])
+            ):
+                return manifest
+        except (ValueError, KeyError):
+            pass
+
+    rng = np.random.default_rng(seed)
+    ref = simulate_reference(rng, length)
+    dels = sorted(deletions)
+    # alt -> ref coordinate offset: positions past each excised interval
+    # shift right by the removed length.
+    del_starts_ref = np.asarray([d[0] for d in dels], dtype=np.int64)
+    del_lens = np.asarray([d[1] for d in dels], dtype=np.int64)
+    # alt coordinates of each deletion's breakpoint
+    removed_before = np.concatenate([[0], np.cumsum(del_lens)[:-1]])
+    bp_alt = del_starts_ref - removed_before  # [n_dels] alt breakpoints
+    alt_len = length - int(del_lens.sum())
+
+    def alt_to_ref(pos_alt: np.ndarray) -> np.ndarray:
+        shift = np.zeros(len(pos_alt), dtype=np.int64)
+        for bp, rl in zip(bp_alt, np.cumsum(del_lens)):
+            shift = np.where(pos_alt >= bp, rl, shift)
+        return pos_alt + shift
+
+    n_frags = int(depth * length / (2 * READ_LEN))
+    hap = rng.integers(0, 2, size=n_frags)  # 0 = ref, 1 = alt
+    inserts = np.maximum(
+        rng.normal(mean_insert, sd_insert, size=n_frags).astype(np.int64),
+        2 * READ_LEN + 10,
+    )
+    hap_len = np.where(hap == 0, length, alt_len)
+    starts = (rng.random(n_frags) * (hap_len - inserts - 1)).astype(np.int64)
+    r1 = starts
+    r2 = inserts + starts - READ_LEN  # mate start (same haplotype coords)
+    # Drop fragments whose READS cross an alt breakpoint (split reads).
+    keep = np.ones(n_frags, dtype=bool)
+    alt_mask = hap == 1
+    for bp in bp_alt:
+        for s in (r1, r2):
+            keep &= ~(alt_mask & (s < bp) & (s + READ_LEN > bp))
+    r1, r2, hap = r1[keep], r2[keep], hap[keep]
+    # Map read starts to reference coordinates.
+    r1_ref = np.where(hap == 1, alt_to_ref(r1), r1)
+    r2_ref = np.where(hap == 1, alt_to_ref(r2), r2)
+    tlen = r2_ref + READ_LEN - r1_ref  # leftmost-to-rightmost span
+
+    contig = "svcontig"
+    qual = QUAL_CHAR * READ_LEN
+    n = len(r1_ref)
+    # Emit both mates, coordinate-sorted.
+    rec_start = np.concatenate([r1_ref, r2_ref])
+    rec_mate = np.concatenate([r2_ref, r1_ref])
+    rec_tlen = np.concatenate([tlen, -tlen])
+    rec_flag = np.concatenate([
+        np.full(n, 1 | 2 | 32 | 64, dtype=np.int64),   # first, mate rev
+        np.full(n, 1 | 2 | 16 | 128, dtype=np.int64),  # second, reverse
+    ])
+    rec_name = np.concatenate(
+        [np.arange(n, dtype=np.int64), np.arange(n, dtype=np.int64)]
+    )
+    order = np.argsort(rec_start, kind="stable")
+    sam_name = "sv.pairs.sam"
+    with open(os.path.join(out_dir, sam_name), "w") as out:
+        out.write("@HD\tVN:1.5\tSO:coordinate\n")
+        out.write(f"@SQ\tSN:{contig}\tLN:{length}\n")
+        out.write("@RG\tID:rg1\tSM:sim\n")
+        lines = []
+        for i in order:
+            s = int(rec_start[i])
+            seq = ref[s : s + READ_LEN].tobytes().decode()
+            lines.append(
+                f"p{int(rec_name[i]):08d}\t{int(rec_flag[i])}\t{contig}\t"
+                f"{s + 1}\t60\t{READ_LEN}M\t=\t{int(rec_mate[i]) + 1}\t"
+                f"{int(rec_tlen[i])}\t{seq}\t{qual}\t"
+                f"MD:Z:{READ_LEN}\tRG:Z:rg1"
+            )
+            if len(lines) >= 100_000:
+                out.write("\n".join(lines) + "\n")
+                lines = []
+        if lines:
+            out.write("\n".join(lines) + "\n")
+
+    manifest = {
+        "key": key,
+        "files": {"sv_sam": sam_name},
+        "counts": {"records": 2 * n, "pairs": n},
+        "contig": contig,
+        "length": length,
+        "truth_deletions": [
+            [int(s), int(s + l)] for s, l in dels
+        ],
+    }
+    with open(manifest_path, "w") as fh:
+        json.dump(manifest, fh)
+    return manifest

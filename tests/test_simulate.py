@@ -198,3 +198,37 @@ def test_deep_band_depth_reached(small_fixture):
     )
     want = manifest["bands"]["spike_x"] + manifest["bands"]["background_x"]
     assert depth >= 0.7 * want, f"spike depth {depth} < 0.7*{want}"
+
+
+def test_sv_fixture_planted_deletions_recovered(tmp_path):
+    """The paired-read SV fixture's planted het deletions must be
+    recovered by the structural-variant pipeline (discordant insert
+    pairs -> compatibility graph -> cliques), each within 200 bp."""
+    from guacamole_tpu.callers.structural_variant import (
+        call_structural_variants,
+    )
+    from guacamole_tpu.gio.load import load_read_set
+    from guacamole_tpu.reads.read import InputFilters, PairedMappedRead
+    from guacamole_tpu.utils.simulate import make_sv_fixture
+
+    manifest = make_sv_fixture(
+        str(tmp_path), length=300_000, depth=18,
+        deletions=((120_000, 5_000),), seed=7,
+    )
+    sam = tmp_path / manifest["files"]["sv_sam"]
+    read_set = load_read_set(str(sam), InputFilters.create(non_duplicate=True))
+    pairs = [
+        pm
+        for r in read_set.reads
+        if (pm := PairedMappedRead.from_paired_read(r)) is not None
+    ]
+    assert len(pairs) > 10_000
+    _max_normal, results = call_structural_variants(pairs)
+    ranges = results.get(manifest["contig"], [])
+    (truth_lo, truth_hi), = manifest["truth_deletions"]
+    hits = [
+        g for g in ranges
+        if abs(g.start - truth_lo) <= 200 and abs(g.stop - truth_hi) <= 200
+    ]
+    assert len(hits) == 1, (ranges, manifest["truth_deletions"])
+    assert len(ranges) <= 2
