@@ -297,6 +297,83 @@ def call_structural_variants(
     return max_normal, results
 
 
+def exceptional_from_columnar(cols, filter_contig: str = "", contigs=None):
+    """Vectorized pairs_in_range + insert-size sampling over the native
+    decoder's mate columns — the columnar form of the object stage-1
+    (record order preserved, so the [:100000] stats sample is identical).
+    Returns (in_range_sizes, make_exceptional) where make_exceptional(
+    max_normal) materializes PairedMappedRead objects for ONLY the
+    exceptional records (the graph stage's tiny input), or None when the
+    mate columns are unavailable."""
+    import numpy as np
+
+    from guacamole_tpu.gio import sam_flags as flags
+    from guacamole_tpu.reads.read import (
+        MateAlignmentProperties,
+        PairedMappedRead,
+    )
+
+    if cols is None or cols.tlen is None or cols.mate_ref_id is None:
+        return None
+    f = np.asarray(cols.flags_)
+    eligible = (
+        ((f & flags.PAIRED) != 0)
+        & ((f & flags.UNMAPPED) == 0)
+        & ((f & flags.MATE_UNMAPPED) == 0)
+        & ((f & flags.FIRST_IN_PAIR) != 0)
+        & ((f & flags.DUPLICATE) == 0)
+        & (np.asarray(cols.ref_id) >= 0)
+        & (np.asarray(cols.mate_ref_id) >= 0)
+        & (np.asarray(cols.tlen) != 0)
+    )
+    name_arr = np.asarray(cols.ref_names, dtype=object)
+    if contigs is not None:
+        in_set = np.asarray(
+            [name in contigs for name in cols.ref_names], dtype=bool
+        )
+        eligible &= in_set[np.asarray(cols.ref_id)]
+    if filter_contig:
+        is_filter = np.asarray(
+            [name == filter_contig for name in cols.ref_names], dtype=bool
+        )
+        eligible &= (
+            is_filter[np.asarray(cols.ref_id)]
+            | is_filter[np.asarray(cols.mate_ref_id)]
+        )
+    read_rev = (f & flags.REVERSE) != 0
+    mate_rev = (f & flags.MATE_REVERSE) != 0
+    tlen = np.asarray(cols.tlen, dtype=np.int64)
+    in_range = (
+        eligible
+        & (np.asarray(cols.mate_ref_id) == np.asarray(cols.ref_id))
+        & (read_rev != mate_rev)
+        & (tlen < MAX_INSERT_SIZE)
+    )
+    oriented = np.where(read_rev, -tlen, tlen)
+    in_range_idx = np.flatnonzero(in_range)
+    sizes = oriented[in_range_idx]
+
+    def make_exceptional(max_normal: int):
+        exc = in_range_idx[tlen[in_range_idx] > max_normal]
+        out = []
+        for i in exc:
+            i = int(i)
+            mate = MateAlignmentProperties(
+                reference_contig=str(name_arr[int(cols.mate_ref_id[i])]),
+                start=int(cols.mate_start[i]),
+                inferred_insert_size=int(tlen[i]),
+                is_positive_strand=not bool(mate_rev[i]),
+            )
+            out.append(
+                PairedMappedRead(
+                    cols.to_mapped_read(i), True, int(tlen[i]), mate
+                )
+            )
+        return out
+
+    return sizes, make_exceptional
+
+
 def main(argv, _add_fns) -> int:
     import argparse
 
@@ -341,39 +418,87 @@ def main(argv, _add_fns) -> int:
             non_duplicate=True, overlaps_loci=parse_loci(expr)
         )
 
-    read_set = load_read_set(args.reads, filters)
-    pairs = [
-        pm
-        for pm in (
-            PairedMappedRead.from_paired_read(pr)
-            for pr in read_set.mapped_paired_reads
-            if pr.is_first_in_pair
+    # Columnar fast path: the native decoders carry mate columns, so the
+    # stage-1 discordant-pair scan (same-contig / opposite-strand /
+    # insert-size stats over EVERY record) is pure vectorized numpy;
+    # pair OBJECTS materialize only for the exceptional records the
+    # graph stage consumes (~hundreds). Identical results to the object
+    # path (pinned by tests/test_structural_variant.py).
+    fast = None
+    if args.bam_reader_api in ("best", "native"):
+        from guacamole_tpu.runtime.columnar import (
+            decode_bam_columnar,
+            decode_sam_columnar,
         )
-        if pm is not None
-    ]
-    if my_contigs is not None:
-        pairs = [
-            pm for pm in pairs if pm.read.reference_contig in my_contigs
-        ]
-    if args.filter_contig:
+
+        lower = args.reads.lower()
+        cols = (
+            decode_bam_columnar(args.reads)
+            if lower.endswith(".bam")
+            else (
+                decode_sam_columnar(args.reads)
+                if lower.endswith(".sam")
+                else None
+            )
+        )
+        fast = exceptional_from_columnar(
+            cols, args.filter_contig, my_contigs
+        )
+    if fast is not None:
+        local_sizes, make_exceptional = fast
+        if mh.active:
+            from guacamole_tpu.parallel.multihost import gather_objects
+
+            all_sizes = gather_objects(mh, [int(s) for s in local_sizes])
+            stats = median_stats(all_sizes[:100000])
+        else:
+            stats = median_stats(local_sizes[:100000])
+        max_normal = int(stats.median + 5 * stats.mad)
+        exceptional = make_exceptional(max_normal)
+        by_contig: Dict[str, List[PairedMappedRead]] = {}
+        for pair in exceptional:
+            by_contig.setdefault(pair.read.reference_contig, []).append(pair)
+        results = {}
+        for contig, contig_pairs in sorted(by_contig.items()):
+            graph = build_variant_graph(contig_pairs, max_normal)
+            cliques = find_cliques(graph, max_normal)
+            results[contig] = [c.span(graph) for c in cliques]
+    else:
+        read_set = load_read_set(args.reads, filters)
         pairs = [
             pm
-            for pm in pairs
-            if pm.read.reference_contig == args.filter_contig
-            or pm.mate.reference_contig == args.filter_contig
+            for pm in (
+                PairedMappedRead.from_paired_read(pr)
+                for pr in read_set.mapped_paired_reads
+                if pr.is_first_in_pair
+            )
+            if pm is not None
         ]
-    if mh.active:
-        from guacamole_tpu.parallel.multihost import gather_objects
+        if my_contigs is not None:
+            pairs = [
+                pm for pm in pairs if pm.read.reference_contig in my_contigs
+            ]
+        if args.filter_contig:
+            pairs = [
+                pm
+                for pm in pairs
+                if pm.read.reference_contig == args.filter_contig
+                or pm.mate.reference_contig == args.filter_contig
+            ]
+        if mh.active:
+            from guacamole_tpu.parallel.multihost import gather_objects
 
-        local_sizes = [oriented_insert_size(p) for p in pairs_in_range(pairs)]
-        all_sizes = gather_objects(mh, local_sizes)
-        stats = median_stats(all_sizes[:100000])
-        max_normal = int(stats.median + 5 * stats.mad)
-        _, results = call_structural_variants(
-            pairs, max_normal_insert_size=max_normal
-        )
-    else:
-        max_normal, results = call_structural_variants(pairs)
+            local_sizes = [
+                oriented_insert_size(p) for p in pairs_in_range(pairs)
+            ]
+            all_sizes = gather_objects(mh, local_sizes)
+            stats = median_stats(all_sizes[:100000])
+            max_normal = int(stats.median + 5 * stats.mad)
+            _, results = call_structural_variants(
+                pairs, max_normal_insert_size=max_normal
+            )
+        else:
+            max_normal, results = call_structural_variants(pairs)
     progress(f"max normal insert size: {max_normal}")
     lines = [
         f"({contig},{[str(r) for r in ranges]})"

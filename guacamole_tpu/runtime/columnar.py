@@ -66,6 +66,12 @@ class ColumnarReads:
     cigar_end: Optional[np.ndarray] = None
     md_end: Optional[np.ndarray] = None
     ev_end: Optional[np.ndarray] = None
+    # Mate columns from the native decoders (None for object-built
+    # columnar sets): feed the structural-variant caller's vectorized
+    # discordant-pair stage.
+    mate_ref_id: Optional[np.ndarray] = None  # int32, -1 = unmapped/*
+    mate_start: Optional[np.ndarray] = None  # int64 0-based
+    tlen: Optional[np.ndarray] = None  # int32 signed template length
 
     @property
     def n(self) -> int:
@@ -202,6 +208,13 @@ class ColumnarReads:
             cigar_end=cig_e,
             md_end=md_e,
             ev_end=ev_e,
+            mate_ref_id=(
+                self.mate_ref_id[idx] if self.mate_ref_id is not None else None
+            ),
+            mate_start=(
+                self.mate_start[idx] if self.mate_start is not None else None
+            ),
+            tlen=self.tlen[idx] if self.tlen is not None else None,
         )
 
     def compact(self) -> "ColumnarReads":
@@ -398,6 +411,9 @@ def _columnar_from_raw(raw) -> Optional[ColumnarReads]:
         sp_payload_len=raw["sp_payload_len"],
         sp_qual=raw["sp_qual"],
         special_payload=raw["special_payload"],
+        mate_ref_id=raw.get("mate_ref_id"),
+        mate_start=raw.get("mate_start"),
+        tlen=raw.get("tlen"),
     )
 
 

@@ -190,3 +190,72 @@ def test_clique_detection_with_alignment_limitations():
     assert sorted(g.nodes[n].read.start for n in sv.read_pairs) == [100, 200]
     assert sv.span(g) == GenomeRange("chr1", 220, 380)
     assert sv.wiggle == 260
+
+
+def test_columnar_fast_path_equals_object_path(tmp_path):
+    """The vectorized mate-column stage-1 (exceptional_from_columnar)
+    must reproduce the object path exactly: same insert-size sample,
+    same threshold, same exceptional set, same called ranges."""
+    import numpy as np
+
+    from guacamole_tpu.callers.structural_variant import (
+        call_structural_variants,
+        exceptional_from_columnar,
+        get_exceptional_reads,
+        median_stats,
+        oriented_insert_size,
+        pairs_in_range,
+    )
+    from guacamole_tpu.gio.load import load_read_set
+    from guacamole_tpu.reads.read import InputFilters, PairedMappedRead
+    from guacamole_tpu.runtime.columnar import (
+        decode_sam_columnar,
+        native_available,
+    )
+    from guacamole_tpu.utils.simulate import make_sv_fixture
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native runtime not built")
+    manifest = make_sv_fixture(
+        str(tmp_path), length=250_000, depth=16,
+        deletions=((90_000, 4_000),), seed=11,
+    )
+    sam = str(tmp_path / manifest["files"]["sv_sam"])
+
+    # object path
+    read_set = load_read_set(sam, InputFilters.create(non_duplicate=True))
+    pairs = [
+        pm
+        for pm in (
+            PairedMappedRead.from_paired_read(pr)
+            for pr in read_set.mapped_paired_reads
+            if pr.is_first_in_pair
+        )
+        if pm is not None
+    ]
+    exc = get_exceptional_reads(pairs)
+    _mn, obj_results = call_structural_variants(pairs)
+
+    # columnar fast path
+    cols = decode_sam_columnar(sam)
+    sizes, make_exceptional = exceptional_from_columnar(cols)
+    np.testing.assert_array_equal(
+        sizes, [oriented_insert_size(p) for p in pairs_in_range(pairs)]
+    )
+    stats = median_stats(sizes[:100000])
+    max_normal = int(stats.median + 5 * stats.mad)
+    assert max_normal == exc.max_normal_insert_size
+    fast_exc = make_exceptional(max_normal)
+    assert len(fast_exc) == len(exc.exceptional_reads)
+    for a, b in zip(fast_exc, exc.exceptional_reads):
+        assert a.read.start == b.read.start
+        assert a.inferred_insert_size == b.inferred_insert_size
+        assert a.mate.start == b.mate.start
+    _mn2, fast_results = call_structural_variants(
+        fast_exc, max_normal_insert_size=max_normal
+    )
+    assert {
+        c: [str(r) for r in rs] for c, rs in fast_results.items()
+    } == {c: [str(r) for r in rs] for c, rs in obj_results.items()}
