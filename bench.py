@@ -906,6 +906,12 @@ def main() -> int:
         report["accelerator_endtoend"] = safe(
             run_accelerator_endtoend, tmp_root
         )
+        # Memory section runs EARLY, while this parent process is still
+        # small: the wrapper subprocesses' peak RSS otherwise reads the
+        # machine's reclaim ceiling (parent footprint + cache-cold IO
+        # squeezed every child run to one identical high-water mark)
+        # instead of the workload's true demand.
+        report["memory_scaling"] = safe(run_memory_scaling, tmp_root)
         for name, spec in CONFIGS.items():
             report["configs"][name] = safe(run_config, name, spec, tmp_root)
         report["baseline_measured_python"] = safe(run_oracle_baseline)
@@ -917,7 +923,6 @@ def main() -> int:
                         meas["wall_s"] / cfg["wall_s"], 1
                     )
         report["scale"] = safe(run_scale_configs, tmp_root)
-        report["memory_scaling"] = safe(run_memory_scaling, tmp_root)
         report["scaling_8shard_virtual"] = safe(run_scaling_subprocess)
         report["multihost_2proc"] = safe(run_multihost_2proc, tmp_root)
         report["multihost_weak_scaling"] = safe(
