@@ -94,6 +94,13 @@ static bool scan_bgzf_blocks(const std::vector<uint8_t>& data,
   return offset == n;
 }
 
+#ifdef GUAC_USE_LIBDEFLATE
+#include <libdeflate.h>
+// One decompressor per thread: allocation is not free and inflate_block
+// runs once per 64 KiB BGZF block.
+static thread_local libdeflate_decompressor* tl_decomp = nullptr;
+#endif
+
 static bool inflate_block(const std::vector<uint8_t>& data,
                           const BgzfBlock& block, uint8_t* out) {
   if (block.usize == 0) return true;
@@ -101,6 +108,18 @@ static bool inflate_block(const std::vector<uint8_t>& data,
   memcpy(&xlen, &data[block.coffset + 10], 2);
   const uint8_t* cdata = &data[block.coffset + 12 + xlen];
   size_t csize = block.bsize - 12 - xlen - 8;
+#ifdef GUAC_USE_LIBDEFLATE
+  // libdeflate's raw-DEFLATE decoder is ~2-3x zlib's — BGZF inflate is
+  // the decode phase's hot loop (zlib stays as the build-time fallback
+  // when the library is absent).
+  if (tl_decomp == nullptr) tl_decomp = libdeflate_alloc_decompressor();
+  if (tl_decomp != nullptr) {
+    size_t actual = 0;
+    libdeflate_result lrc = libdeflate_deflate_decompress(
+        tl_decomp, cdata, csize, out, block.usize, &actual);
+    return lrc == LIBDEFLATE_SUCCESS && actual == block.usize;
+  }
+#endif
   z_stream zs;
   memset(&zs, 0, sizeof(zs));
   if (inflateInit2(&zs, -15) != Z_OK) return false;
