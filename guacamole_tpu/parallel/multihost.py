@@ -286,19 +286,27 @@ def persist_shard(
 
 def load_shards(out_path: str):
     """(process_count, {process_index: records}) from a failed run's
-    shard directory; (0, {}) when none exists."""
+    shard directory; (0, {}) when none exists. Shard files from a run
+    with a DIFFERENT process count (stale leftovers from an earlier
+    differently-sized job) are ignored — mixing them would mis-split the
+    loci axis; only the largest count's files are trusted."""
     d = shard_dir(out_path)
     if not os.path.isdir(d):
         return 0, {}
-    have: Dict[int, list] = {}
-    count = 0
+    payloads = []
     for name in sorted(os.listdir(d)):
         if not name.startswith("shard-") or not name.endswith(".pkl"):
             continue
         with open(os.path.join(d, name), "rb") as fh:
-            payload = pickle.load(fh)
-        count = max(count, int(payload["process_count"]))
-        have[int(payload["process_index"])] = payload["records"]
+            payloads.append(pickle.load(fh))
+    if not payloads:
+        return 0, {}
+    count = max(int(p["process_count"]) for p in payloads)
+    have: Dict[int, list] = {
+        int(p["process_index"]): p["records"]
+        for p in payloads
+        if int(p["process_count"]) == count
+    }
     return count, have
 
 
