@@ -565,17 +565,29 @@ def run_multihost_weak_scaling(tmp_root):
 
     # correctness: the merged 2-process output over the full contig must
     # equal an (unpinned) single-process full-contig run
-    full_out = os.path.join(tmp_root, "ws-full.vcf")
-    t0 = time.time()
-    full = subprocess.run(
-        [sys.executable, "-m", "guacamole_tpu.cli"] + base
-        + ["--loci", f"shallow8m:0-{2 * half}", "--out", full_out],
-        env=dict(os.environ, JAX_PLATFORMS="cpu"),
-        capture_output=True, timeout=1800,
-    )
-    full_wall = time.time() - t0
+    # Comparator legs pin to the SAME two cores the 2-process legs used
+    # (so "same work, same silicon" holds on hosts with more cores), and
+    # match their best-of-2 methodology.
+    full_wall = None
+    full = None
+    for it in range(2):
+        full_out = os.path.join(tmp_root, f"ws-full-{it}.vcf")
+        t0 = time.time()
+        full = subprocess.run(
+            [sys.executable, "-m", "guacamole_tpu.cli"] + base
+            + ["--loci", f"shallow8m:0-{2 * half}", "--out", full_out],
+            env=dict(os.environ, JAX_PLATFORMS="cpu"),
+            capture_output=True, timeout=1800,
+            preexec_fn=lambda: os.sched_setaffinity(
+                0, {cores[0], cores[1]}
+            ),
+        )
+        if full.returncode != 0:
+            break
+        wall = time.time() - t0
+        full_wall = wall if full_wall is None else min(full_wall, wall)
     identical = None
-    if full.returncode == 0:
+    if full is not None and full.returncode == 0:
         with open(two_out, "rb") as a, open(full_out, "rb") as b:
             identical = a.read() == b.read()
 
@@ -610,9 +622,13 @@ def run_multihost_weak_scaling(tmp_root):
         # bandwidth, which separate hosts would not). < 1 means the
         # process split is FASTER than single-process internal threading
         # on the same silicon.
-        "same_work_one_process_two_cores_wall_s": round(full_wall, 2),
+        "same_work_one_process_two_cores_wall_s": (
+            round(full_wall, 2) if full_wall is not None else None
+        ),
         "two_process_wall_over_same_work_wall": (
-            round(two_wall / full_wall, 3) if full.returncode == 0 else None
+            round(two_wall / full_wall, 3)
+            if full_wall is not None
+            else None
         ),
         "outputs_identical_to_full_single_run": identical,
         "phase_breakdown": {
@@ -985,6 +1001,12 @@ def main() -> int:
         }
         if isinstance(measured, dict) and measured.get("golden_match"):
             vs_baseline = round(measured["wall_s"] / headline_wall, 2)
+        else:
+            # Keep numerator/denominator from the SAME run: the
+            # assumption-based ratio recomputes against the accel wall.
+            vs_baseline = round(
+                SPARK_BASELINE_WALL_S / headline_wall, 2
+            )
     else:
         headline_value = headline["reads_per_s"]
         headline_wall = headline["wall_s"]

@@ -582,6 +582,7 @@ def main(argv, _add_fns) -> int:
             max_genotypes=args.max_genotypes,
             vcf_header_compat=getattr(args, "vcf_header_compat", ""),
         )
+        _add_fns["clear_shards_after_write"](mh, args)
         if args.truth:
             _add_fns["print_concordance"](args, records)
     return 0

@@ -938,4 +938,5 @@ def main(argv, _add_fns) -> int:
             max_genotypes=args.max_genotypes,
             vcf_header_compat=getattr(args, "vcf_header_compat", ""),
         )
+        _add_fns["clear_shards_after_write"](mh, args)
     return 0

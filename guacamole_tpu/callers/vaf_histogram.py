@@ -347,9 +347,10 @@ def main(argv, _add_fns) -> int:
     # same pipeline the main callers use.
     all_variant_loci = None
     sample_names: List[str] = []
+    eligible = _add_fns.get("streaming_eligible")
     if (
-        not args.recompute_md_tags
-        and args.bam_reader_api in ("best", "native")
+        eligible is not None
+        and eligible(args)
         and "streaming_partitions" in _add_fns
         and all(b.lower().endswith(".bam") for b in args.bams)
     ):

@@ -336,7 +336,6 @@ def _multihost_finalize(mh, records, args=None):
         import os as _os
 
         from guacamole_tpu.parallel.multihost import (
-            clear_shards,
             gather_objects,
             persist_shard,
         )
@@ -359,10 +358,6 @@ def _multihost_finalize(mh, records, args=None):
         merged.sort(
             key=lambda r: (r.contig, r.start, r.sample_name, r.ref, r.alt)
         )
-        # The merge delivered every shard to every process: the
-        # crash-recovery files are no longer needed.
-        if out and mh.is_writer:
-            clear_shards(out)
         return merged
     recovered = (
         getattr(args, "_recovered_records", None)
@@ -370,16 +365,23 @@ def _multihost_finalize(mh, records, args=None):
         else None
     )
     if recovered is not None:
-        from guacamole_tpu.parallel.multihost import clear_shards
-
         merged = list(records) + list(recovered)
         merged.sort(
             key=lambda r: (r.contig, r.start, r.sample_name, r.ref, r.alt)
         )
-        if out:
-            clear_shards(out)
         return merged
     return records
+
+
+def _clear_shards_after_write(mh, args) -> None:
+    """Remove a run's crash-recovery shard files — called ONLY after the
+    writer's output has been durably written (clearing any earlier would
+    reopen the window the persist-before-merge design closes)."""
+    out = getattr(args, "out", "")
+    if out and (mh.active or getattr(args, "recover", False)):
+        from guacamole_tpu.parallel.multihost import clear_shards
+
+        clear_shards(out)
 
 
 def _partition(args, loci_set, *read_lists):
@@ -600,6 +602,7 @@ def cmd_germline_threshold(argv: List[str]) -> int:
             max_genotypes=args.max_genotypes,
             vcf_header_compat=getattr(args, "vcf_header_compat", ""),
         )
+        _clear_shards_after_write(mh, args)
         if args.truth:
             _print_concordance(args, records)
     DelayedMessages.default.print()
@@ -653,6 +656,7 @@ ARG_HELPERS = {
     "multihost_shard_builder": _multihost_shard_builder,
     "multihost_counters": _multihost_counters,
     "multihost_finalize": _multihost_finalize,
+    "clear_shards_after_write": _clear_shards_after_write,
     "streaming_partitions": _streaming_partitions,
     "streaming_eligible": _streaming_eligible,
 }

@@ -523,18 +523,12 @@ def _csr_slab_ranges(row_off: np.ndarray, slab_bytes: int):
 
 
 def _bucket_rows_slab(n: int) -> int:
-    """Pad slab row counts to quarter-power-of-two steps (>= 4096) so the
-    compiled-shape set stays small across slabs."""
-    b = 4096
-    while b < n:
-        b *= 2
-    if b > 4096:
-        half = b // 2
-        for step in (1, 2, 3):
-            cand = half + (half * step) // 4
-            if cand >= n:
-                return cand
-    return b
+    """Pad slab row counts to the SAME quarter-power-of-two ladder the
+    tile packer uses (one source of truth: pack.columnar._bucket_rows),
+    so slab shapes and tile shapes share a compiled-shape set."""
+    from guacamole_tpu.pack.columnar import _bucket_rows
+
+    return _bucket_rows(n)
 
 
 def _pad_slab_rows(row_off: np.ndarray, is_variant: np.ndarray):
@@ -1089,7 +1083,18 @@ def pipelined_batched_screens(
         # columnar chunk, so eight ~1M-row tiles in flight held ~4 tasks'
         # full decode chunks alive at once (a monotone multi-GB RSS ramp
         # at scale). Two in flight still overlaps pack with classify.
-        window = 2 if tile.L >= (1 << 17) else max_in_flight
+        # The window stays shrunk while ANY queued item is a megatile —
+        # keying off only the current tile would let a run of small tail
+        # tiles re-grow the window around a still-queued megatile.
+        window = (
+            2
+            if any(
+                tile_of(it).L >= (1 << 17)
+                for it, _p in in_flight
+                if _p is not None
+            )
+            else max_in_flight
+        )
         while len(in_flight) > window:
             yield in_flight.popleft()
     for key in list(groups):

@@ -390,8 +390,6 @@ def _bucket_rows(n: int) -> int:
 # replacement for the reference's one-shuffle delivery,
 # cf. /root/reference .../DistributedUtil.scala:621-626).
 MEGA_TILE_ROWS = 1 << 20
-# Dense [L, D] tiles cap L so L*D stays within ~64M cells (128 MB u16).
-MEGA_TILE_CELLS = 64 << 20
 
 
 def _auto_tile_size(n_loci: int, depth_pad: int, fields: str) -> int:
@@ -436,10 +434,13 @@ def iter_tiles_columnar(
 ):
     """Yield a contig's loci tiles one at a time (lazy pack_tiles_columnar).
 
-    tile_size=0 (the production default) sizes tiles automatically: one
-    launch covers up to MEGA_TILE_ROWS loci (dense modes: MEGA_TILE_CELLS
-    cells), with the locus axis padded to quarter-power-of-two buckets so
-    the compiled-shape set stays small.
+    tile_size=0 (the production default) sizes tiles automatically:
+    screen-mode tiles cover up to MEGA_TILE_ROWS loci per native pack
+    call (the dispatch layer slabs oversized launches); dense
+    likelihood modes keep the classic 4096 (their kernels materialize
+    per-genotype intermediates, measured 2x slower on megatiles). The
+    locus axis pads to quarter-power-of-two buckets so the
+    compiled-shape set stays small.
 
     depth_bucketing groups loci by their depth's pad bucket before tiling,
     so a tile's [L, D] grid is sized for its own loci rather than the

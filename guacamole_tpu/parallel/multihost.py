@@ -288,24 +288,35 @@ def load_shards(out_path: str):
     """(process_count, {process_index: records}) from a failed run's
     shard directory; (0, {}) when none exists. Shard files from a run
     with a DIFFERENT process count (stale leftovers from an earlier
-    differently-sized job) are ignored — mixing them would mis-split the
-    loci axis; only the largest count's files are trusted."""
+    differently-sized failed job against the same --out) are ignored —
+    mixing them would mis-split the loci axis. The trusted group is the
+    one with the NEWEST file (mtime), i.e. the most recent failed run,
+    regardless of whether it was larger or smaller than the stale one."""
     d = shard_dir(out_path)
     if not os.path.isdir(d):
         return 0, {}
-    payloads = []
+    payloads = []  # (mtime, process_count, process_index, records)
     for name in sorted(os.listdir(d)):
         if not name.startswith("shard-") or not name.endswith(".pkl"):
             continue
-        with open(os.path.join(d, name), "rb") as fh:
-            payloads.append(pickle.load(fh))
+        path = os.path.join(d, name)
+        with open(path, "rb") as fh:
+            p = pickle.load(fh)
+        payloads.append(
+            (
+                os.path.getmtime(path),
+                int(p["process_count"]),
+                int(p["process_index"]),
+                p["records"],
+            )
+        )
     if not payloads:
         return 0, {}
-    count = max(int(p["process_count"]) for p in payloads)
+    count = max(payloads, key=lambda t: t[0])[1]  # newest file's count
     have: Dict[int, list] = {
-        int(p["process_index"]): p["records"]
-        for p in payloads
-        if int(p["process_count"]) == count
+        idx: records
+        for _mt, cnt, idx, records in payloads
+        if cnt == count
     }
     return count, have
 

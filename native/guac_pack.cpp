@@ -1148,7 +1148,6 @@ void* guac_pack_tile(
         if (id < K) {
           if (full) t->allele_id[cell] = (int16_t)id;
           if (ll) t->ll_pack[cell] |= (uint16_t)id;
-          if (csr) t->counts[row * K + id]++;
           if (nib_row != nullptr) {
             int shift = (slot & 1) * 4;
             nib_row[slot >> 1] = (uint8_t)((nib_row[slot >> 1] &

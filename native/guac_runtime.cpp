@@ -94,12 +94,42 @@ static bool scan_bgzf_blocks(const std::vector<uint8_t>& data,
   return offset == n;
 }
 
-#ifdef GUAC_USE_LIBDEFLATE
-#include <libdeflate.h>
+// libdeflate's raw-DEFLATE decoder is ~2-3x zlib's — BGZF inflate is
+// the decode phase's hot loop. Resolved via dlopen at RUNTIME (not
+// linked) so the shared library never carries a NEEDED dependency on
+// it: hosts without libdeflate fall back to zlib transparently.
+#include <dlfcn.h>
+namespace {
+typedef void* (*ld_alloc_fn)();
+typedef int (*ld_decompress_fn)(void*, const void*, size_t, void*, size_t,
+                                size_t*);
+struct LibdeflateApi {
+  ld_alloc_fn alloc = nullptr;
+  ld_decompress_fn decompress = nullptr;  // LIBDEFLATE_SUCCESS == 0
+};
+const LibdeflateApi& libdeflate_api() {
+  static LibdeflateApi api = [] {
+    LibdeflateApi a;
+    void* h = dlopen("libdeflate.so.0", RTLD_NOW | RTLD_GLOBAL);
+    if (h == nullptr) h = dlopen("libdeflate.so", RTLD_NOW | RTLD_GLOBAL);
+    if (h != nullptr) {
+      a.alloc = reinterpret_cast<ld_alloc_fn>(
+          dlsym(h, "libdeflate_alloc_decompressor"));
+      a.decompress = reinterpret_cast<ld_decompress_fn>(
+          dlsym(h, "libdeflate_deflate_decompress"));
+      if (a.alloc == nullptr || a.decompress == nullptr) {
+        a.alloc = nullptr;
+        a.decompress = nullptr;
+      }
+    }
+    return a;
+  }();
+  return api;
+}
 // One decompressor per thread: allocation is not free and inflate_block
 // runs once per 64 KiB BGZF block.
-static thread_local libdeflate_decompressor* tl_decomp = nullptr;
-#endif
+thread_local void* tl_decomp = nullptr;
+}  // namespace
 
 static bool inflate_block(const std::vector<uint8_t>& data,
                           const BgzfBlock& block, uint8_t* out) {
@@ -108,18 +138,16 @@ static bool inflate_block(const std::vector<uint8_t>& data,
   memcpy(&xlen, &data[block.coffset + 10], 2);
   const uint8_t* cdata = &data[block.coffset + 12 + xlen];
   size_t csize = block.bsize - 12 - xlen - 8;
-#ifdef GUAC_USE_LIBDEFLATE
-  // libdeflate's raw-DEFLATE decoder is ~2-3x zlib's — BGZF inflate is
-  // the decode phase's hot loop (zlib stays as the build-time fallback
-  // when the library is absent).
-  if (tl_decomp == nullptr) tl_decomp = libdeflate_alloc_decompressor();
-  if (tl_decomp != nullptr) {
-    size_t actual = 0;
-    libdeflate_result lrc = libdeflate_deflate_decompress(
-        tl_decomp, cdata, csize, out, block.usize, &actual);
-    return lrc == LIBDEFLATE_SUCCESS && actual == block.usize;
+  const LibdeflateApi& ld = libdeflate_api();
+  if (ld.alloc != nullptr) {
+    if (tl_decomp == nullptr) tl_decomp = ld.alloc();
+    if (tl_decomp != nullptr) {
+      size_t actual = 0;
+      int lrc = ld.decompress(tl_decomp, cdata, csize, out, block.usize,
+                              &actual);
+      return lrc == 0 && actual == block.usize;
+    }
   }
-#endif
   z_stream zs;
   memset(&zs, 0, sizeof(zs));
   if (inflateInit2(&zs, -15) != Z_OK) return false;
