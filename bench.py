@@ -795,13 +795,15 @@ argv = json.loads(sys.argv[1])
 golden = sys.argv[2]
 out_dir = sys.argv[3]
 tag = sys.argv[4]
+out_flag = sys.argv[5] if len(sys.argv) > 5 else "--out"
+suffix = sys.argv[6] if len(sys.argv) > 6 else ".vcf"
 with open(golden, "rb") as fh:
     want = fh.read()
 walls = []
 for it in range(3):
-    out = os.path.join(out_dir, f"accel-{tag}-{it}.vcf")
+    out = os.path.join(out_dir, f"accel-{tag}-{it}{suffix}")
     t0 = time.time()
-    rc = cli.main(argv + ["--out", out])
+    rc = cli.main(argv + [out_flag, out])
     walls.append(time.time() - t0)
     if rc != 0:
         print(json.dumps({"error": f"CLI exited {rc}"}))
@@ -820,13 +822,15 @@ print(json.dumps({
 
 
 def _accelerator_one_config(name, tmp_root):
-    spec = CONFIGS[name]
+    spec = ACCEL_CONFIGS.get(name) or CONFIGS[name]
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     try:
         proc = subprocess.run(
             [sys.executable, "-c", ACCELERATOR_ENDTOEND_CODE,
              json.dumps(spec["argv"]),
-             os.path.join(GOLDEN, spec["golden"]), tmp_root, name],
+             os.path.join(GOLDEN, spec["golden"]), tmp_root, name,
+             spec.get("out_flag", "--out"),
+             spec.get("out_suffix", ".vcf")],
             capture_output=True, text=True, timeout=560, env=env,
         )
         line = (
@@ -844,6 +848,35 @@ def _accelerator_one_config(name, tmp_root):
         info["golden"] = spec["golden"]
     return info
 
+
+# The three analytics tools' golden configs (mirroring the CLI golden
+# tests) — run on the accelerator too, so every one of the six callers
+# has an on-chip golden-verified end-to-end point.
+ACCEL_CONFIGS = {
+    "vaf-histogram-chrM": {
+        "argv": ["vaf-histogram", "--bins", "20", "--min-read-depth", "2",
+                 os.path.join(RESOURCES, "chrM.sorted.bam")],
+        "golden": "chrM.vaf-histogram.csv",
+        "out_flag": "--local-out",
+        "out_suffix": ".csv",
+    },
+    "variant-support-gatk": {
+        "argv": ["variant-support", "--input-variant",
+                 os.path.join(REPO, "tests", "data",
+                              "support_sites.vcf"),
+                 os.path.join(RESOURCES, "gatk_mini_bundle_extract.bam")],
+        "golden": "gatk.variant-support.csv",
+        "out_flag": "--output",
+        "out_suffix": ".csv",
+    },
+    "structural-variant-gatk": {
+        "argv": ["structural-variant", "--reads",
+                 os.path.join(RESOURCES, "gatk_mini_bundle_extract.bam")],
+        "golden": "gatk.structural-variant.txt",
+        "out_flag": "--output",
+        "out_suffix": ".txt",
+    },
+}
 
 # Read counts of the golden-pinned inputs (count_reads would need a
 # second load; these are fixed fixtures).
@@ -873,9 +906,12 @@ def run_accelerator_endtoend(tmp_root):
         "germline-threshold-chrM",
         "germline-standard-chrM",
         "somatic-standard-chr20",
+        "vaf-histogram-chrM",
+        "variant-support-gatk",
+        "structural-variant-gatk",
     ):
         info = _accelerator_one_config(name, tmp_root)
-        if "wall_s" in info:
+        if "wall_s" in info and name in _CONFIG_READS:
             info["n_reads"] = _CONFIG_READS[name]
             info["reads_per_s"] = round(
                 _CONFIG_READS[name] / info["wall_s"], 1
