@@ -33,6 +33,7 @@ from guacamole_tpu.likelihood import (
 from guacamole_tpu.loci.locimap import LociMap
 from guacamole_tpu.pileup.pileup import Pileup
 from guacamole_tpu.utils import bases as Bases
+from guacamole_tpu.utils.phred import success_probability_to_phred
 from guacamole_tpu.variants.called import CalledAllele
 from guacamole_tpu.variants.evidence import AlleleEvidence
 
@@ -99,10 +100,19 @@ def calls_from_tile_rows(
     rows: List[int],
     sample_name: str,
     min_alignment_quality: int = 0,
+    prefilter_min_likelihood: int = 0,
 ) -> List[CalledAllele]:
     """Exact f64 confirm over many FULL tile rows in one batched pass
     (genotype_probs_for_rows); bit-identical to per-row
-    calls_from_tile_row, which delegates here."""
+    calls_from_tile_row, which delegates here.
+
+    prefilter_min_likelihood: apply the min-likelihood genotype filter's
+    exact predicate (phred of likelihood - 1e-10,
+    GenotypeFilter.scala:135) at emission, skipping the evidence work
+    for calls the filter chain would drop anyway. ONLY passed when the
+    chain's earlier filters are inert (defaults) and debug counting is
+    off, so dropping early is order-equivalent (pinned by
+    tests/test_germline_standard.py)."""
     if not rows:
         return []
     idx = np.asarray(rows, dtype=np.int64)
@@ -136,6 +146,12 @@ def calls_from_tile_rows(
         if not (v1 or v2):
             continue
         probability = math.exp(lls[best])
+        if (
+            prefilter_min_likelihood > 0
+            and success_probability_to_phred(probability - 1e-10)
+            < prefilter_min_likelihood
+        ):
+            continue
         alleles_row = tile.alleles[li]
         if v1:
             emit.append((rpos, li, probability, alleles_row[a1], a1))
@@ -202,6 +218,7 @@ def call_variants(
     reference_genome=None,
     mesh=None,
     task_sources=None,
+    prefilter_min_likelihood: int = 0,
 ) -> List[CalledAllele]:
     """Two-phase (device screen -> exact host confirm) over a partitioning.
 
@@ -313,7 +330,8 @@ def call_variants(
                 )
         calls.extend(
             calls_from_tile_rows(
-                sparse, dense_rows, sample_name, min_alignment_quality
+                sparse, dense_rows, sample_name, min_alignment_quality,
+                prefilter_min_likelihood=prefilter_min_likelihood,
             )
         )
 
@@ -438,6 +456,20 @@ def called_allele_to_vcf_record(call: CalledAllele) -> VcfRecord:
     )
 
 
+def _prefilter_min_likelihood(args) -> int:
+    """args.min_likelihood, but only when applying it at emission is
+    order-equivalent to the filter chain: every earlier filter inert
+    (defaults) and per-stage debug counting off."""
+    if (
+        args.min_read_depth == 0
+        and args.max_read_depth == 2**31 - 1
+        and args.min_alternate_read_depth == 0
+        and not args.debug_genotype_filters
+    ):
+        return args.min_likelihood
+    return 0
+
+
 def _try_streaming(args, loci_builder, reference, mesh, filters, _add_fns):
     """Streaming germline-standard (per-task .bai pushdown). Returns
     (calls, contig_lengths) or (None, None) when unavailable."""
@@ -462,6 +494,7 @@ def _try_streaming(args, loci_builder, reference, mesh, filters, _add_fns):
         tile_size=args.tile_size,
         reference_genome=reference,
         mesh=mesh,
+        prefilter_min_likelihood=_prefilter_min_likelihood(args),
     )
     if calls is None:
         return None, None
@@ -561,6 +594,7 @@ def main(argv, _add_fns) -> int:
             tile_size=args.tile_size,
             reference_genome=reference,
             mesh=mesh,
+            prefilter_min_likelihood=_prefilter_min_likelihood(args),
         )
     filtered = apply_genotype_filters(
         calls,

@@ -218,3 +218,42 @@ def test_native_likelihood_screen_matches_oracle():
     fast_by_key = {key(c): c.evidence.likelihood for c in fast_calls}
     for c in oracle_calls:
         assert fast_by_key[key(c)] == c.evidence.likelihood
+
+
+def test_prefilter_min_likelihood_order_equivalent(resources_dir):
+    """Emission-time min-likelihood prefiltering must equal filtering
+    after the fact when the chain's earlier filters are inert."""
+    from guacamole_tpu.callers.germline_standard import call_variants
+    from guacamole_tpu.callers.source import ReadSource
+    from guacamole_tpu.filters.genotype_filters import (
+        apply_genotype_filters,
+    )
+    from guacamole_tpu.gio.load import load_read_set
+    from guacamole_tpu.loci.partition import partition_loci_uniformly
+    from guacamole_tpu.loci.lociset import parse_loci
+    from guacamole_tpu.reads.read import InputFilters
+
+    from conftest import resource_path
+
+    read_set = load_read_set(
+        resource_path("chrM.sorted.bam"),
+        InputFilters.create(non_duplicate=True, has_mdtag=True),
+    )
+    source = ReadSource.from_reads(read_set.mapped_reads)
+    loci = parse_loci("chrM:0-4000").result(read_set.contig_lengths)
+    parts = partition_loci_uniformly(2, loci)
+    plain = apply_genotype_filters(
+        call_variants(source, parts, min_alignment_quality=1),
+        min_likelihood=40,
+    )
+    pre = apply_genotype_filters(
+        call_variants(
+            source, parts, min_alignment_quality=1,
+            prefilter_min_likelihood=40,
+        ),
+        min_likelihood=40,
+    )
+    assert len(plain) > 0
+    assert [
+        (c.reference_contig, c.start, c.allele, c.evidence) for c in plain
+    ] == [(c.reference_contig, c.start, c.allele, c.evidence) for c in pre]
