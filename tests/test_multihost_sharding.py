@@ -159,3 +159,30 @@ def test_per_host_pushdown_decode_union_equals_whole_run(tmp_path):
 
     assert key(per_host_calls) == key(whole_calls)
     assert len(whole_calls) > 0
+
+
+def test_load_shards_prefers_newest_run(tmp_path):
+    """Stale shard files from an earlier differently-sized failed run
+    against the same --out must lose to the NEWEST run's files, whether
+    the stale run was larger or smaller."""
+    import os
+    import time
+
+    from guacamole_tpu.parallel.multihost import (
+        load_shards,
+        persist_shard,
+        shard_dir,
+    )
+
+    out = str(tmp_path / "calls.vcf")
+    # Older, larger failed run: 2 of 4 shards persisted.
+    persist_shard(out, 0, 4, ["old-a"])
+    persist_shard(out, 2, 4, ["old-b"])
+    # Backdate them, then a newer 2-process run persists one shard.
+    for name in os.listdir(shard_dir(out)):
+        p = os.path.join(shard_dir(out), name)
+        os.utime(p, (time.time() - 3600, time.time() - 3600))
+    persist_shard(out, 1, 2, ["new"])
+    count, have = load_shards(out)
+    assert count == 2
+    assert have == {1: ["new"]}
