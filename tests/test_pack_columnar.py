@@ -319,3 +319,87 @@ def test_read_scan_window_covers_all_overlaps():
     # contig appearing in two separate blocks -> no window
     bad2 = cols_of([0, 1, 0], [10, 5, 20], [30, 25, 40])
     assert bad2.read_scan_window(0, 0, 100) is None
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_native_ll_screen_superset_of_exact_calls(resources_dir):
+    """The packer-inline germline likelihood screen (ll_candidates, f64
+    factored rule) must flag every locus the exact f64 confirm emits —
+    the same superset contract the device screens carry."""
+    from guacamole_tpu.callers.germline_standard import calls_from_tile_rows
+
+    path = resource_path("chrM.sorted.bam")
+    cols = decode_bam_columnar(path)
+    cols = cols.select(cols.is_mapped_mask)
+    contig_id = cols.ref_names.index("chrM")
+    lo, hi = 0, 8192
+    screen = pack_tile_columnar(
+        cols, contig_id, "chrM", range(lo, hi), fields="screen",
+        min_mapq=1, ll_screen_margin=0.5, ll_screen_kind=1,
+    )
+    assert screen.ll_candidates is not None
+    cand = {
+        int(screen.loci[i])
+        for i in np.flatnonzero(
+            np.asarray(screen.ll_candidates) | np.asarray(screen.overflow)
+        )
+    }
+    full = pack_tile_columnar(cols, contig_id, "chrM", range(lo, hi))
+    rows = [i for i in range(full.L) if not full.overflow[i]]
+    calls = calls_from_tile_rows(full, rows, "s", min_alignment_quality=1)
+    emitted = {c.start for c in calls}
+    assert emitted, "fixture region must emit calls"
+    missed = emitted - cand
+    assert not missed, f"native ll screen missed exact-call loci {missed}"
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_native_tumor_screen_superset_of_exact_somatic(resources_dir):
+    """The packer-inline tumor screen (alignment-included, kind=2) must
+    flag every locus the exact somatic kernel emits. The fixture's reads
+    span a 233 Mbp contig sparsely, so the tile and the oracle loop run
+    over COVERED loci only."""
+    from guacamole_tpu.callers.somatic_standard import (
+        find_potential_variant_at_locus,
+    )
+    from guacamole_tpu.callers.source import ReadSource
+    from guacamole_tpu.pack.columnar import covered_loci
+    from guacamole_tpu.runtime.columnar import columnar_from_reads
+
+    pair = "synthetic.challenge.set1.%s.v2.withMDTags.chr2.csnp.sam"
+    filt = InputFilters.create(non_duplicate=True, has_mdtag=True)
+    tumor = load_read_set(resource_path(pair % "tumor"), filt).mapped_reads
+    normal = load_read_set(resource_path(pair % "normal"), filt).mapped_reads
+    t_cols = columnar_from_reads(sorted(tumor, key=lambda r: r.start))
+    contig = tumor[0].reference_contig
+    contig_id = t_cols.ref_names.index(contig)
+    lo = min(r.start for r in tumor)
+    hi = max(r.end for r in tumor)
+    loci = covered_loci(t_cols, contig_id, [(lo, hi)])
+    assert 0 < len(loci) < 100_000
+    tile = pack_tile_columnar(
+        t_cols, contig_id, contig, loci, fields="screen",
+        min_mapq=1, ll_screen_margin=0.5, ll_screen_kind=2,
+    )
+    assert tile.ll_candidates is not None
+    cand = {
+        int(tile.loci[i])
+        for i in np.flatnonzero(
+            np.asarray(tile.ll_candidates) | np.asarray(tile.overflow)
+        )
+    }
+    t_src = ReadSource.from_reads(tumor)
+    n_src = ReadSource.from_reads(normal)
+    emitted = set()
+    for locus in (int(x) for x in loci):
+        tp = t_src.pileup_at(contig, locus)
+        if not tp.elements:
+            continue
+        np_ = n_src.pileup_at(contig, locus)
+        if not np_.elements:
+            continue
+        if find_potential_variant_at_locus(tp, np_, 20, 1):
+            emitted.add(locus)
+    assert emitted, "fixture must emit somatic calls"
+    missed = emitted - cand
+    assert not missed, f"native tumor screen missed somatic loci {missed}"
