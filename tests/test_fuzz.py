@@ -152,3 +152,74 @@ def test_fuzz_caller_kernels_match_oracle(seed):
         return sorted((c.start, c.allele, c.labels) for c in calls)
 
     assert key(tile_calls) == key(oracle_calls)
+
+
+@pytest.mark.parametrize("seed", range(10, 16))
+def test_fuzz_native_screen_mode_matches_full(seed):
+    """Native screen-mode megatile outputs (counts32, candidates,
+    ll_candidates) fuzz-checked against the full tile on random
+    CIGAR/MD/quality reads: counts equal per-row bincounts of the full
+    grid, the native candidate rule equals the device rule's numpy twin,
+    and the inline likelihood screen covers every exact-confirm call."""
+    from guacamole_tpu.callers.germline_standard import calls_from_tile_rows
+    from guacamole_tpu.ops.dispatch import host_counts_candidates
+    from guacamole_tpu.pack.columnar import pack_tile_columnar
+    from guacamole_tpu.runtime.columnar import native_available
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+    rng = np.random.RandomState(seed)
+    region = 120
+    reads = sorted(
+        (random_read(rng, region) for _ in range(rng.randint(8, 30))),
+        key=lambda r: r.start,
+    )
+    cols = columnar_from_reads(reads)
+    loci = list(range(0, region + 40))
+    full = pack_tile_columnar(cols, 0, "chrF", loci)
+    screen = pack_tile_columnar(
+        cols, 0, "chrF", loci, fields="screen",
+        ll_screen_margin=0.5, ll_screen_kind=1,
+    )
+    assert screen.counts32 is not None
+
+    # counts32 == per-row bincount of the full grid's dense ids.
+    K = full.K
+    want_counts = np.zeros((full.L, K), dtype=np.int64)
+    aid = np.asarray(full.allele_id)
+    valid = np.asarray(full.valid).astype(bool)
+    for r in range(full.L):
+        ids = aid[r][valid[r]]
+        ids = ids[(ids >= 0) & (ids < K)]
+        want_counts[r] = np.bincount(ids, minlength=K)
+    np.testing.assert_array_equal(screen.counts32, want_counts)
+    np.testing.assert_array_equal(screen.depth, full.depth)
+    np.testing.assert_array_equal(screen.overflow, full.overflow)
+    np.testing.assert_array_equal(screen.is_variant, full.is_variant)
+
+    # Native candidate rule == its numpy twin, both thresholds.
+    from guacamole_tpu.runtime.native import counts_screen_native
+
+    for threshold in (None, 8):
+        np.testing.assert_array_equal(
+            counts_screen_native(
+                screen.counts32, screen.is_variant, threshold
+            ),
+            host_counts_candidates(
+                screen.counts32, screen.is_variant, threshold
+            ),
+        )
+
+    # Inline likelihood screen: superset of the exact confirm's emits.
+    assert screen.ll_candidates is not None
+    cand_loci = {
+        int(screen.loci[i])
+        for i in np.flatnonzero(
+            np.asarray(screen.ll_candidates) | np.asarray(screen.overflow)
+        )
+    }
+    rows = [i for i in range(full.L) if not full.overflow[i]]
+    emitted = {
+        c.start for c in calls_from_tile_rows(full, rows, "s")
+    }
+    assert emitted - cand_loci == set()
