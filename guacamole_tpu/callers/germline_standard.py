@@ -283,7 +283,11 @@ def call_variants(
                     for tile in sample_source.iter_tiles(
                         contig,
                         task_loci.on_contig(contig),
-                        tile_size=tile_size,
+                        # mesh mode stacks one whole tile per chip —
+                        # keep classic tiles there; otherwise auto.
+                        tile_size=(
+                            tile_size if mesh is None else (tile_size or 4096)
+                        ),
                         max_alleles=max_alleles,
                         reference_genome=reference_genome,
                         fields=screen_fields,

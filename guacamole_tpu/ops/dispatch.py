@@ -373,17 +373,85 @@ def _ll_screen_device(
     )
 
 
+# Slab bound for one likelihood-screen launch: the XLA kernels
+# materialize a [rows, D, K] one-hot intermediate, so megatile [L, D]
+# inputs split into row slabs (larger on TPU: megabatch transfers).
+LL_SLAB_CELLS = 4 << 20
+LL_SLAB_CELLS_TPU = 32 << 20
+
+
+def _ll_slab_cells() -> int:
+    return LL_SLAB_CELLS_TPU if on_tpu() else LL_SLAB_CELLS
+
+
+class _MergedCandidates:
+    """Slab-launched candidate screens presenting one tile-wide mask."""
+
+    __slots__ = ("_pendings",)
+
+    def __init__(self, pendings):
+        self._pendings = pendings  # [(n_rows, PendingCandidates)]
+
+    def result(self) -> np.ndarray:
+        return np.concatenate(
+            [np.asarray(p.result())[:nr] for nr, p in self._pendings]
+        )
+
+
 def ll_screen_arrays_launch(
     ll_pack, ll_mapq, is_variant, is_standard_alt, max_alleles: int,
     margin: float = 0.5,
-) -> PendingCandidates:
-    """PendingCandidates form of _ll_screen_device."""
-    return PendingCandidates(
-        _ll_screen_device(
-            ll_pack, ll_mapq, is_variant, is_standard_alt, max_alleles,
-            margin=margin,
+):
+    """PendingCandidates form of _ll_screen_device. Megatile inputs
+    split into row slabs (padded to the shared row-bucket ladder with
+    all-empty rows — 0xFFFF ll_pack slots yield candidate=False) whose
+    masks concatenate transparently at fetch."""
+    L, D = np.asarray(ll_pack).shape
+    slab_rows = max(256, _ll_slab_cells() // max(D, 1))
+    if L <= slab_rows:
+        return PendingCandidates(
+            _ll_screen_device(
+                ll_pack, ll_mapq, is_variant, is_standard_alt, max_alleles,
+                margin=margin,
+            )
         )
-    )
+    pendings = []
+    for r0 in range(0, L, slab_rows):
+        r1 = min(r0 + slab_rows, L)
+        nr = r1 - r0
+        npad = min(_bucket_rows_slab(nr), slab_rows)
+        sp = np.asarray(ll_pack)[r0:r1]
+        sv = np.asarray(is_variant)[r0:r1]
+        ss = np.asarray(is_standard_alt)[r0:r1]
+        sm = (
+            np.asarray(ll_mapq)[r0:r1] if ll_mapq is not None else None
+        )
+        if npad > nr:
+            pad = npad - nr
+            sp = np.concatenate(
+                [sp, np.full((pad, D), 0xFFFF, sp.dtype)]
+            )
+            sv = np.concatenate(
+                [sv, np.zeros((pad,) + sv.shape[1:], sv.dtype)]
+            )
+            ss = np.concatenate(
+                [ss, np.zeros((pad,) + ss.shape[1:], ss.dtype)]
+            )
+            if sm is not None:
+                sm = np.concatenate(
+                    [sm, np.zeros((pad, D), sm.dtype)]
+                )
+        pendings.append(
+            (
+                nr,
+                PendingCandidates(
+                    _ll_screen_device(
+                        sp, sm, sv, ss, max_alleles, margin=margin
+                    )
+                ),
+            )
+        )
+    return _MergedCandidates(pendings)
 
 
 def germline_screen_launch(

@@ -390,6 +390,10 @@ def _bucket_rows(n: int) -> int:
 # replacement for the reference's one-shuffle delivery,
 # cf. /root/reference .../DistributedUtil.scala:621-626).
 MEGA_TILE_ROWS = 1 << 20
+# Dense [L, D] likelihood tiles bound L so one tile's ll_pack stays
+# within this cell budget (128 MB u16); the dispatch layer slabs the
+# screen launches, so one pack call can still cover a whole region.
+DENSE_TILE_CELLS = 64 << 20
 
 
 def _auto_tile_size(n_loci: int, depth_pad: int, fields: str) -> int:
@@ -397,11 +401,15 @@ def _auto_tile_size(n_loci: int, depth_pad: int, fields: str) -> int:
         # CSR tiles have no dense depth axis; the dispatch layer slabs
         # oversized blobs, so one tile can cover a whole region.
         return max(4096, min(MEGA_TILE_ROWS, _bucket_rows(n_loci)))
-    # Dense [L, D] modes (likelihood screens) keep the classic tile size:
-    # the genotype-likelihood kernels materialize per-genotype [L, D]
-    # intermediates, so megatiles would thrash memory (measured 2x wall
-    # regression at 2.37M-read scale).
-    return 4096
+    # Dense [L, D] likelihood modes: megatile up to the cell budget —
+    # the dispatch layer slabs the screen launches along rows, so the
+    # genotype-likelihood kernels' per-slab intermediates stay bounded
+    # (unbounded megatile launches measured 2x slower).
+    cap = max(
+        4096,
+        min(MEGA_TILE_ROWS, DENSE_TILE_CELLS // max(depth_pad or 8, 1)),
+    )
+    return max(4096, min(cap, _bucket_rows(n_loci)))
 
 
 def _depth_bucket(depth: np.ndarray) -> np.ndarray:
