@@ -348,12 +348,26 @@ def run_scale_configs(tmp_root):
         raise RuntimeError(f"scale variant-support produced {r}")
     out["variant-support"] = r
 
-    # 6. structural-variant on the planted-deletion paired fixture
-    # (400k paired records, two het deletions of 6/9 kb): every planted
-    # deletion must be recovered by exactly one call within 200 bp.
+    # 6. structural-variant multi-band sweep: deletion sizes 200 bp-10 kb
+    # x het/hom (12 planted events, >=100 kb apart), plus 0.3% random
+    # discordant-pair noise stressing the clique stage's precision.
+    # Gates: every band's deletion recovered within 250 bp (recall 1.0
+    # per band) and overall precision >= 0.6 under that noise.
     from guacamole_tpu.utils.simulate import make_sv_fixture
 
-    sv_manifest = make_sv_fixture(SCALE_DIR)
+    sv_sizes = [200, 500, 1000, 2000, 5000, 10000]
+    sv_dels, sv_zygs = [], []
+    sv_pos = 150_000
+    for sz in sv_sizes:
+        for zyg in ("het", "hom"):
+            sv_dels.append((sv_pos, sz))
+            sv_zygs.append(zyg)
+            sv_pos += 150_000
+    sv_manifest = make_sv_fixture(
+        SCALE_DIR, length=sv_pos + 150_000, depth=16,
+        deletions=tuple(sv_dels), zygosities=sv_zygs, noise_rate=0.003,
+        seed=31,
+    )
     sv_sam = os.path.join(SCALE_DIR, sv_manifest["files"]["sv_sam"])
     sv_out = os.path.join(tmp_root, "scale-sv.txt")
     t0 = _time.time()
@@ -372,12 +386,25 @@ def run_scale_configs(tmp_root):
                 r"GenomeRange\((\w+),(\d+),(\d+)\)", fh.read()
             )
         ]
-    matched = 0
-    for lo, hi in sv_manifest["truth_deletions"]:
+    bands = []
+    matched_calls = set()
+    tol = 250
+    for (lo, hi), zyg in zip(
+        sv_manifest["truth_deletions"], sv_manifest["truth_zygosities"]
+    ):
         hits = [
-            c for c in called if abs(c[0] - lo) <= 200 and abs(c[1] - hi) <= 200
+            c for c in called
+            if abs(c[0] - lo) <= tol and abs(c[1] - hi) <= tol
         ]
-        matched += 1 if len(hits) == 1 else 0
+        matched_calls.update(hits)
+        bands.append({
+            "size_bp": hi - lo,
+            "zygosity": zyg,
+            "recovered": bool(hits),
+            "calls_within_tol": len(hits),
+        })
+    n_fp = len([c for c in called if tuple(c) not in matched_calls])
+    precision = (len(called) - n_fp) / max(len(called), 1)
     r = {
         "wall_s": round(sv_wall, 2),
         "n_records": sv_manifest["counts"]["records"],
@@ -385,10 +412,17 @@ def run_scale_configs(tmp_root):
             sv_manifest["counts"]["records"] / sv_wall, 1
         ),
         "planted_deletions": len(sv_manifest["truth_deletions"]),
-        "recovered_within_200bp": matched,
+        "noise_rate": sv_manifest["noise_rate"],
+        "bands": bands,
+        "band_recall": round(
+            sum(b["recovered"] for b in bands) / len(bands), 3
+        ),
         "calls": len(called),
+        "false_positive_calls": n_fp,
+        "precision": round(precision, 3),
+        "tolerance_bp": tol,
     }
-    if matched != len(sv_manifest["truth_deletions"]) or len(called) > matched + 1:
+    if any(not b["recovered"] for b in bands) or precision < 0.6:
         raise RuntimeError(f"scale structural-variant gate failed: {r}")
     out["structural-variant"] = r
     return out

@@ -223,6 +223,18 @@ def build_mixture_model(
     """1-D Gaussian mixture EM over VAFs, vectorized in JAX (the MLlib
     GaussianMixture analog, VAFHistogram.scala:265-281).
 
+    Initialization pins MLlib 1.3's scheme deterministically
+    (mllib.clustering.GaussianMixture.run): MLlib draws ``k * 5`` points
+    with replacement via ``takeSample(..., Random.nextLong())`` and
+    initializes cluster ``i``'s mean/covariance from the sample mean and
+    *biased* sample covariance of its 5-point slice, with uniform
+    weights ``1/k``. The reference never sets a seed, so its own output
+    is nondeterministic run-to-run (DEVIATIONS #12); here the same
+    sampling runs under a fixed ``seed`` so results are reproducible.
+    Convergence matches MLlib: stop when the summed log-likelihood moves
+    by less than ``convergence_tol`` (VAFHistogram.scala:268 defaults
+    maxIterations=50, convergenceTol=1e-2).
+
     Returns (weights, means, variances).
     """
     import jax
@@ -233,12 +245,17 @@ def build_mixture_model(
     )
     n = x.shape[0]
     k = num_clusters
+    n_samples = 5  # MLlib's nSamples
     rng = np.random.RandomState(seed)
-    means0 = jnp.asarray(
-        np.quantile(np.asarray(x), (np.arange(k) + 0.5) / k), dtype=jnp.float32
+    xs = np.asarray(x)
+    draws = xs[rng.randint(0, n, size=k * n_samples)].reshape(k, n_samples)
+    means0 = jnp.asarray(draws.mean(axis=1), dtype=jnp.float32)
+    # Biased covariance over the 5-point slice, as breeze's init does;
+    # floored so a degenerate slice (all-equal draws) stays PD.
+    variances0 = jnp.asarray(
+        np.maximum(draws.var(axis=1), 1e-6), dtype=jnp.float32
     )
     weights0 = jnp.full((k,), 1.0 / k, dtype=jnp.float32)
-    variances0 = jnp.full((k,), jnp.var(x) + 1e-4, dtype=jnp.float32)
 
     @jax.jit
     def em_step(weights, means, variances):

@@ -599,25 +599,43 @@ def make_sv_fixture(
     deletions: Tuple[Tuple[int, int], ...] = ((500_000, 6_000),
                                               (1_300_000, 9_000)),
     seed: int = 2027,
+    zygosities: Optional[Sequence[str]] = None,
+    noise_rate: float = 0.0,
 ) -> dict:
-    """Paired-end fixture with planted large HETEROZYGOUS deletions for
-    the structural-variant caller (idempotent, cached by manifest key).
+    """Paired-end fixture with planted large deletions for the
+    structural-variant caller (idempotent, cached by manifest key).
 
-    Fragments sample from two haplotypes: the reference and an ALT with
-    the deletions excised. An alt fragment whose insert window straddles
+    Fragments sample from two haplotypes. HOMOZYGOUS deletions are
+    excised from both haplotypes; HETEROZYGOUS ones only from the second
+    (`zygosities` parallels `deletions`, entries "het"/"hom"; default all
+    het — the round-4 behavior). A fragment whose insert window straddles
     an excised interval maps back to reference coordinates with its
     insert inflated by the deletion length — exactly the discordant-pair
     signal the caller's median+5*MAD threshold detects
     (cf. /root/reference .../StructuralVariantCaller.scala:102-129).
     Reads never cross breakpoints (such fragments are dropped), so every
     read aligns exactly (MD = read length); pairs carry proper RNEXT/
-    PNEXT/TLEN. Returns the manifest with the planted truth intervals.
+    PNEXT/TLEN.
+
+    noise_rate: fraction of fragments given a random inflated insert
+    (uniform 1-8 kb over the mean) UNRELATED to any planted deletion —
+    isolated discordant pairs that stress the clique stage's precision
+    (a real caller sees mapping-artifact discordants at this rate).
+
+    Returns the manifest with the planted truth intervals + zygosities.
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "sv_manifest.json")
-    key = {"version": 1, "length": length, "depth": depth,
+    zygs = list(zygosities) if zygosities is not None else ["het"] * len(
+        deletions
+    )
+    assert len(zygs) == len(deletions) and all(
+        z in ("het", "hom") for z in zygs
+    )
+    key = {"version": 2, "length": length, "depth": depth,
            "mean_insert": mean_insert, "sd_insert": sd_insert,
            "deletions": [list(d) for d in deletions], "seed": seed,
+           "zygosities": zygs, "noise_rate": noise_rate,
            "read_len": READ_LEN}
     if os.path.exists(manifest_path):
         try:
@@ -632,42 +650,64 @@ def make_sv_fixture(
 
     rng = np.random.default_rng(seed)
     ref = simulate_reference(rng, length)
-    dels = sorted(deletions)
-    # alt -> ref coordinate offset: positions past each excised interval
-    # shift right by the removed length.
-    del_starts_ref = np.asarray([d[0] for d in dels], dtype=np.int64)
-    del_lens = np.asarray([d[1] for d in dels], dtype=np.int64)
-    # alt coordinates of each deletion's breakpoint
-    removed_before = np.concatenate([[0], np.cumsum(del_lens)[:-1]])
-    bp_alt = del_starts_ref - removed_before  # [n_dels] alt breakpoints
-    alt_len = length - int(del_lens.sum())
+    order_idx = np.argsort([d[0] for d in deletions])
+    dels = [deletions[i] for i in order_idx]
+    dzygs = [zygs[i] for i in order_idx]
 
-    def alt_to_ref(pos_alt: np.ndarray) -> np.ndarray:
-        shift = np.zeros(len(pos_alt), dtype=np.int64)
-        for bp, rl in zip(bp_alt, np.cumsum(del_lens)):
-            shift = np.where(pos_alt >= bp, rl, shift)
-        return pos_alt + shift
+    def hap_model(hap_dels):
+        """Coordinate model of a haplotype with `hap_dels` excised:
+        (hap length, breakpoints in hap coords, hap->ref mapper)."""
+        if not hap_dels:
+            return length, np.zeros(0, np.int64), lambda p: p
+        starts_ref = np.asarray([d[0] for d in hap_dels], dtype=np.int64)
+        lens = np.asarray([d[1] for d in hap_dels], dtype=np.int64)
+        removed_before = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        bps = starts_ref - removed_before
+        cum = np.cumsum(lens)
+
+        def to_ref(pos):
+            shift = np.zeros(len(pos), dtype=np.int64)
+            for b, rl in zip(bps, cum):
+                shift = np.where(pos >= b, rl, shift)
+            return pos + shift
+
+        return length - int(lens.sum()), bps, to_ref
+
+    # Haplotype 0 carries the hom deletions; haplotype 1 carries all.
+    hom_dels = [d for d, z in zip(dels, dzygs) if z == "hom"]
+    h0_len, h0_bps, h0_to_ref = hap_model(hom_dels)
+    h1_len, h1_bps, h1_to_ref = hap_model(dels)
 
     n_frags = int(depth * length / (2 * READ_LEN))
-    hap = rng.integers(0, 2, size=n_frags)  # 0 = ref, 1 = alt
+    hap = rng.integers(0, 2, size=n_frags)
     inserts = np.maximum(
         rng.normal(mean_insert, sd_insert, size=n_frags).astype(np.int64),
         2 * READ_LEN + 10,
     )
-    hap_len = np.where(hap == 0, length, alt_len)
+    is_noise = np.zeros(n_frags, dtype=bool)
+    if noise_rate > 0:
+        is_noise = rng.random(n_frags) < noise_rate
+        inserts = np.where(
+            is_noise,
+            inserts + rng.integers(1_000, 8_000, size=n_frags),
+            inserts,
+        )
+    hap_len = np.where(hap == 0, h0_len, h1_len)
     starts = (rng.random(n_frags) * (hap_len - inserts - 1)).astype(np.int64)
     r1 = starts
     r2 = inserts + starts - READ_LEN  # mate start (same haplotype coords)
-    # Drop fragments whose READS cross an alt breakpoint (split reads).
+    # Drop fragments whose READS cross a breakpoint of their haplotype
+    # (split reads).
     keep = np.ones(n_frags, dtype=bool)
-    alt_mask = hap == 1
-    for bp in bp_alt:
-        for s in (r1, r2):
-            keep &= ~(alt_mask & (s < bp) & (s + READ_LEN > bp))
+    for hap_idx, bps in ((0, h0_bps), (1, h1_bps)):
+        mask = hap == hap_idx
+        for bp in bps:
+            for s in (r1, r2):
+                keep &= ~(mask & (s < bp) & (s + READ_LEN > bp))
     r1, r2, hap = r1[keep], r2[keep], hap[keep]
     # Map read starts to reference coordinates.
-    r1_ref = np.where(hap == 1, alt_to_ref(r1), r1)
-    r2_ref = np.where(hap == 1, alt_to_ref(r2), r2)
+    r1_ref = np.where(hap == 1, h1_to_ref(r1), h0_to_ref(r1))
+    r2_ref = np.where(hap == 1, h1_to_ref(r2), h0_to_ref(r2))
     tlen = r2_ref + READ_LEN - r1_ref  # leftmost-to-rightmost span
 
     contig = "svcontig"
@@ -715,6 +755,8 @@ def make_sv_fixture(
         "truth_deletions": [
             [int(s), int(s + l)] for s, l in dels
         ],
+        "truth_zygosities": dzygs,
+        "noise_rate": noise_rate,
     }
     with open(manifest_path, "w") as fh:
         json.dump(manifest, fh)

@@ -23,6 +23,29 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# Build the native runtime if missing or stale (the .so is not checked into
+# git; `make -C native` is the canonical build).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_REPO, "guacamole_tpu", "runtime", "libguac_runtime.so")
+_NATIVE = os.path.join(_REPO, "native")
+
+
+def _native_stale() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    so_mtime = os.path.getmtime(_SO)
+    for fn in os.listdir(_NATIVE):
+        if fn.endswith((".cpp", ".h", ".hpp")):
+            if os.path.getmtime(os.path.join(_NATIVE, fn)) > so_mtime:
+                return True
+    return False
+
+
+if _native_stale():
+    import subprocess
+
+    subprocess.run(["make", "-C", _NATIVE], check=True, capture_output=True)
+
 REFERENCE_RESOURCES = "/root/reference/src/test/resources"
 
 

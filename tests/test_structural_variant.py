@@ -259,3 +259,60 @@ def test_columnar_fast_path_equals_object_path(tmp_path):
     assert {
         c: [str(r) for r in rs] for c, rs in fast_results.items()
     } == {c: [str(r) for r in rs] for c, rs in obj_results.items()}
+
+
+def test_sv_simulator_zygosity_and_noise(tmp_path):
+    """Hom deletions are excised from both haplotypes (so ~all spanning
+    fragments are discordant, vs ~half for het) and noise fragments plant
+    isolated discordant pairs; the caller still recovers het and hom
+    deletions within tolerance (StructuralVariantCaller.scala:102-264)."""
+    from guacamole_tpu.callers.structural_variant import (
+        call_structural_variants,
+        get_exceptional_reads,
+    )
+    from guacamole_tpu.gio.load import load_read_set
+    from guacamole_tpu.reads.read import InputFilters, PairedMappedRead
+    from guacamole_tpu.utils.simulate import make_sv_fixture
+
+    manifest = make_sv_fixture(
+        str(tmp_path), length=400_000, depth=16,
+        deletions=((90_000, 3_000), (250_000, 3_000)),
+        zygosities=["het", "hom"], noise_rate=0.002, seed=13,
+    )
+    sam = str(tmp_path / manifest["files"]["sv_sam"])
+    read_set = load_read_set(sam, InputFilters.create(non_duplicate=True))
+    pairs = [
+        pm
+        for pm in (
+            PairedMappedRead.from_paired_read(pr)
+            for pr in read_set.mapped_paired_reads
+            if pr.is_first_in_pair
+        )
+        if pm is not None
+    ]
+    exc = get_exceptional_reads(pairs)
+
+    def discordant_near(lo, hi):
+        return [
+            p for p in exc.exceptional_reads
+            if lo - 600 <= p.read.start and p.mate.start + 100 <= hi + 600
+        ]
+
+    het_n = len(discordant_near(90_000, 93_000))
+    hom_n = len(discordant_near(250_000, 253_000))
+    # hom locus yields roughly twice the discordant pairs of the het one
+    assert hom_n > 1.5 * het_n > 0
+    # noise planted isolated discordants outside both deletion windows
+    outside = [
+        p for p in exc.exceptional_reads
+        if not (80_000 <= p.read.start <= 95_000)
+        and not (240_000 <= p.read.start <= 255_000)
+    ]
+    assert outside
+
+    _mn, results = call_structural_variants(pairs)
+    spans = [(r.start, r.stop) for r in results["svcontig"]]
+    for lo, hi in manifest["truth_deletions"]:
+        assert any(
+            abs(s - lo) <= 250 and abs(e - hi) <= 250 for s, e in spans
+        ), (lo, hi, spans)

@@ -293,6 +293,40 @@ class TestVafHistogram:
         ) == pytest.approx([0.25, 0.75], abs=0.05)
         assert weights.sum() == pytest.approx(1.0, abs=1e-3)
 
+    def test_gmm_pinned_convergence(self):
+        """Pin the seeded MLlib-style init: identical seeds give identical
+        fits, different seeds converge to the same clusters on a fixed VAF
+        fixture (VAFHistogram.scala:265-281; DEVIATIONS #12)."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        vafs = np.concatenate(
+            [
+                rng.normal(0.25, 0.03, 300).clip(0.01, 0.99),
+                rng.normal(0.50, 0.03, 300).clip(0.01, 0.99),
+                rng.normal(0.98, 0.01, 150).clip(0.01, 0.99),
+            ]
+        )
+        loci = [
+            VariantLocus("chr1", i, float(v)) for i, v in enumerate(vafs)
+        ]
+        w1, m1, v1 = build_mixture_model(loci, 3, seed=1)
+        w2, m2, v2 = build_mixture_model(loci, 3, seed=1)
+        # Deterministic: same seed, bit-identical fit.
+        assert np.array_equal(w1, w2)
+        assert np.array_equal(m1, m2)
+        assert np.array_equal(v1, v2)
+        # Converged to the planted clusters, stable parameters.
+        order = np.argsort(m1)
+        assert m1[order] == pytest.approx([0.25, 0.50, 0.98], abs=0.03)
+        assert w1[order] == pytest.approx(
+            [300 / 750, 300 / 750, 150 / 750], abs=0.05
+        )
+        assert np.all(v1 < 0.01)
+        # A different seed still recovers the same clusters.
+        _, m3, _ = build_mixture_model(loci, 3, seed=5)
+        assert np.sort(m3) == pytest.approx(m1[order], abs=0.05)
+
 
 def test_loci_from_variants(resources_dir):
     loci = loci_from_variants(resource_path("truth.chr20.vcf"))
