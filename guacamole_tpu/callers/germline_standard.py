@@ -293,6 +293,15 @@ def call_variants(
                         fields=screen_fields,
                         min_mapq=min_alignment_quality,
                         ll_screen_margin=0.5 if host_screen else 0.0,
+                        skip_nibbles=host_screen,
+                        # The min-likelihood emission gate, applied in the
+                        # screen (safe superset; see guac_pack.cpp) — only
+                        # when the exact emission prefilter is active.
+                        ll_screen_min_phred=(
+                            float(prefilter_min_likelihood)
+                            if host_screen
+                            else 0.0
+                        ),
                     ):
                         yield sample_name, sample_source, contig, tile
 

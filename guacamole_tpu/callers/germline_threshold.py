@@ -310,9 +310,12 @@ def call_variants(
     tests/test_distributed_caller.py)."""
     from guacamole_tpu.callers.source import ReadSource
 
+    from guacamole_tpu.ops.dispatch import pack_skip_nibbles
+
     source = (
         reads if isinstance(reads, ReadSource) else ReadSource.from_reads(reads)
     )
+    skip_nib = pack_skip_nibbles(mesh)
     calls: List[ThresholdCall] = []
     inverse = loci_partitions.inverse_map()
     sample_sources = {
@@ -331,6 +334,7 @@ def call_variants(
                         max_alleles=max_alleles,
                         reference_genome=reference_genome,
                         fields="screen",
+                        skip_nibbles=skip_nib,
                     ):
                         yield tile, sample_name, sample_source
 
@@ -416,6 +420,9 @@ def call_variants_streaming(
     task_sources = iter_task_sources(path, filters, loci_partitions)
     if task_sources is None:
         return None
+    from guacamole_tpu.ops.dispatch import pack_skip_nibbles
+
+    skip_nib = pack_skip_nibbles(mesh)
 
     # One pipeline across ALL tasks: tiles from task i+1 keep the device
     # busy while task i's tail classifies, and each task's decode was
@@ -437,6 +444,7 @@ def call_variants_streaming(
                         max_alleles=max_alleles,
                         reference_genome=reference_genome,
                         fields="screen",
+                        skip_nibbles=skip_nib,
                     ):
                         yield tile, sample_name, sample_source
 

@@ -484,6 +484,7 @@ def call_variants(
                     min_mapq=min_alignment_quality,
                     ll_screen_margin=0.5 if host_screen else 0.0,
                     ll_screen_kind=2,
+                    skip_nibbles=host_screen,
                 ):
                     yield contig, tile, tumor, normal
 

@@ -117,6 +117,8 @@ class ReadSource:
         min_mapq: int = 0,
         ll_screen_margin: float = 0.0,
         ll_screen_kind: int = 1,
+        skip_nibbles: bool = False,
+        ll_screen_min_phred: float = 0.0,
     ) -> Iterator:
         """Yield tiles one at a time so callers can overlap device kernels
         on tile i with host packing of tile i+1.
@@ -145,6 +147,8 @@ class ReadSource:
                 min_mapq=min_mapq,
                 ll_screen_margin=ll_screen_margin,
                 ll_screen_kind=ll_screen_kind,
+                skip_nibbles=skip_nibbles,
+                ll_screen_min_phred=ll_screen_min_phred,
             )
             return
         from guacamole_tpu.pack.tiles import pack_tiles

@@ -101,7 +101,7 @@ def _variant_loci_over_tasks(
     mesh=None,
 ) -> List[VariantLocus]:
     """Shared screen + VAF-emit loop over (task_loci, source) tasks."""
-    from guacamole_tpu.ops.dispatch import prefetch_iter
+    from guacamole_tpu.ops.dispatch import pack_skip_nibbles, prefetch_iter
 
     out: List[VariantLocus] = []
     first_sample: List[str] = []
@@ -117,6 +117,7 @@ def _variant_loci_over_tasks(
                     task_loci.on_contig(contig),
                     tile_size=tile_size,
                     fields="screen",
+                    skip_nibbles=pack_skip_nibbles(mesh),
                 ):
                     yield contig, tile, source
 

@@ -63,11 +63,14 @@ def pileup_allele_counts(
     names = source.sample_names()
     sample = names[0] if names else "default"
 
+    from guacamole_tpu.ops.dispatch import pack_skip_nibbles
+
     def tiles():
         for contig in loci.contigs:
             for tile in source.iter_tiles(
                 contig, loci.on_contig(contig), tile_size=tile_size,
                 fields="screen",
+                skip_nibbles=pack_skip_nibbles(mesh),
             ):
                 yield contig, tile
 

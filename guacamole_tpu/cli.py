@@ -419,13 +419,16 @@ def _streaming_partitions(args, loci_set, path):
             size = _os.stat(path).st_size
         except OSError:
             size = 0
-        # ~8 MB compressed per task: enough tasks that the per-task
+        # ~3 MB compressed per task: enough tasks that the per-task
         # decode (background thread) fully overlaps the previous task's
-        # pack/classify (measured best at 2.37M-read scale), and
-        # per-task working memory stays flat as inputs grow (the O(task)
-        # memory claim, gated by the bench's memory_scaling section).
+        # pack/classify AND the pipeline-head (first decode) cost stays
+        # small (measured best at 2.37M-read scale after the round-5
+        # pooled chunk inflate; 8 MB tasks left ~0.5 s of head + tail
+        # stall), and per-task working memory stays flat as inputs grow
+        # (the O(task) memory claim, gated by the bench's memory_scaling
+        # section).
         tasks = max(
-            _default_parallelism(), min(64, max(1, size // (8 << 20)))
+            _default_parallelism(), min(64, max(1, size // (3 << 20)))
         )
     if args.partition_accuracy == 0:
         return partition_loci_uniformly(tasks, loci_set)

@@ -512,6 +512,15 @@ def screen_on_host() -> bool:
         return True
 
 
+def pack_skip_nibbles(mesh=None) -> bool:
+    """True when CSR screen tiles may skip the nibble blob at pack time:
+    no mesh and the counting screens will run from the packer's [L, K]
+    counts on host (screen_on_host), so nothing ever reads csr_nib. The
+    native packer then uses the fused single-phase fill (no per-element
+    second pass, no nibble writes) — identical counts/candidates."""
+    return mesh is None and not use_pallas() and screen_on_host()
+
+
 def host_counts_candidates(counts, is_variant, threshold_percent):
     """numpy twin of kernels.counts_candidates (THE candidate rule) for
     the host fallback screen; depth is the row sum of counts, exactly as
@@ -1081,12 +1090,20 @@ def pipelined_batched_screens(
         if not tile.L:
             in_flight.append((item, None))
         else:
+            csr_skipped = (
+                getattr(tile, "csr_nib", None) is not None
+                and len(tile.csr_nib) == 0
+                and getattr(tile, "counts32", None) is not None
+            )
             if (
                 valid_of is None
-                and not use_pallas()
                 and getattr(tile, "counts32", None) is not None
-                and screen_on_host()
+                and (csr_skipped or (not use_pallas() and screen_on_host()))
             ):
+                # csr_skipped: the tile was packed with skip_nibbles (the
+                # pack-time host-screen decision) — its CSR blob is empty,
+                # so a device launch would silently count nothing. The
+                # counts screen is always correct; use it unconditionally.
                 # Host fallback: no accelerator attached, and the native
                 # packer already counted these elements — threshold the
                 # counts directly, zero device round trips.

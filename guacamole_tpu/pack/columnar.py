@@ -37,6 +37,8 @@ def pack_tile_columnar(
     min_mapq: int = 0,
     ll_screen_margin: float = 0.0,
     ll_screen_kind: int = 1,
+    skip_nibbles: bool = False,
+    ll_screen_min_phred: float = 0.0,
 ) -> LocusTile:
     """Pack one tile from columnar reads (must be sorted by start).
 
@@ -49,7 +51,8 @@ def pack_tile_columnar(
         tile = _pack_tile_native(
             cols, contig_id, contig_name, loci, max_alleles,
             reference_genome, depth_pad, l_pad, fields, min_mapq,
-            ll_screen_margin, ll_screen_kind,
+            ll_screen_margin, ll_screen_kind, skip_nibbles,
+            ll_screen_min_phred,
         )
         if tile is not None:
             return tile
@@ -165,7 +168,7 @@ def pack_tile_columnar(
 def _pack_tile_native(
     cols, contig_id, contig_name, loci, max_alleles, reference_genome,
     depth_pad, l_pad=0, fields="full", min_mapq=0, ll_screen_margin=0.0,
-    ll_screen_kind=1,
+    ll_screen_kind=1, skip_nibbles=False, ll_screen_min_phred=0.0,
 ) -> Optional[LocusTile]:
     from guacamole_tpu.pack.fast import LazyAlleleTables
     from guacamole_tpu.runtime.native import pack_tile_native
@@ -201,6 +204,8 @@ def _pack_tile_native(
         min_mapq=min_mapq,
         ll_screen_margin=ll_screen_margin,
         ll_screen_kind=ll_screen_kind,
+        skip_nibbles=skip_nibbles and fields == "screen",
+        ll_screen_min_phred=ll_screen_min_phred,
     )
     if out is None:
         return None
@@ -439,6 +444,8 @@ def iter_tiles_columnar(
     min_mapq: int = 0,
     ll_screen_margin: float = 0.0,
     ll_screen_kind: int = 1,
+    skip_nibbles: bool = False,
+    ll_screen_min_phred: float = 0.0,
 ):
     """Yield a contig's loci tiles one at a time (lazy pack_tiles_columnar).
 
@@ -529,6 +536,8 @@ def iter_tiles_columnar(
                 min_mapq=min_mapq,
                 ll_screen_margin=ll_screen_margin,
                 ll_screen_kind=ll_screen_kind,
+                skip_nibbles=skip_nibbles,
+                ll_screen_min_phred=ll_screen_min_phred,
             )
             if pad_to_tile_size and tile.L < l_pad:
                 tile = pad_tile_loci(tile, l_pad)

@@ -263,9 +263,16 @@ def _dense_to_csr(tile) -> Tuple[np.ndarray, np.ndarray]:
 def csr_of(tile) -> Tuple[np.ndarray, np.ndarray]:
     """A tile's CSR nibble encoding (native when present, else derived)."""
     if getattr(tile, "csr_nib", None) is not None:
-        return np.asarray(tile.csr_nib), np.asarray(
-            tile.csr_off, dtype=np.int32
+        nib = np.asarray(tile.csr_nib)
+        off = np.asarray(tile.csr_off, dtype=np.int32)
+        # A skip_nibbles-packed tile (empty blob with nonzero offsets)
+        # must never reach a device CSR launch — it would silently count
+        # nothing. Callers pass skip_nibbles only on host-screen runs.
+        assert len(nib) > 0 or len(off) == 0 or off[-1] == 0, (
+            "CSR tile was packed with skip_nibbles but reached a device "
+            "screen launch"
         )
+        return nib, off
     return _dense_to_csr(tile)
 
 

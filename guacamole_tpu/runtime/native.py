@@ -105,6 +105,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         + [ctypes.c_void_p, ctypes.c_int64]  # ref contig
         + [ctypes.c_int64, ctypes.c_int64]  # scan_lo, scan_hi
         + [ctypes.c_double, ctypes.c_int64]  # ll_screen_margin, kind
+        + [ctypes.c_int64]  # skip_nibbles
+        + [ctypes.c_double]  # ll_screen_min_phred
     )
     lib.guac_free_tile.argtypes = [ctypes.c_void_p]
     lib.guac_tile_L.restype = ctypes.c_int64
@@ -192,6 +194,8 @@ def pack_tile_native(
     scan_window=None,
     ll_screen_margin: float = 0.0,
     ll_screen_kind: int = 1,
+    skip_nibbles: bool = False,
+    ll_screen_min_phred: float = 0.0,
 ):
     """Run the C++ tile packer over columnar reads. Returns a dict of numpy
     arrays (LocusTile fields + allele key tables), or None if unavailable."""
@@ -260,6 +264,8 @@ def pack_tile_native(
         scan_window[1] if scan_window is not None else 0,
         float(ll_screen_margin),
         int(ll_screen_kind),
+        1 if skip_nibbles else 0,
+        float(ll_screen_min_phred),
     )
     if not handle:
         return None

@@ -273,7 +273,25 @@ void* guac_pack_tile(
     // this margin (see PackedTile::ll_candidates). ll_screen_kind picks
     // the model: 1 = germline (base quality only), 2 = tumor
     // (alignment-included: success = (1-err_q)(1-err_m)).
-    double ll_screen_margin = 0.0, int64_t ll_screen_kind = 1) {
+    double ll_screen_margin = 0.0, int64_t ll_screen_kind = 1,
+    // skip_nibbles != 0 on csr tiles: the caller screens from the [L, K]
+    // counts on host (no device CSR launch), so the nibble blob is never
+    // read — the fill fuses into ONE pass per row (counts accumulate per
+    // arrival-order distinct code, permuted to allele order at row end)
+    // and csr_nib stays empty. Counts/ll_candidates/allele tables are
+    // bit-identical to the two-phase fill (same per-bucket f64 add
+    // order); pinned by tests/test_pack_columnar.py.
+    int64_t skip_nibbles = 0,
+    // > 0 with ll_screen_margin: additionally drop candidate rows whose
+    // best-genotype NORMALIZED probability cannot reach this phred score
+    // (the min-likelihood genotype filter's emission gate,
+    // GenotypeFilter.scala:135). The screen's genotype set — unordered
+    // pairs of standard dictionary alleles — equals the exact confirm's
+    // enumeration (pairs of present standard alleles), so the factored
+    // normalized probability here bounds the exact one to fp rounding; a
+    // 1-phred safety band makes the drop a strict superset filter
+    // (pinned by tests/test_germline_standard.py).
+    double ll_screen_min_phred = 0.0) {
   PassTimer timer_;
   PackedTile* t = new PackedTile();
   int64_t L_out = std::max(l_pad, n_loci);
@@ -470,7 +488,7 @@ void* guac_pack_tile(
       t->csr_off[r + 1] =
           t->csr_off[r] +
           (r < n_loci ? (int32_t)((t->depth[r] + 1) / 2) : 0);
-    t->csr_nib.resize((size_t)t->csr_off[L_out]);
+    if (!skip_nibbles) t->csr_nib.resize((size_t)t->csr_off[L_out]);
   }
   t->overflow.assign(L_out, 0);
   if (csr) {
@@ -622,6 +640,15 @@ void* guac_pack_tile(
       std::vector<int32_t> distinct;
       std::vector<int32_t> sorted_codes;
       double ll_c[16], ll_g[16];
+      // Fused mode (skip_nibbles): per-arrival-id accumulators, parallel
+      // to `distinct`. Counts/ll sums accumulate during the single
+      // element sweep and permute to allele order at row end — no
+      // row_codes buffer, no second per-element pass, no nibble writes.
+      const bool skip_nib = skip_nibbles != 0;
+      bool ll_live = false;  // per-row: lazy ll sums went live
+      std::vector<int32_t> cnt_arr;
+      std::vector<double> llc_arr;
+      std::vector<double> llg_arr;
       // Per-row base-byte LUTs: nearly every element is an EV_BASE code
       // (match/mismatch), whose code varies only in the base byte at a
       // fixed row — one 256-entry table turns both distinct-collection
@@ -658,11 +685,21 @@ void* guac_pack_tile(
           next_m++;
         }
         int32_t dn = t->depth[row];
-        uint8_t* nib_row = t->csr_nib.data() + t->csr_off[row];
-        memset(nib_row, 0xFF, (size_t)((dn + 1) / 2));
-        row_codes.clear();
-        if (ll_screen) row_quals.clear();
-        if (ll_tumor) row_mapqs.clear();
+        uint8_t* nib_row = nullptr;
+        if (!skip_nib) {
+          nib_row = t->csr_nib.data() + t->csr_off[row];
+          memset(nib_row, 0xFF, (size_t)((dn + 1) / 2));
+          row_codes.clear();
+          if (ll_screen) row_quals.clear();
+          if (ll_tumor) row_mapqs.clear();
+        } else {
+          cnt_arr.clear();
+          if (ll_screen) {
+            llc_arr.clear();
+            llg_arr.clear();
+          }
+          ll_live = false;
+        }
         distinct.clear();
         uint8_t rb = t->ref_base[row];
         size_t w = 0;
@@ -679,9 +716,11 @@ void* guac_pack_tile(
           if (min_mapq > 0 &&
               mapq[sel[(size_t)act_member[me]]] < min_mapq) {
             // MAPQ-filtered: holds its slot (0xF nibble), no tables.
-            row_codes.push_back(-2);
-            if (ll_screen) row_quals.push_back(0);
-            if (ll_tumor) row_mapqs.push_back(0);
+            if (!skip_nib) {
+              row_codes.push_back(-2);
+              if (ll_screen) row_quals.push_back(0);
+              if (ll_tumor) row_mapqs.push_back(0);
+            }
             continue;
           }
           int64_t ei = bias + locus;
@@ -735,36 +774,105 @@ void* guac_pack_tile(
               break;
             }
           }
-          row_codes.push_back(code);
-          if (ll_screen) row_quals.push_back(ev_qual[ei]);
-          if (ll_tumor) {
-            int32_t m = mapq[sel[(size_t)act_member[me]]];
-            row_mapqs.push_back(
-                (uint8_t)(m < 0 ? 0 : (m > 255 ? 255 : m)));
+          if (!skip_nib) {
+            row_codes.push_back(code);
+            if (ll_screen) row_quals.push_back(ev_qual[ei]);
+            if (ll_tumor) {
+              int32_t m = mapq[sel[(size_t)act_member[me]]];
+              row_mapqs.push_back(
+                  (uint8_t)(m < 0 ? 0 : (m > 255 ? 255 : m)));
+            }
           }
+          int32_t aid = -1;
           if ((code & 0x70000) == 0x10000) {
             uint8_t b = (uint8_t)(code & 0xff);
             if (!seen_base[b]) {
               seen_base[b] = 1;
               touched[n_touched++] = b;
+              if (skip_nib) {
+                id_base[b] = (int16_t)distinct.size();
+                cnt_arr.push_back(0);
+                if (ll_screen) {
+                  llc_arr.push_back(0.0);
+                  llg_arr.push_back(0.0);
+                }
+              }
               distinct.push_back(code);
               if (!seen_short[code]) {
                 seen_short[code] = 1;
                 distinct_short.push_back(code);
               }
             }
+            if (skip_nib) aid = id_base[b];
           } else {
             if (code < 0x40000 && !seen_short[code]) {
               seen_short[code] = 1;
               distinct_short.push_back(code);
             }
-            bool fresh = true;
-            for (int32_t d : distinct)
-              if (d == code) {
-                fresh = false;
+            int32_t found = -1;
+            for (size_t d = 0; d < distinct.size(); d++)
+              if (distinct[d] == code) {
+                found = (int32_t)d;
                 break;
               }
-            if (fresh) distinct.push_back(code);
+            if (found < 0) {
+              found = (int32_t)distinct.size();
+              distinct.push_back(code);
+              if (skip_nib) {
+                cnt_arr.push_back(0);
+                if (ll_screen) {
+                  llc_arr.push_back(0.0);
+                  llg_arr.push_back(0.0);
+                }
+              }
+            }
+            if (skip_nib) aid = found;
+          }
+          if (skip_nib) {
+            cnt_arr[(size_t)aid]++;
+            if (ll_screen) {
+              // Lazy ll accumulation: single-allele rows (the vast
+              // majority) never need the f64 LUT sums — their candidate
+              // verdict and normalized probability are allele-count-only
+              // facts (one genotype: p = 1). Sums go live when a SECOND
+              // distinct code registers; the catch-up walks the already-
+              // processed window entries (all carrying arrival id 0) in
+              // original element order, so every per-bucket f64 sequence
+              // matches the eager two-phase fill bit-for-bit.
+              if (!ll_live && distinct.size() >= 2) {
+                for (size_t cu = 0; cu < me; cu++) {
+                  int64_t rr = sel[(size_t)act_member[cu]];
+                  if (min_mapq > 0 && mapq[rr] < min_mapq) continue;
+                  int64_t cei = act_bias[cu] + locus;
+                  if (ll_tumor) {
+                    int32_t m = mapq[rr];
+                    uint8_t mb =
+                        (uint8_t)(m < 0 ? 0 : (m > 255 ? 255 : m));
+                    int idx = (int)ev_qual[cei] * 256 + (int)mb;
+                    llc_arr[0] += llm_x[idx];
+                    llg_arr[0] += llm_y[idx];
+                  } else {
+                    uint8_t q = ev_qual[cei];
+                    llc_arr[0] += ll_x[q];
+                    llg_arr[0] += ll_y[q];
+                  }
+                }
+                ll_live = true;
+              }
+              if (ll_live) {
+                if (ll_tumor) {
+                  int32_t m = mapq[sel[(size_t)act_member[me]]];
+                  uint8_t mb = (uint8_t)(m < 0 ? 0 : (m > 255 ? 255 : m));
+                  int idx = (int)ev_qual[ei] * 256 + (int)mb;
+                  llc_arr[(size_t)aid] += llm_x[idx];
+                  llg_arr[(size_t)aid] += llm_y[idx];
+                } else {
+                  uint8_t q = ev_qual[ei];
+                  llc_arr[(size_t)aid] += ll_x[q];
+                  llg_arr[(size_t)aid] += ll_y[q];
+                }
+              }
+            }
           }
         }
         act_bias.resize(w);
@@ -827,6 +935,36 @@ void* guac_pack_tile(
           }
         }
         cnts.push_back(n_distinct);
+        int32_t* counts_row = t->counts.data() + row * K;
+        int32_t n_ll_valid = 0;
+        if (skip_nib) {
+          // Fused mode: counts/ll sums already accumulated per arrival
+          // id during the sweep — permute into allele (sorted) order.
+          // Per-bucket f64 add order matches the two-phase fill (same
+          // element order within each bucket), so ll_c/ll_g and counts
+          // are bit-identical to it.
+          int32_t na = (int32_t)std::min<int64_t>(n_distinct, K);
+          for (int32_t u = 0; u < na; u++) {
+            int32_t c = sorted_codes[(size_t)u];
+            int32_t ai;
+            if ((c & 0x70000) == 0x10000) {
+              ai = id_base[c & 0xff];
+            } else {
+              ai = -1;
+              for (size_t d = 0; d < distinct.size(); d++)
+                if (distinct[d] == c) {
+                  ai = (int32_t)d;
+                  break;
+                }
+            }
+            counts_row[u] = cnt_arr[(size_t)ai];
+            n_ll_valid += cnt_arr[(size_t)ai];
+            if (ll_screen) {
+              ll_c[u] = llc_arr[(size_t)ai];
+              ll_g[u] = llg_arr[(size_t)ai];
+            }
+          }
+        } else {
         // Map each element's code to its dense id (EV_BASE via the LUT,
         // other kinds via a scan of the few distinct); write nibble +
         // count.
@@ -834,12 +972,10 @@ void* guac_pack_tile(
           if ((sorted_codes[(size_t)u] & 0x70000) == 0x10000)
             id_base[sorted_codes[(size_t)u] & 0xff] = (int16_t)u;
         dn = (int32_t)std::min<int64_t>(dn, (int64_t)row_codes.size());
-        int32_t* counts_row = t->counts.data() + row * K;
         if (ll_screen) {
           memset(ll_c, 0, sizeof(ll_c));
           memset(ll_g, 0, sizeof(ll_g));
         }
-        int32_t n_ll_valid = 0;
         for (int32_t slot = 0; slot < dn; slot++) {
           int32_t code = row_codes[(size_t)slot];
           if (code < 0) continue;
@@ -875,6 +1011,7 @@ void* guac_pack_tile(
                 ((int)id << shift));
           }
         }
+        }
         if (ll_screen && n_ll_valid > 0) {
           // Pair scores from the per-allele sums (the common all-element
           // term cancels): ll(i,j) = -c_i - c_j (i != j), -c_i + g_i
@@ -897,8 +1034,34 @@ void* guac_pack_tile(
               }
             }
           }
-          t->ll_candidates[row] =
-              best_var >= best_ref - ll_screen_margin ? 1 : 0;
+          bool cand = best_var >= best_ref - ll_screen_margin;
+          if (cand && ll_screen_min_phred > 0.0) {
+            // Emission-gate prefilter in the screen: the best genotype's
+            // normalized probability p = exp(s_max) / sum_k exp(s_k)
+            // over the SAME genotype set the exact confirm enumerates,
+            // so GQ(p) bounds the exact GQ (to fp rounding; 1-phred
+            // safety band). Rows the min-likelihood filter must drop
+            // never reach the sparse confirm.
+            double smax = std::max(best_var, best_ref);
+            if (std::isfinite(smax)) {
+              double sum = 0.0;
+              for (int32_t i = 0; i < na; i++) {
+                if (!sa[i]) continue;
+                for (int32_t j = i; j < na; j++) {
+                  if (!sa[j]) continue;
+                  double score =
+                      i == j ? -ll_c[i] + ll_g[i] : -ll_c[i] - ll_c[j];
+                  sum += exp(score - smax);
+                }
+              }
+              double one_minus = 1.0 - (1.0 / sum - 1e-10);
+              if (one_minus > 0.0) {
+                double gq = -10.0 * log10(one_minus);
+                if (gq < ll_screen_min_phred - 1.0) cand = false;
+              }
+            }
+          }
+          t->ll_candidates[row] = cand ? 1 : 0;
         }
         // Reset the per-row LUTs via the touched list.
         for (int i = 0; i < n_touched; i++) seen_base[touched[i]] = 0;

@@ -890,7 +890,6 @@ struct BgzfStream {
 static Reads* decode_bam_chunks(const char* path, int threads,
                                 int64_t n_chunks, const int64_t* vbeg,
                                 const int64_t* vend) {
-  (void)threads;  // chunk-local decode is sequential per chunk
   BgzfStream stream;
   if (!stream.open(path)) return nullptr;
 
@@ -920,35 +919,95 @@ static Reads* decode_bam_chunks(const char* path, int threads,
   int default_sample = -1;
 
   std::vector<uint8_t> u;
+  std::vector<uint8_t> cbuf;  // one chunk's compressed byte range
   for (int64_t c = 0; c < n_chunks; c++) {
     uint64_t c0 = (uint64_t)vbeg[c] >> 16;
     uint64_t c1 = (uint64_t)vend[c] >> 16;
     size_t u0 = (uint64_t)vbeg[c] & 0xffff;
     size_t u1 = (uint64_t)vend[c] & 0xffff;
     u.clear();
-    size_t coffset = (size_t)c0;
     size_t uend = SIZE_MAX;  // local uoffset of the chunk end
-    // Walk blocks from the chunk start through the block containing the
-    // end voffset, plus one slack block for a record overhanging vend.
+    // Read the chunk's compressed range in ONE read — [c0, c1] plus two
+    // max-size blocks of slack (the block containing the end voffset and
+    // one more for a record overhanging vend) — then scan block headers
+    // and inflate with the libdeflate thread pool. Replaces the serial
+    // per-block fseek+zlib walk (the streaming path's decode was
+    // single-threaded per task while the whole-file path pooled).
+    if ((size_t)c0 >= stream.fsize) continue;
+    size_t guess_end =
+        std::min(stream.fsize, (size_t)c1 + 2 * 65536 + 28);
+    if (guess_end <= (size_t)c0)
+      guess_end = std::min(stream.fsize, (size_t)c0 + 2 * 65536 + 28);
+    cbuf.resize(guess_end - (size_t)c0);
+    fseek(stream.f, (long)c0, SEEK_SET);
+    cbuf.resize(fread(cbuf.data(), 1, cbuf.size(), stream.f));
+    std::vector<BgzfBlock> lbs;  // coffset local to cbuf
+    size_t loff = 0, uoff = 0;
     bool have_end = false, slack_done = false;
-    while (coffset < stream.fsize && !(have_end && slack_done)) {
-      size_t block_ustart = u.size();
-      size_t block_coffset = coffset;
-      size_t bsize = 0;
-      if (!stream.inflate_at(coffset, &u, &bsize)) break;
-      coffset += bsize;
+    while (!(have_end && slack_done) && loff + 28 <= cbuf.size()) {
+      if (cbuf[loff] != 0x1f || cbuf[loff + 1] != 0x8b ||
+          !(cbuf[loff + 3] & 0x04))
+        break;
+      uint16_t xlen;
+      memcpy(&xlen, &cbuf[loff + 10], 2);
+      size_t pos = loff + 12, hend = pos + xlen, bsize = 0;
+      while (pos + 4 <= hend) {
+        uint8_t si1 = cbuf[pos], si2 = cbuf[pos + 1];
+        uint16_t slen;
+        memcpy(&slen, &cbuf[pos + 2], 2);
+        if (si1 == 66 && si2 == 67 && slen == 2) {
+          uint16_t bs;
+          memcpy(&bs, &cbuf[pos + 4], 2);
+          bsize = (size_t)bs + 1;
+        }
+        pos += 4 + slen;
+      }
+      if (bsize == 0 || loff + bsize > cbuf.size()) break;
+      uint32_t isize;
+      memcpy(&isize, &cbuf[loff + bsize - 4], 4);
+      size_t abs_off = (size_t)c0 + loff;
       if (!have_end) {
-        if (block_coffset == (size_t)c1) {
+        if (abs_off == (size_t)c1) {
           have_end = true;
-          uend = block_ustart + u1;
-        } else if (block_coffset > (size_t)c1) {
+          uend = uoff + u1;
+        } else if (abs_off > (size_t)c1) {
           // End voffset fell between blocks (defensive): stop here.
           have_end = true;
           slack_done = true;
-          uend = block_ustart;
+          uend = uoff;
+          break;
         }
       } else {
-        slack_done = true;
+        slack_done = true;  // the one slack block — include it
+      }
+      lbs.push_back({loff, bsize, uoff, isize});
+      uoff += isize;
+      loff += bsize;
+    }
+    u.resize(uoff);
+    if (!lbs.empty()) {
+      std::atomic<size_t> next_b(0);
+      std::atomic<bool> ok(true);
+      auto worker = [&]() {
+        while (true) {
+          size_t i = next_b.fetch_add(1);
+          if (i >= lbs.size() || !ok.load()) break;
+          if (!inflate_block(cbuf, lbs[i], u.data() + lbs[i].uoffset))
+            ok.store(false);
+        }
+      };
+      int nthreads =
+          (int)std::min<size_t>(threads < 1 ? 1 : threads, lbs.size());
+      if (nthreads <= 1) {
+        worker();
+      } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+      }
+      if (!ok.load()) {
+        delete r;
+        return nullptr;
       }
     }
     // End voffset past the last data block (EOF convention): the chunk

@@ -82,6 +82,22 @@ def main() -> int:
             valid=np.stack([t[4] for t in tiles]),
             is_variant=np.stack([t[5] for t in tiles]),
         )
+        elements = int(batch.valid.sum())
+        # Stage the batch onto the mesh ONCE (the production megabatch
+        # path transfers each tile exactly once; re-shipping ~21 MB of
+        # host numpy per step would measure the transfer, not the step).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec("loci"))
+        batch = ShardedBatch(
+            **{
+                f: jax.device_put(getattr(batch, f), sharding)
+                for f in (
+                    "allele_id", "qual", "mapq", "strand", "valid",
+                    "is_variant",
+                )
+            }
+        )
         out = step(batch)
         jax.block_until_ready(out)
         t0 = time.time()
@@ -89,7 +105,6 @@ def main() -> int:
             out = step(batch)
         jax.block_until_ready(out)
         wall = (time.time() - t0) / args.iters
-        elements = int(batch.valid.sum())
         results[n] = {
             "wall_ms": round(wall * 1000, 3),
             "elements_per_s": round(elements / wall),

@@ -403,3 +403,42 @@ def test_native_tumor_screen_superset_of_exact_somatic(resources_dir):
     assert emitted, "fixture must emit somatic calls"
     missed = emitted - cand
     assert not missed, f"native tumor screen missed somatic loci {missed}"
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_skip_nibbles_fused_fill_matches_two_phase(resources_dir):
+    """The fused single-phase CSR fill (skip_nibbles=True: counts per
+    arrival-order code, permuted at row end) must be bit-identical to the
+    two-phase fill in everything the host screen consumes — counts,
+    allele tables, flags, and the f64 likelihood-screen candidates — for
+    both the germline and tumor screen models."""
+    path = resource_path("chrM.sorted.bam")
+    cols = decode_bam_columnar(path)
+    mapped_cols = cols.select(cols.is_mapped_mask)
+    contig_id = mapped_cols.ref_names.index("chrM")
+    loci = list(range(0, 4096))
+    for kind, min_mapq in ((1, 0), (1, 20), (2, 0)):
+        base = pack_tile_columnar(
+            mapped_cols, contig_id, "chrM", loci, fields="screen",
+            min_mapq=min_mapq, ll_screen_margin=0.5, ll_screen_kind=kind,
+        )
+        fused = pack_tile_columnar(
+            mapped_cols, contig_id, "chrM", loci, fields="screen",
+            min_mapq=min_mapq, ll_screen_margin=0.5, ll_screen_kind=kind,
+            skip_nibbles=True,
+        )
+        assert len(fused.csr_nib) == 0  # the blob really is skipped
+        np.testing.assert_array_equal(fused.counts32, base.counts32)
+        np.testing.assert_array_equal(
+            fused.ll_candidates, base.ll_candidates
+        )
+        np.testing.assert_array_equal(fused.depth, base.depth)
+        np.testing.assert_array_equal(fused.num_alleles, base.num_alleles)
+        np.testing.assert_array_equal(fused.is_variant, base.is_variant)
+        np.testing.assert_array_equal(
+            fused.is_standard_alt, base.is_standard_alt
+        )
+        np.testing.assert_array_equal(fused.overflow, base.overflow)
+        np.testing.assert_array_equal(fused.csr_off, base.csr_off)
+        for li in range(fused.L):
+            assert list(fused.alleles[li]) == list(base.alleles[li])
