@@ -597,6 +597,32 @@ def run_multihost_weak_scaling(tmp_root):
         wall = time.time() - t0
         two_wall = wall if two_wall is None else min(two_wall, wall)
 
+    # Control leg: the SAME two shard workloads, same pinning, run as two
+    # INDEPENDENT processes (no coordinator, no DCN, separate outputs).
+    # two_wall / this isolates the distributed runtime's own cost
+    # (bootstrap + collectives + merged write) from host-level
+    # concurrency effects (DRAM / page-fault contention two separate
+    # hosts would not share; docs/MULTIHOST.md has the decomposition).
+    ind_wall = None
+    for it in range(2):
+        t0 = time.time()
+        procs = [
+            spawn(
+                base + [
+                    "--loci",
+                    f"shallow8m:{pid * half}-{(pid + 1) * half}",
+                    "--out", os.path.join(tmp_root, f"ws-ind-{it}-{pid}.vcf"),
+                ],
+                cores[pid % len(cores)], f"ind{it}-p{pid}",
+            )
+            for pid in range(2)
+        ]
+        for proc in procs:
+            if proc.wait(timeout=1800) != 0:
+                return {"error": "independent-concurrent control failed"}
+        wall = time.time() - t0
+        ind_wall = wall if ind_wall is None else min(ind_wall, wall)
+
     # correctness: the merged 2-process output over the full contig must
     # equal an (unpinned) single-process full-contig run
     # Comparator legs pin to the SAME two cores the 2-process legs used
@@ -663,6 +689,12 @@ def run_multihost_weak_scaling(tmp_root):
             round(two_wall / full_wall, 3)
             if full_wall is not None
             else None
+        ),
+        "independent_concurrent_wall_s": (
+            round(ind_wall, 2) if ind_wall is not None else None
+        ),
+        "dcn_runtime_overhead_vs_independent": (
+            round(two_wall / ind_wall, 3) if ind_wall else None
         ),
         "outputs_identical_to_full_single_run": identical,
         "phase_breakdown": {
@@ -855,6 +887,147 @@ print(json.dumps({
 """
 
 
+ACCELERATOR_SCALE_CODE = r"""
+import json, os, sys, time
+os.environ.pop("JAX_PLATFORMS", None)
+os.environ["GUAC_TRANSFER_STATS"] = "1"
+from guacamole_tpu.platform import configure_platform
+configure_platform()
+import jax
+dev = jax.devices()[0]
+if dev.platform == "cpu":
+    print(json.dumps({"skipped": "no accelerator attached"}))
+    raise SystemExit(0)
+from guacamole_tpu import cli
+from guacamole_tpu.ops import dispatch
+argv = json.loads(sys.argv[1])
+out_dir = sys.argv[2]
+tag = sys.argv[3]
+iters = int(sys.argv[4])
+walls, stats = [], None
+for it in range(iters):
+    out = os.path.join(out_dir, f"accel-scale-{tag}-{it}.vcf")
+    dispatch.reset_transfer_stats()
+    t0 = time.time()
+    rc = cli.main(argv + ["--out", out])
+    walls.append(round(time.time() - t0, 3))
+    if rc != 0:
+        print(json.dumps({"error": f"CLI exited {rc}"}))
+        raise SystemExit(0)
+    stats = {
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in dispatch.TRANSFER_STATS.items()
+    }
+print(json.dumps({
+    "platform": dev.platform,
+    "wall_s_cold": walls[0],
+    "wall_s": min(walls[1:]) if len(walls) > 1 else walls[0],
+    "vcf": os.path.join(out_dir, f"accel-scale-{tag}-{iters - 1}.vcf"),
+    "transfers": stats,
+}))
+"""
+
+
+def run_accelerator_scale(tmp_root):
+    """Round-5 VERDICT item 1: the 2.37M-read scale configs end-to-end ON
+    the attached accelerator through the megabatch device path, with
+    explicit transfer accounting (GUAC_TRANSFER_STATS=1: bytes + wall per
+    direction, launch count) and the same planted-truth gates as the
+    host-side scale section. Subprocess-isolated with a timeout; a
+    degraded tunnel yields a link-bound breakdown rather than no number
+    (the reads/s-or-breakdown contract). Reference analog being replaced:
+    the one-shuffle delivery of DistributedUtil.scala:558-634."""
+    # Fixture: cached by manifest key; generate in a subprocess so this
+    # parent stays small for the memory section.
+    gen = subprocess.run(
+        [sys.executable, "-c",
+         "from guacamole_tpu.utils.simulate import make_scale_fixture; "
+         f"make_scale_fixture({SCALE_DIR!r})"],
+        capture_output=True, text=True, timeout=1800,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    if gen.returncode != 0:
+        return {"error": f"fixture generation failed: {gen.stderr[-300:]}"}
+    with open(os.path.join(SCALE_DIR, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    truth = manifest["truth"]
+    planted_snvs = {
+        (contig, pos)
+        for contig in ("deep1m", "shallow8m")
+        for pos in truth[contig]["snv_pos"]
+    }
+    germ = os.path.join(SCALE_DIR, manifest["files"]["germline_bam"])
+    n_germ = manifest["counts"]["germline"]
+
+    configs = {
+        "germline-threshold": (
+            ["germline-threshold", "--reads", germ, "--threshold", "25"],
+            {"recall": 0.93, "precision": 0.97},
+        ),
+        "germline-standard": (
+            ["germline-standard", "--reads", germ, "--min-likelihood",
+             "40"],
+            {"recall": 0.95, "precision": 0.92},
+        ),
+    }
+    out = {}
+    for name, (argv, gates) in configs.items():
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", ACCELERATOR_SCALE_CODE,
+                 json.dumps(argv), tmp_root, name, "2"],
+                capture_output=True, text=True, timeout=1500,
+                env=dict(os.environ),
+            )
+        except subprocess.TimeoutExpired:
+            out[name] = {"error": "accelerator scale run timed out "
+                         "(tunnel in a bad window)"}
+            continue
+        line = (
+            proc.stdout.strip().splitlines()[-1]
+            if proc.stdout.strip()
+            else "{}"
+        )
+        try:
+            info = json.loads(line)
+        except ValueError:
+            out[name] = {
+                "error": f"unparsable output: {proc.stderr[-300:]}"
+            }
+            continue
+        if "skipped" in info or "error" in info:
+            out[name] = info
+            continue
+        called = _read_vcf_snvs(info.pop("vcf"))
+        hits = len(called & planted_snvs)
+        info["n_reads"] = n_germ
+        info["reads_per_s"] = round(n_germ / info["wall_s"], 1)
+        info["snv_recall"] = round(hits / max(1, len(planted_snvs)), 4)
+        info["snv_precision"] = round(hits / max(1, len(called)), 4)
+        if (
+            info["snv_recall"] < gates["recall"]
+            or info["snv_precision"] < gates["precision"]
+        ):
+            out[name] = {"error": f"truth gate failed on-accelerator: "
+                         f"{info}"}
+            continue
+        t = info.get("transfers") or {}
+        moved = t.get("h2d_bytes", 0) + t.get("d2h_bytes", 0)
+        link_s = t.get("h2d_s", 0.0) + t.get("d2h_s", 0.0)
+        info["link_breakdown"] = {
+            "bytes_moved_mb": round(moved / 1e6, 1),
+            "transfer_wall_s": round(link_s, 2),
+            "transfer_fraction_of_wall": round(
+                link_s / max(info["wall_s"], 1e-9), 3
+            ),
+            "effective_link_mb_per_s": round(
+                moved / 1e6 / max(link_s, 1e-9), 1
+            ),
+        }
+        out[name] = info
+    return out
+
+
 def _accelerator_one_config(name, tmp_root):
     spec = ACCEL_CONFIGS.get(name) or CONFIGS[name]
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
@@ -992,6 +1165,7 @@ def main() -> int:
         report["accelerator_endtoend"] = safe(
             run_accelerator_endtoend, tmp_root
         )
+        report["accelerator_scale"] = safe(run_accelerator_scale, tmp_root)
         # Memory section runs EARLY, while this parent process is still
         # small: the wrapper subprocesses' peak RSS otherwise reads the
         # machine's reclaim ceiling (parent footprint + cache-cold IO
@@ -1093,7 +1267,8 @@ def main() -> int:
             "platform": link,
             "cpu_fallback_wall_s": headline["wall_s"],
             "configs_in_sidecar": sorted(report["configs"])
-            + ["accelerator_endtoend", "baseline_measured_python", "scale",
+            + ["accelerator_endtoend", "accelerator_scale",
+               "baseline_measured_python", "scale",
                "memory_scaling", "scaling_8shard_virtual",
                "multihost_2proc", "multihost_weak_scaling"],
             "baseline_status": baseline_status,

@@ -90,6 +90,46 @@ def kernel_path() -> str:
     return "pallas" if device_link_is_local() else "xla"
 
 
+# Opt-in transfer accounting (GUAC_TRANSFER_STATS=1): every staged H2D
+# payload and fetched D2H payload is counted with its wall time, so a
+# bench run can report exactly what the link moved and how long it took
+# (the megabatch transfer-accounting ask, round-4 VERDICT item 1). Off
+# by default: staging is implicit in the jit call and costs nothing.
+TRANSFER_STATS = {
+    "h2d_bytes": 0, "h2d_s": 0.0, "h2d_calls": 0,
+    "d2h_bytes": 0, "d2h_s": 0.0, "d2h_calls": 0,
+    "launches": 0,
+}
+
+
+def transfer_stats_enabled() -> bool:
+    return os.environ.get("GUAC_TRANSFER_STATS", "") == "1"
+
+
+def reset_transfer_stats() -> None:
+    for k in TRANSFER_STATS:
+        TRANSFER_STATS[k] = 0 if k.endswith(("bytes", "calls", "launches")) else 0.0
+
+
+def _stage(*arrays):
+    """device_put with accounting when GUAC_TRANSFER_STATS=1; otherwise a
+    passthrough (the jit call stages implicitly)."""
+    TRANSFER_STATS["launches"] += 1
+    if not transfer_stats_enabled():
+        return arrays
+    import time as _time
+
+    live = [a for a in arrays if a is not None]
+    t0 = _time.perf_counter()
+    staged = jax.device_put(live)
+    jax.block_until_ready(staged)
+    TRANSFER_STATS["h2d_s"] += _time.perf_counter() - t0
+    TRANSFER_STATS["h2d_bytes"] += sum(int(a.nbytes) for a in live)
+    TRANSFER_STATS["h2d_calls"] += 1
+    it = iter(staged)
+    return tuple(None if a is None else next(it) for a in arrays)
+
+
 def fetch_arrays(*arrays):
     """Device->host transfer of several arrays with overlapped RTTs.
 
@@ -103,6 +143,21 @@ def fetch_arrays(*arrays):
                 arr.copy_to_host_async()
             except Exception:
                 pass
+    if transfer_stats_enabled():
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = tuple(
+            np.asarray(arr) if arr is not None else None for arr in arrays
+        )
+        TRANSFER_STATS["d2h_s"] += _time.perf_counter() - t0
+        TRANSFER_STATS["d2h_bytes"] += sum(
+            int(a.nbytes)
+            for a, src in zip(out, arrays)
+            if a is not None and isinstance(src, jax.Array)
+        )
+        TRANSFER_STATS["d2h_calls"] += 1
+        return out
     return tuple(
         np.asarray(arr) if arr is not None else None for arr in arrays
     )
@@ -289,7 +344,8 @@ class PendingCandidates:
                 pass
 
     def result(self) -> np.ndarray:
-        return np.asarray(self._arr)
+        (out,) = fetch_arrays(self._arr)
+        return out
 
 
 def ll_pack_of(tile, min_mapq: int = 0) -> np.ndarray:
@@ -409,6 +465,9 @@ def ll_screen_arrays_launch(
     L, D = np.asarray(ll_pack).shape
     slab_rows = max(256, _ll_slab_cells() // max(D, 1))
     if L <= slab_rows:
+        ll_pack, ll_mapq, is_variant, is_standard_alt = _stage(
+            ll_pack, ll_mapq, is_variant, is_standard_alt
+        )
         return PendingCandidates(
             _ll_screen_device(
                 ll_pack, ll_mapq, is_variant, is_standard_alt, max_alleles,
@@ -441,6 +500,7 @@ def ll_screen_arrays_launch(
                 sm = np.concatenate(
                     [sm, np.zeros((pad, D), sm.dtype)]
                 )
+        sp, sm, sv, ss = _stage(sp, sm, sv, ss)
         pendings.append(
             (
                 nr,
@@ -654,6 +714,7 @@ def _screen_csr_one_launch(
         csr_nib = np.concatenate(
             [csr_nib, np.full(pad, 0xFF, np.uint8)]
         )
+    csr_nib, row_off, is_variant = _stage(csr_nib, row_off, is_variant)
     if kernel_path() == "pallas":
         from guacamole_tpu.ops.pallas_kernels import pallas_csr_screen
 
@@ -739,7 +800,7 @@ class PendingCompact:
                 pass
 
     def result(self) -> CompactScreen:
-        raw = np.asarray(self._arr)  # [cap+1, K+1]
+        (raw,) = fetch_arrays(self._arr)  # [cap+1, K+1]
         total = int(raw[-1, 0])
         body = raw[:-1]
         n = min(total, len(body))
@@ -781,6 +842,7 @@ def _compact_one_launch(
         csr_nib = np.concatenate(
             [csr_nib, np.full(pad, 0xFF, np.uint8)]
         )
+    csr_nib, row_off, is_variant = _stage(csr_nib, row_off, is_variant)
     return PendingCompact(
         tile_stats_csr_compact(
             csr_nib, row_off, is_variant, max_alleles,

@@ -25,7 +25,15 @@ def main() -> int:
     parser.add_argument("--tile-l", type=int, default=2048)
     parser.add_argument("--depth", type=int, default=128)
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument(
+        "--single-core-probe", action="store_true",
+        help="internal: pin to one core, run the 1-device step, print "
+             "elements/s (the core-bound calibration point)",
+    )
     args = parser.parse_args()
+    if args.single_core_probe:
+        cores = sorted(os.sched_getaffinity(0))
+        os.sched_setaffinity(0, {cores[0]})
 
     # Force the virtual CPU mesh (this is a sharding-efficiency harness;
     # the ambient environment may pin JAX to a single TPU chip).
@@ -111,17 +119,44 @@ def main() -> int:
         }
         n *= 2
 
+    if args.single_core_probe:
+        print(json.dumps({"elements_per_s": results[1]["elements_per_s"]}))
+        return 0
+
+    # Core-bound calibration: the free 1-shard baseline already spans all
+    # cores (XLA CPU intra-op threading), so dividing by min(n, cores)
+    # understated attainable throughput. The honest bound is the host's
+    # aggregate capacity: single-CORE single-device elements/s (pinned
+    # subprocess) x physical cores.
+    import subprocess
+
+    cores = len(os.sched_getaffinity(0)) or (os.cpu_count() or 1)
+    probe = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--devices", "1",
+         "--tile-l", str(args.tile_l), "--depth", str(args.depth),
+         "--iters", str(max(4, args.iters // 2)), "--single-core-probe"],
+        capture_output=True, text=True, timeout=300,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    single_core = None
+    if probe.returncode == 0:
+        try:
+            single_core = json.loads(
+                probe.stdout.strip().splitlines()[-1]
+            )["elements_per_s"]
+        except (ValueError, KeyError, IndexError):
+            single_core = None
+    core_bound = (single_core or results[1]["elements_per_s"]) * cores
+
     base = results[1]["elements_per_s"]
-    cores = os.cpu_count() or 1
     for n, r in results.items():
         r["speedup"] = round(r["elements_per_s"] / base, 2)
         r["efficiency"] = round(r["elements_per_s"] / base / n, 2)
-        # On a virtual mesh, n shards share this host's cores, so the
-        # attainable speedup is bounded by min(n, cores) — report
-        # efficiency against that bound as well (on a pod the two
-        # efficiencies coincide: one chip per shard).
+        # Fraction of the host's aggregate core capacity the n-shard
+        # step sustains (on a pod each shard is a dedicated chip, so
+        # per-chip throughput is the analogous bound there).
         r["efficiency_vs_core_bound"] = round(
-            r["elements_per_s"] / base / min(n, cores), 2
+            r["elements_per_s"] / core_bound, 2
         )
     report = {
         "note": (
@@ -130,6 +165,8 @@ def main() -> int:
             "scaling; on a pod each shard is a dedicated chip"
         ),
         "physical_cores": os.cpu_count(),
+        "single_core_elements_per_s": single_core,
+        "core_bound_elements_per_s": int(core_bound),
         "shards": results,
     }
     print(json.dumps(report, indent=2))
