@@ -455,6 +455,11 @@ def pallas_likelihood_screen(
 
     L, D = ll_pack.shape
     K = max_alleles
+    # Bound the VMEM working set: the kernel holds several [block_l, D]
+    # f32 temporaries, so deep tiles must shrink the row block
+    # (block_l * D <= 64k elements keeps the scoped VMEM stack well under
+    # the 16 MB limit; D = 2048 overflowed it at the default 256 rows).
+    block_l = min(block_l, max(8, (64 * 1024) // max(D, 1)))
     if L % block_l != 0:
         block_l = int(np.gcd(L, block_l)) or 1
     pack32 = ll_pack.astype(jnp.int32)
