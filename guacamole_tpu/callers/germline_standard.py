@@ -415,7 +415,15 @@ def call_variants(
                 sample_source.pack_sparse_tile,
                 contig,
                 candidate_loci,
-                max_alleles=max_alleles,
+                # Wider allele dictionary than the screens': deep
+                # candidate rows carry many error alleles, and a row that
+                # fits the dictionary confirms on the batched exact path
+                # instead of a scalar oracle pileup (measured: two deep
+                # boundary rows with 14-16 distinct alleles cost 0.33 s
+                # as pileups). Semantics are unchanged either way — both
+                # paths are the exact f64 model; K only picks which one
+                # runs.
+                max_alleles=max(max_alleles, 24),
                 reference_genome=reference_genome,
             )
 

@@ -630,9 +630,15 @@ void* guac_pack_tile(
       std::vector<int64_t> act_bias;  // ev_off[r] - start[r]
       std::vector<int64_t> act_hi;    // exclusive end row
       std::vector<int32_t> act_member;  // member index (cold fields)
+      // Per-read facts hoisted to window entry (read-major loads once,
+      // not per element): MAPQ-filtered flag and clamped MAPQ byte.
+      std::vector<uint8_t> act_filt;
+      std::vector<uint8_t> act_mapq;
       act_bias.reserve(256);
       act_hi.reserve(256);
       act_member.reserve(256);
+      act_filt.reserve(256);
+      act_mapq.reserve(256);
       size_t next_m = 0;
       std::vector<int32_t> row_codes;
       std::vector<uint8_t> row_quals;  // parallel to row_codes (ll screen)
@@ -681,6 +687,9 @@ void* guac_pack_tile(
             act_bias.push_back(ev_off[r] - start[r]);
             act_hi.push_back(read_rows[(size_t)i].second);
             act_member.push_back((int32_t)i);
+            int32_t m = mapq[r];
+            act_filt.push_back(min_mapq > 0 && m < min_mapq ? 1 : 0);
+            act_mapq.push_back((uint8_t)(m < 0 ? 0 : (m > 255 ? 255 : m)));
           }
           next_m++;
         }
@@ -711,10 +720,11 @@ void* guac_pack_tile(
             act_hi[w] = act_hi[a];
             act_bias[w] = bias;
             act_member[w] = act_member[a];
+            act_filt[w] = act_filt[a];
+            act_mapq[w] = act_mapq[a];
           }
           size_t me = w++;
-          if (min_mapq > 0 &&
-              mapq[sel[(size_t)act_member[me]]] < min_mapq) {
+          if (act_filt[me]) {
             // MAPQ-filtered: holds its slot (0xF nibble), no tables.
             if (!skip_nib) {
               row_codes.push_back(-2);
@@ -777,11 +787,7 @@ void* guac_pack_tile(
           if (!skip_nib) {
             row_codes.push_back(code);
             if (ll_screen) row_quals.push_back(ev_qual[ei]);
-            if (ll_tumor) {
-              int32_t m = mapq[sel[(size_t)act_member[me]]];
-              row_mapqs.push_back(
-                  (uint8_t)(m < 0 ? 0 : (m > 255 ? 255 : m)));
-            }
+            if (ll_tumor) row_mapqs.push_back(act_mapq[me]);
           }
           int32_t aid = -1;
           if ((code & 0x70000) == 0x10000) {
@@ -841,14 +847,11 @@ void* guac_pack_tile(
               // matches the eager two-phase fill bit-for-bit.
               if (!ll_live && distinct.size() >= 2) {
                 for (size_t cu = 0; cu < me; cu++) {
-                  int64_t rr = sel[(size_t)act_member[cu]];
-                  if (min_mapq > 0 && mapq[rr] < min_mapq) continue;
+                  if (act_filt[cu]) continue;
                   int64_t cei = act_bias[cu] + locus;
                   if (ll_tumor) {
-                    int32_t m = mapq[rr];
-                    uint8_t mb =
-                        (uint8_t)(m < 0 ? 0 : (m > 255 ? 255 : m));
-                    int idx = (int)ev_qual[cei] * 256 + (int)mb;
+                    int idx =
+                        (int)ev_qual[cei] * 256 + (int)act_mapq[cu];
                     llc_arr[0] += llm_x[idx];
                     llg_arr[0] += llm_y[idx];
                   } else {
@@ -861,9 +864,7 @@ void* guac_pack_tile(
               }
               if (ll_live) {
                 if (ll_tumor) {
-                  int32_t m = mapq[sel[(size_t)act_member[me]]];
-                  uint8_t mb = (uint8_t)(m < 0 ? 0 : (m > 255 ? 255 : m));
-                  int idx = (int)ev_qual[ei] * 256 + (int)mb;
+                  int idx = (int)ev_qual[ei] * 256 + (int)act_mapq[me];
                   llc_arr[(size_t)aid] += llm_x[idx];
                   llg_arr[(size_t)aid] += llm_y[idx];
                 } else {
@@ -878,6 +879,8 @@ void* guac_pack_tile(
         act_bias.resize(w);
         act_hi.resize(w);
         act_member.resize(w);
+        act_filt.resize(w);
+        act_mapq.resize(w);
         // Sort this locus's distinct codes by allele order (ties — equal
         // decoded keys from different codes — by code, deterministic).
         // Short codes order by their integer order key (no decoding);
