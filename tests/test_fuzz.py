@@ -223,3 +223,55 @@ def test_fuzz_native_screen_mode_matches_full(seed):
         c.start for c in calls_from_tile_rows(full, rows, "s")
     }
     assert emitted - cand_loci == set()
+
+
+@pytest.mark.parametrize("seed", range(30, 40))
+def test_fuzz_screen_gq_gate_is_superset(seed):
+    """The native screen's min-likelihood (GQ) gate must keep every locus
+    the exact confirm emits PAST the min-likelihood filter — the safe-drop
+    claim of guac_pack.cpp's normalized-probability bound (1-phred safety
+    band over the exact confirm's own genotype set), for both the fused
+    (skip_nibbles) and two-phase fills."""
+    from guacamole_tpu.callers.germline_standard import calls_from_tile_rows
+    from guacamole_tpu.pack.columnar import pack_tile_columnar
+    from guacamole_tpu.runtime.columnar import native_available
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+    rng = np.random.RandomState(seed)
+    region = 120
+    reads = sorted(
+        (random_read(rng, region) for _ in range(rng.randint(8, 30))),
+        key=lambda r: r.start,
+    )
+    cols = columnar_from_reads(reads)
+    loci = list(range(0, region + 40))
+    min_phred = int(rng.choice([10, 30, 40, 70]))
+    min_mapq = int(rng.choice([0, 20]))
+    full = pack_tile_columnar(cols, 0, "chrF", loci, min_mapq=min_mapq)
+    for skip in (False, True):
+        screen = pack_tile_columnar(
+            cols, 0, "chrF", loci, fields="screen",
+            min_mapq=min_mapq, ll_screen_margin=0.5, ll_screen_kind=1,
+            ll_screen_min_phred=float(min_phred), skip_nibbles=skip,
+        )
+        cand_loci = {
+            int(screen.loci[i])
+            for i in np.flatnonzero(
+                np.asarray(screen.ll_candidates)
+                | np.asarray(screen.overflow)
+            )
+        }
+        rows = [i for i in range(full.L) if not full.overflow[i]]
+        emitted = {
+            c.start
+            for c in calls_from_tile_rows(
+                full, rows, "s", min_alignment_quality=min_mapq,
+                prefilter_min_likelihood=min_phred,
+            )
+        }
+        assert emitted - cand_loci == set(), (
+            f"seed={seed} skip={skip} min_phred={min_phred} "
+            f"min_mapq={min_mapq}: exact emits not covered by the "
+            f"GQ-gated screen: {sorted(emitted - cand_loci)}"
+        )
