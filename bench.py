@@ -286,7 +286,10 @@ def run_scale_configs(tmp_root):
 
     def timed_tool(tag, argv, n_reads, outfile):
         walls = []
-        for _ in range(2):  # best of 2: host noise is +-2x on this VM
+        # Best of 3: this VM's hypervisor noise includes rare 5-10x
+        # first-touch page-fault storms (one observed 18 s on a 2 s
+        # variant-support run); two samples once both landed in one.
+        for _ in range(3):
             t0 = _time.time()
             rc = cli.main(argv)
             walls.append(_time.time() - t0)
