@@ -575,7 +575,7 @@ def run_multihost_weak_scaling(tmp_root):
         single_wall = wall if single_wall is None else min(single_wall, wall)
 
     two_wall = None
-    for it in range(2):
+    for it in range(3):
         two_out = os.path.join(tmp_root, f"ws-two-{it}.vcf")
         s = socket.socket()
         s.bind(("127.0.0.1", 0))
@@ -633,7 +633,7 @@ def run_multihost_weak_scaling(tmp_root):
     # match their best-of-2 methodology.
     full_wall = None
     full = None
-    for it in range(2):
+    for it in range(3):
         full_out = os.path.join(tmp_root, f"ws-full-{it}.vcf")
         t0 = time.time()
         full = subprocess.run(

@@ -108,11 +108,16 @@ def main() -> int:
         )
         out = step(batch)
         jax.block_until_ready(out)
-        t0 = time.time()
-        for _ in range(args.iters):
-            out = step(batch)
-        jax.block_until_ready(out)
-        wall = (time.time() - t0) / args.iters
+        # Best of 3 timed loops: this VM's hypervisor noise inflates any
+        # single window by 30-100%; the minimum loop average is the
+        # reproducible per-step cost.
+        wall = float("inf")
+        for _rep in range(3):
+            t0 = time.time()
+            for _ in range(args.iters):
+                out = step(batch)
+            jax.block_until_ready(out)
+            wall = min(wall, (time.time() - t0) / args.iters)
         results[n] = {
             "wall_ms": round(wall * 1000, 3),
             "elements_per_s": round(elements / wall),
