@@ -852,6 +852,7 @@ def probe_accelerator_link():
 ACCELERATOR_ENDTOEND_CODE = r"""
 import json, os, sys, time
 os.environ.pop("JAX_PLATFORMS", None)
+os.environ["GUAC_HOST_SCREEN"] = "0"  # this section measures the device path
 from guacamole_tpu.platform import configure_platform
 configure_platform()
 import jax
@@ -894,6 +895,7 @@ ACCELERATOR_SCALE_CODE = r"""
 import json, os, sys, time
 os.environ.pop("JAX_PLATFORMS", None)
 os.environ["GUAC_TRANSFER_STATS"] = "1"
+os.environ["GUAC_HOST_SCREEN"] = "0"  # this section measures the device path
 from guacamole_tpu.platform import configure_platform
 configure_platform()
 import jax

@@ -557,19 +557,27 @@ def tumor_screen_launch(
 
 
 def screen_on_host() -> bool:
-    """Run counting screens from the native packer's [L, K] counts on
-    host instead of shipping CSR to a device. Default: exactly when no
-    accelerator is attached — a CPU 'device' screen is the same silicon
-    with extra XLA round trips (measured: the one-hot+prefix CSR kernel
-    costs ~4 s at 2.37M-read scale where the native counts are free).
-    GUAC_HOST_SCREEN=1/0 forces (tests pin host/device equivalence)."""
+    """Run counting/likelihood screens from the native packer's outputs
+    on host instead of shipping encodings to a device. Default: when no
+    accelerator is attached (a CPU 'device' screen is the same silicon
+    with extra XLA round trips), OR when the attached accelerator sits
+    behind a non-local link (measured at 2.37M-read scale on the
+    tunneled v5e: the device screens move 244 MB-984 MB per run at
+    50-80 MB/s — 68-77% of wall — while the native screens compute the
+    same candidates inline during the pack for free; on a host-local
+    PCIe link the same payloads cost ~10-40 ms and the device path wins).
+    GUAC_HOST_SCREEN=1/0 forces (tests pin host/device equivalence; the
+    bench's accelerator sections force 0 to characterize the device
+    path)."""
     env = os.environ.get("GUAC_HOST_SCREEN", "")
     if env in ("0", "1"):
         return env == "1"
     try:
-        return jax.devices()[0].platform == "cpu"
+        if jax.devices()[0].platform == "cpu":
+            return True
     except Exception:
         return True
+    return not device_link_is_local()
 
 
 def pack_skip_nibbles(mesh=None) -> bool:
