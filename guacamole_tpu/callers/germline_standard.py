@@ -316,7 +316,14 @@ def call_variants(
             # best variant genotype comes within a safety margin of the
             # best reference genotype — a strict superset of exact-argmax
             # variant loci (f32 error << margin).
-            return germline_screen_launch(tile, min_mapq=min_alignment_quality)
+            # The min-likelihood emission gate runs in the device screen
+            # too (normalized-probability bound over the same genotype
+            # set, 2-phred f32 safety band; see kernels.py) — same safe
+            # superset as the native host form.
+            return germline_screen_launch(
+                tile, min_mapq=min_alignment_quality,
+                min_phred=float(prefilter_min_likelihood),
+            )
         # Fallback (Python-packed full tiles / Pallas): counting screen
         # over MAPQ-filtered elements — any variant evidence is a
         # candidate.

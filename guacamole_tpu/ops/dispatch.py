@@ -397,6 +397,7 @@ def _ll_screen_device(
     is_standard_alt: np.ndarray,
     max_alleles: int,
     margin: float = 0.5,
+    min_phred: float = 0.0,
 ):
     """Dispatch the genotype-likelihood candidate screen on raw arrays
     (germline form, or the alignment-included tumor form when ll_mapq is
@@ -414,6 +415,7 @@ def _ll_screen_device(
             margin=margin,
             include_alignment=ll_mapq is not None,
             interpret=not on_tpu(),
+            min_phred=0.0 if ll_mapq is not None else min_phred,
         )
     if ll_mapq is not None:
         from guacamole_tpu.ops.kernels import tumor_likelihood_screen
@@ -425,7 +427,8 @@ def _ll_screen_device(
     from guacamole_tpu.ops.kernels import germline_likelihood_screen
 
     return germline_likelihood_screen(
-        ll_pack, is_variant, is_standard_alt, max_alleles, margin=margin
+        ll_pack, is_variant, is_standard_alt, max_alleles, margin=margin,
+        min_phred=min_phred,
     )
 
 
@@ -457,6 +460,7 @@ class _MergedCandidates:
 def ll_screen_arrays_launch(
     ll_pack, ll_mapq, is_variant, is_standard_alt, max_alleles: int,
     margin: float = 0.5,
+    min_phred: float = 0.0,
 ):
     """PendingCandidates form of _ll_screen_device. Megatile inputs
     split into row slabs (padded to the shared row-bucket ladder with
@@ -471,7 +475,7 @@ def ll_screen_arrays_launch(
         return PendingCandidates(
             _ll_screen_device(
                 ll_pack, ll_mapq, is_variant, is_standard_alt, max_alleles,
-                margin=margin,
+                margin=margin, min_phred=min_phred,
             )
         )
     pendings = []
@@ -506,7 +510,8 @@ def ll_screen_arrays_launch(
                 nr,
                 PendingCandidates(
                     _ll_screen_device(
-                        sp, sm, sv, ss, max_alleles, margin=margin
+                        sp, sm, sv, ss, max_alleles, margin=margin,
+                        min_phred=min_phred,
                     )
                 ),
             )
@@ -515,7 +520,7 @@ def ll_screen_arrays_launch(
 
 
 def germline_screen_launch(
-    tile, min_mapq: int = 0, margin: float = 0.5
+    tile, min_mapq: int = 0, margin: float = 0.5, min_phred: float = 0.0
 ) -> PendingCandidates:
     """Dispatch the genotype-likelihood candidate screen for one tile
     (Pallas or XLA form per kernel_path(); identical semantics).
@@ -531,6 +536,7 @@ def germline_screen_launch(
         np.asarray(tile.is_standard_alt),
         tile.K,
         margin=margin,
+        min_phred=min_phred,
     )
 
 

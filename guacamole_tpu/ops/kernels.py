@@ -266,6 +266,7 @@ def _screen_from_allele_sums(
     is_standard_alt: jnp.ndarray,  # [L, K] bool
     max_alleles: int,
     margin: float,
+    min_phred: float = 0.0,
 ) -> jnp.ndarray:
     """Shared tail of the likelihood screens: pair scores from per-allele
     sums (score(i,j) = -c_i - c_j for i != j, score(i,i) = -c_i + g_i;
@@ -276,6 +277,16 @@ def _screen_from_allele_sums(
     Genotypes enumerate only standard-alt alleles (parity with
     possible_genotypes_of_pileup / Likelihood.scala:106); table entries
     beyond num_alleles carry False flags, so this also bounds the pairs.
+
+    min_phred > 0 additionally drops candidates whose best-genotype
+    NORMALIZED probability cannot reach that phred score (the
+    min-likelihood emission gate, GenotypeFilter.scala:135; the f64 host
+    form lives in guac_pack.cpp). The genotype set equals the exact
+    confirm's enumeration, so p here bounds the exact p. Cancellation
+    control: 1 - p computes as runner_sum / total (never as 1 - p), so
+    its f32 relative error stays ~1%, i.e. <0.1 phred; a 2-phred safety
+    band (vs the native f64 form's 1) makes the drop a strict superset
+    filter (pinned by tests/test_pallas_kernels.py and tests/test_fuzz.py).
     """
     i_idx, j_idx = genotype_pairs(max_alleles)
     i_idx = jnp.asarray(i_idx)
@@ -294,7 +305,22 @@ def _screen_from_allele_sums(
     best_ref = jnp.max(
         jnp.where(pair_exists & ~pair_variant, score, neg_inf), axis=1
     )
-    return best_variant >= best_ref - margin
+    cand = best_variant >= best_ref - margin
+    if min_phred > 0:
+        smax = jnp.maximum(best_variant, best_ref)  # [L]
+        rel = jnp.where(
+            pair_exists, score - smax[:, None], neg_inf
+        )
+        terms = jnp.exp(rel)  # max pair contributes exactly 1
+        total = jnp.sum(terms, axis=1)
+        runner = total - 1.0  # sum over non-best pairs, no cancellation
+        one_minus = jnp.maximum(runner, 0.0) / jnp.maximum(
+            total, 1.0
+        ) + 1e-10  # the reference's phred epsilon, AlleleEvidence.scala:52
+        gq = -10.0 * jnp.log10(one_minus)
+        keep = ~jnp.isfinite(smax) | (gq >= min_phred - 2.0)
+        cand = cand & keep
+    return cand
 
 
 def germline_screen_math(
@@ -303,6 +329,7 @@ def germline_screen_math(
     is_standard_alt: jnp.ndarray,  # [L, K] bool (genotype-eligible alleles)
     max_alleles: int,
     margin: float = 0.5,
+    min_phred: float = 0.0,
 ) -> jnp.ndarray:
     """Candidate loci for the Bayesian germline caller: [L] bool.
 
@@ -349,12 +376,13 @@ def germline_screen_math(
     c = jnp.sum(jnp.where(hit, x[:, :, None], 0.0), axis=1)  # [L, K]
     g = jnp.sum(jnp.where(hit, y[:, :, None], 0.0), axis=1)  # [L, K]
     return _screen_from_allele_sums(
-        c, g, is_variant, is_standard_alt, max_alleles, margin
+        c, g, is_variant, is_standard_alt, max_alleles, margin,
+        min_phred=min_phred,
     ) & jnp.any(valid, axis=1)
 
 
 germline_likelihood_screen = functools.partial(
-    jax.jit, static_argnames=("max_alleles", "margin")
+    jax.jit, static_argnames=("max_alleles", "margin", "min_phred")
 )(germline_screen_math)
 
 

@@ -377,6 +377,7 @@ def _ll_screen_kernel(
     max_alleles: int,
     margin: float,
     include_alignment: bool,
+    min_phred: float = 0.0,
 ):
     """Fused likelihood candidate screen over the uint16 ll_pack encoding.
 
@@ -428,6 +429,24 @@ def _ll_screen_kernel(
             jnp.where(pair_exists & ~pair_variant, score, neg_inf),
         )
     cand = (best_variant >= best_ref - margin) & jnp.any(valid, axis=1)
+    if min_phred > 0:
+        # Normalized-probability (GQ) gate — same formulation as
+        # kernels._screen_from_allele_sums (runner/total form, no 1-p
+        # cancellation; 2-phred safety band).
+        smax = jnp.maximum(best_variant, best_ref)
+        total = jnp.zeros(shape)
+        for p in range(len(i_idx)):
+            i, j = int(i_idx[p]), int(j_idx[p])
+            score = -c_cols[i] + (g_cols[i] if i == j else -c_cols[j])
+            pair_exists = standard[:, i] & standard[:, j]
+            total = total + jnp.where(
+                pair_exists, jnp.exp(score - smax), 0.0
+            )
+        runner = jnp.maximum(total - 1.0, 0.0)
+        one_minus = runner / jnp.maximum(total, 1.0) + 1e-10
+        gq = -10.0 * jnp.log10(one_minus)
+        keep = ~jnp.isfinite(smax) | (gq >= min_phred - 2.0)
+        cand = cand & keep
     cand_ref[:] = cand.astype(jnp.int32)[:, None]
 
 
@@ -435,6 +454,7 @@ def _ll_screen_kernel(
     jax.jit,
     static_argnames=(
         "max_alleles", "margin", "include_alignment", "interpret", "block_l",
+        "min_phred",
     ),
 )
 def pallas_likelihood_screen(
@@ -447,6 +467,7 @@ def pallas_likelihood_screen(
     include_alignment: bool = False,
     interpret: bool = False,
     block_l: int = 256,
+    min_phred: float = 0.0,
 ) -> jnp.ndarray:
     """Pallas form of germline_likelihood_screen / tumor_likelihood_screen:
     [L] bool candidate mask, same ll_pack H2D encoding and same semantics
@@ -477,6 +498,7 @@ def pallas_likelihood_screen(
             max_alleles=max_alleles,
             margin=margin,
             include_alignment=include_alignment,
+            min_phred=min_phred,
         ),
         grid=grid,
         in_specs=[spec_ld, spec_ld, spec_lk, spec_lk],

@@ -544,3 +544,85 @@ class TestPrefetchIter:
         # Bounded production: at most the buffered window, never the
         # whole generator.
         assert len(produced) < 100
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("min_phred", [10.0, 40.0])
+def test_screen_min_phred_gate_parity_and_superset(seed, min_phred):
+    """The device screens' min-likelihood (GQ) gate: the Pallas form is
+    bit-identical to the XLA form, the gated mask is a subset of the
+    ungated one, and it keeps every locus whose EXACT f64 normalized
+    argmax probability passes the filter (the safe-drop contract; the
+    native f64 twin lives in guac_pack.cpp)."""
+    import math
+
+    from guacamole_tpu.ops.kernels import (
+        genotype_pairs,
+        germline_likelihood_screen,
+    )
+    from guacamole_tpu.ops.pallas_kernels import pallas_likelihood_screen
+
+    K = 8
+    ll_pack, _mapq, is_variant, is_standard = _ll_fixture(seed, K=K)
+    ungated = np.asarray(
+        germline_likelihood_screen(ll_pack, is_variant, is_standard, K)
+    )
+    gated = np.asarray(
+        germline_likelihood_screen(
+            ll_pack, is_variant, is_standard, K, min_phred=min_phred
+        )
+    )
+    pallas = np.asarray(
+        pallas_likelihood_screen(
+            ll_pack, None, is_variant, is_standard, K,
+            interpret=True, min_phred=min_phred,
+        )
+    )
+    np.testing.assert_array_equal(gated, pallas)
+    assert not np.any(gated & ~ungated)  # gate only removes
+
+    # Exact f64 oracle: best normalized probability per locus; any locus
+    # whose emission would pass the phred filter must stay flagged.
+    i_idx, j_idx = genotype_pairs(K)
+    L, D = ll_pack.shape
+    for li in range(L):
+        row = ll_pack[li]
+        valid = row != 0xFFFF
+        if not valid.any() or not ungated[li]:
+            continue
+        aid = (row & 0xF).astype(int)
+        q = (row >> 4).astype(float)
+        err = 10.0 ** (q / -10.0)
+        scores = []
+        variant_best = None
+        for p in range(len(i_idx)):
+            i, j = int(i_idx[p]), int(j_idx[p])
+            if not (is_standard[li, i] and is_standard[li, j]):
+                continue
+            s = 0.0
+            for d in range(D):
+                if not valid[d]:
+                    continue
+                m = int(aid[d] == i) + int(aid[d] == j)
+                term = m + (2 - 2 * m) * err[d]
+                s += math.log(term) if term > 0 else -math.inf
+            scores.append((s, is_variant[li, i] or is_variant[li, j]))
+        if not scores:
+            continue
+        smax = max(s for s, _ in scores)
+        best_is_variant = any(
+            v for s, v in scores if s == smax
+        )
+        if not (best_is_variant and math.isfinite(smax)):
+            continue
+        total = sum(math.exp(s - smax) for s, _ in scores)
+        p_best = 1.0 / total
+        one_minus = 1.0 - (p_best - 1e-10)
+        gq = (
+            math.inf if one_minus <= 0 else -10.0 * math.log10(one_minus)
+        )
+        if round(gq) >= min_phred:
+            assert gated[li], (
+                f"seed={seed} locus {li}: exact GQ {gq:.1f} passes the "
+                f"phred-{min_phred} filter but the gate dropped it"
+            )
