@@ -372,6 +372,7 @@ def call_variants(
                 tile_of=lambda item: item[3],
                 mesh=mesh,
                 min_mapq=min_alignment_quality,
+                min_phred=float(prefilter_min_likelihood),
             )
         else:
             # Per-tile async launches; batching same-depth tiles into one

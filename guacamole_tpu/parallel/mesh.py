@@ -121,7 +121,7 @@ def _mesh_csr_step(mesh: Mesh, max_alleles: int, threshold_percent):
 
 @functools.lru_cache(maxsize=None)
 def _mesh_ll_step(mesh: Mesh, max_alleles: int, margin: float,
-                  include_alignment: bool):
+                  include_alignment: bool, min_phred: float = 0.0):
     """shard_map'd genotype-likelihood candidate screen (germline form, or
     the alignment-included tumor form when include_alignment). Per-shard
     body is the Pallas form when kernel_path() picks it, else the shared
@@ -173,11 +173,12 @@ def _mesh_ll_step(mesh: Mesh, max_alleles: int, margin: float,
             cand = pallas_likelihood_screen(
                 ll_pack[0], None, is_variant[0], is_standard_alt[0],
                 max_alleles, margin=margin, interpret=interpret,
+                min_phred=min_phred,
             )
         else:
             cand = germline_screen_math(
                 ll_pack[0], is_variant[0], is_standard_alt[0], max_alleles,
-                margin,
+                margin, min_phred=min_phred,
             )
         total = jax.lax.psum(jnp.sum(cand, dtype=jnp.int32), axis_name="loci")
         return cand[None], total
@@ -347,6 +348,7 @@ def mesh_ll_screens(
     margin: float = 0.5,
     include_alignment: bool = False,
     min_mapq: int = 0,
+    min_phred: float = 0.0,
     groups_in_flight: int = 2,
 ):
     """Screen a stream of likelihood-packed tiles over the mesh (germline
@@ -377,7 +379,9 @@ def mesh_ll_screens(
             if include_alignment:
                 mq = ll_mapq_of(t, min_mapq)
                 mapq[s, : mq.shape[0], : mq.shape[1]] = mq
-        step = _mesh_ll_step(mesh, K, margin, include_alignment)
+        step = _mesh_ll_step(
+            mesh, K, margin, include_alignment, min_phred=min_phred
+        )
         if include_alignment:
             cand, _total = step(ll_pack, mapq, is_variant, is_standard)
         else:
