@@ -390,15 +390,41 @@ def ll_mapq_of(tile, min_mapq: int = 0) -> np.ndarray:
     return np.clip(np.asarray(tile.mapq), 0, 255).astype(np.uint8)
 
 
+def pack_flag_words(is_variant, is_standard_alt) -> np.ndarray:
+    """[L, K <= 15] bool x2 -> [L] uint32 (is_variant bits 0..14,
+    is_standard_alt bits 16..30): 4 B/locus across the link instead of
+    2K bool bytes — the allele-table planes were ~30%% of the likelihood
+    screens' H2D at scale. Unpacked on device (_unpack_flag_words)."""
+    iv = np.asarray(is_variant, dtype=bool)
+    sa = np.asarray(is_standard_alt, dtype=bool)
+    w = np.arange(iv.shape[1], dtype=np.uint32)
+    lo = (iv.astype(np.uint32) << w).sum(axis=1, dtype=np.uint32)
+    hi = (sa.astype(np.uint32) << w).sum(axis=1, dtype=np.uint32)
+    return (lo | (hi << np.uint32(16))).astype(np.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_alleles",))
+def _unpack_flag_words(flags, max_alleles: int):
+    import jax.numpy as jnp
+
+    k = jnp.arange(max_alleles, dtype=jnp.uint32)
+    iv = ((flags[:, None] >> k) & jnp.uint32(1)) > 0
+    sa = ((flags[:, None] >> (k + jnp.uint32(16))) & jnp.uint32(1)) > 0
+    return iv, sa
+
+
 def _ll_screen_device(
     ll_pack: np.ndarray,
     ll_mapq,  # [L, D] uint8 or None
-    is_variant: np.ndarray,
-    is_standard_alt: np.ndarray,
+    flag_words: np.ndarray,  # [L] uint32 (pack_flag_words)
     max_alleles: int,
     margin: float = 0.5,
     min_phred: float = 0.0,
+    ll_qvals=None,  # ll_pack is the uint8 qual-dictionary form
 ):
+    is_variant, is_standard_alt = _unpack_flag_words(
+        flag_words, max_alleles
+    )
     """Dispatch the genotype-likelihood candidate screen on raw arrays
     (germline form, or the alignment-included tumor form when ll_mapq is
     given), Pallas or XLA per kernel_path() — identical semantics.
@@ -416,13 +442,28 @@ def _ll_screen_device(
             include_alignment=ll_mapq is not None,
             interpret=not on_tpu(),
             min_phred=0.0 if ll_mapq is not None else min_phred,
+            ll_qvals=ll_qvals,
         )
     if ll_mapq is not None:
+        if ll_qvals is not None:
+            from guacamole_tpu.ops.kernels import tumor_likelihood_screen8
+
+            return tumor_likelihood_screen8(
+                ll_pack, ll_qvals, ll_mapq, is_variant, is_standard_alt,
+                max_alleles, margin=margin,
+            )
         from guacamole_tpu.ops.kernels import tumor_likelihood_screen
 
         return tumor_likelihood_screen(
             ll_pack, ll_mapq, is_variant, is_standard_alt, max_alleles,
             margin=margin,
+        )
+    if ll_qvals is not None:
+        from guacamole_tpu.ops.kernels import germline_likelihood_screen8
+
+        return germline_likelihood_screen8(
+            ll_pack, ll_qvals, is_variant, is_standard_alt, max_alleles,
+            margin=margin, min_phred=min_phred,
         )
     from guacamole_tpu.ops.kernels import germline_likelihood_screen
 
@@ -461,6 +502,7 @@ def ll_screen_arrays_launch(
     ll_pack, ll_mapq, is_variant, is_standard_alt, max_alleles: int,
     margin: float = 0.5,
     min_phred: float = 0.0,
+    ll_qvals=None,
 ):
     """PendingCandidates form of _ll_screen_device. Megatile inputs
     split into row slabs (padded to the shared row-bucket ladder with
@@ -468,14 +510,14 @@ def ll_screen_arrays_launch(
     masks concatenate transparently at fetch."""
     L, D = np.asarray(ll_pack).shape
     slab_rows = max(256, _ll_slab_cells() // max(D, 1))
+    empty_slot = 0xFF if ll_qvals is not None else 0xFFFF
+    words = pack_flag_words(is_variant, is_standard_alt)
     if L <= slab_rows:
-        ll_pack, ll_mapq, is_variant, is_standard_alt = _stage(
-            ll_pack, ll_mapq, is_variant, is_standard_alt
-        )
+        ll_pack, ll_mapq, words = _stage(ll_pack, ll_mapq, words)
         return PendingCandidates(
             _ll_screen_device(
-                ll_pack, ll_mapq, is_variant, is_standard_alt, max_alleles,
-                margin=margin, min_phred=min_phred,
+                ll_pack, ll_mapq, words, max_alleles,
+                margin=margin, min_phred=min_phred, ll_qvals=ll_qvals,
             )
         )
     pendings = []
@@ -484,34 +526,28 @@ def ll_screen_arrays_launch(
         nr = r1 - r0
         npad = min(_bucket_rows_slab(nr), slab_rows)
         sp = np.asarray(ll_pack)[r0:r1]
-        sv = np.asarray(is_variant)[r0:r1]
-        ss = np.asarray(is_standard_alt)[r0:r1]
+        fl = words[r0:r1]
         sm = (
             np.asarray(ll_mapq)[r0:r1] if ll_mapq is not None else None
         )
         if npad > nr:
             pad = npad - nr
             sp = np.concatenate(
-                [sp, np.full((pad, D), 0xFFFF, sp.dtype)]
+                [sp, np.full((pad, D), empty_slot, sp.dtype)]
             )
-            sv = np.concatenate(
-                [sv, np.zeros((pad,) + sv.shape[1:], sv.dtype)]
-            )
-            ss = np.concatenate(
-                [ss, np.zeros((pad,) + ss.shape[1:], ss.dtype)]
-            )
+            fl = np.concatenate([fl, np.zeros(pad, fl.dtype)])
             if sm is not None:
                 sm = np.concatenate(
                     [sm, np.zeros((pad, D), sm.dtype)]
                 )
-        sp, sm, sv, ss = _stage(sp, sm, sv, ss)
+        sp, sm, fl = _stage(sp, sm, fl)
         pendings.append(
             (
                 nr,
                 PendingCandidates(
                     _ll_screen_device(
-                        sp, sm, sv, ss, max_alleles, margin=margin,
-                        min_phred=min_phred,
+                        sp, sm, fl, max_alleles, margin=margin,
+                        min_phred=min_phred, ll_qvals=ll_qvals,
                     )
                 ),
             )
@@ -529,6 +565,23 @@ def germline_screen_launch(
     tables are already MAPQ-filtered natively; the min_mapq here only
     applies to Python-packed full tiles.
     """
+    pack8 = getattr(tile, "ll_pack8", None)
+    if pack8 is not None:
+        # Qual-dictionary byte form (native tiles, <= 16 distinct quals):
+        # half the transfer, identical flags. The pack-time MAPQ filter
+        # contract is checked the same way as ll_pack_of.
+        packed_min = getattr(tile, "ll_min_mapq", None) or 0
+        if packed_min == min_mapq:
+            return ll_screen_arrays_launch(
+                np.asarray(pack8),
+                None,
+                np.asarray(tile.is_variant),
+                np.asarray(tile.is_standard_alt),
+                tile.K,
+                margin=margin,
+                min_phred=min_phred,
+                ll_qvals=np.asarray(tile.ll_qvals),
+            )
     return ll_screen_arrays_launch(
         ll_pack_of(tile, min_mapq),
         None,
@@ -551,6 +604,17 @@ def tumor_screen_launch(
         raise ValueError(
             "tile was likelihood-packed with min_mapq=%d but the screen "
             "requested min_mapq=%d" % (packed_min, min_mapq)
+        )
+    pack8 = getattr(tile, "ll_pack8", None)
+    if pack8 is not None:
+        return ll_screen_arrays_launch(
+            np.asarray(pack8),
+            np.asarray(tile.ll_mapq),
+            np.asarray(tile.is_variant),
+            np.asarray(tile.is_standard_alt),
+            tile.K,
+            margin=margin,
+            ll_qvals=np.asarray(tile.ll_qvals),
         )
     return ll_screen_arrays_launch(
         np.asarray(tile.ll_pack),
@@ -720,6 +784,39 @@ class _MergedScreens:
         )
 
 
+def pack_variant_words16(is_variant) -> np.ndarray:
+    """[L, K <= 15] bool -> [L] uint16 bitmask (device-unpacked)."""
+    iv = np.asarray(is_variant, dtype=bool)
+    w = np.arange(iv.shape[1], dtype=np.uint16)
+    return (iv.astype(np.uint16) << w).sum(axis=1, dtype=np.uint16)
+
+
+@functools.partial(jax.jit, static_argnames=("max_alleles",))
+def _unpack_variant_words(variant_words, max_alleles: int):
+    import jax.numpy as jnp
+
+    k = jnp.arange(max_alleles, dtype=jnp.uint16)
+    return (((variant_words[:, None] >> k) & jnp.uint16(1)) > 0,)
+
+
+@functools.partial(jax.jit, static_argnames=("max_alleles",))
+def _unpack_csr_meta(nibble_bytes, variant_words, max_alleles: int):
+    """Device-side rebuild of the CSR row metadata from the compact wire
+    form: [L] uint16 per-row nibble-byte counts -> [L+1] int32 offsets
+    (exact integer cumsum), [L] uint16 masks -> [L, K] bool flags. Cuts
+    the CSR screens' non-blob H2D ~3x (int32 offsets + K bool bytes ->
+    2+2 bytes per row)."""
+    import jax.numpy as jnp
+
+    counts = nibble_bytes.astype(jnp.int32)
+    row_off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)]
+    )
+    k = jnp.arange(max_alleles, dtype=jnp.uint16)
+    iv = ((variant_words[:, None] >> k) & jnp.uint16(1)) > 0
+    return row_off, iv
+
+
 def _screen_csr_one_launch(
     csr_nib, row_off, is_variant, max_alleles, threshold_percent
 ) -> PendingScreen:
@@ -728,7 +825,19 @@ def _screen_csr_one_launch(
         csr_nib = np.concatenate(
             [csr_nib, np.full(pad, 0xFF, np.uint8)]
         )
-    csr_nib, row_off, is_variant = _stage(csr_nib, row_off, is_variant)
+    nb_wide = np.diff(np.asarray(row_off))
+    vw = pack_variant_words16(is_variant)
+    if nb_wide.size == 0 or int(nb_wide.max(initial=0)) <= 0xFFFF:
+        nb = nb_wide.astype(np.uint16)
+        csr_nib, nb, vw = _stage(csr_nib, nb, vw)
+        row_off, is_variant = _unpack_csr_meta(nb, vw, max_alleles)
+    else:
+        # A single row beyond 64 KB of nibbles (depth > 131k) would wrap
+        # the uint16 wire form and corrupt every later offset: ship the
+        # int32 offsets directly for this (pathological) slab.
+        row_off = np.asarray(row_off, dtype=np.int32)
+        csr_nib, row_off, vw = _stage(csr_nib, row_off, vw)
+        (is_variant,) = _unpack_variant_words(vw, max_alleles)
     if kernel_path() == "pallas":
         from guacamole_tpu.ops.pallas_kernels import pallas_csr_screen
 
@@ -856,7 +965,19 @@ def _compact_one_launch(
         csr_nib = np.concatenate(
             [csr_nib, np.full(pad, 0xFF, np.uint8)]
         )
-    csr_nib, row_off, is_variant = _stage(csr_nib, row_off, is_variant)
+    nb_wide = np.diff(np.asarray(row_off))
+    vw = pack_variant_words16(is_variant)
+    if nb_wide.size == 0 or int(nb_wide.max(initial=0)) <= 0xFFFF:
+        nb = nb_wide.astype(np.uint16)
+        csr_nib, nb, vw = _stage(csr_nib, nb, vw)
+        row_off, is_variant = _unpack_csr_meta(nb, vw, max_alleles)
+    else:
+        # A single row beyond 64 KB of nibbles (depth > 131k) would wrap
+        # the uint16 wire form and corrupt every later offset: ship the
+        # int32 offsets directly for this (pathological) slab.
+        row_off = np.asarray(row_off, dtype=np.int32)
+        csr_nib, row_off, vw = _stage(csr_nib, row_off, vw)
+        (is_variant,) = _unpack_variant_words(vw, max_alleles)
     return PendingCompact(
         tile_stats_csr_compact(
             csr_nib, row_off, is_variant, max_alleles,

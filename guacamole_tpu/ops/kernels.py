@@ -386,6 +386,50 @@ germline_likelihood_screen = functools.partial(
 )(germline_screen_math)
 
 
+def germline_screen_math8(
+    ll_pack8: jnp.ndarray,  # [L, D] uint8: allele_id | qual_index << 4
+    ll_qvals: jnp.ndarray,  # [Q <= 16] uint8 phred values
+    is_variant: jnp.ndarray,  # [L, K] bool
+    is_standard_alt: jnp.ndarray,  # [L, K] bool
+    max_alleles: int,
+    margin: float = 0.5,
+    min_phred: float = 0.0,
+) -> jnp.ndarray:
+    """germline_screen_math over the qual-dictionary byte encoding
+    (PackedTile::ll_pack8): HALF the H2D / HBM-read volume. The per-qual
+    log terms pretabulate over the <= 16 dictionary values — the same
+    f32 values the uint16 form computes per element, so the candidate
+    flags are bit-identical (pinned by tests/test_pallas_kernels.py)."""
+    aid = (ll_pack8 & jnp.uint8(0xF)).astype(jnp.uint8)
+    qidx = (ll_pack8 >> jnp.uint8(4)).astype(jnp.int32)
+    valid = ll_pack8 != jnp.uint8(0xFF)
+    qtab = ll_qvals.astype(jnp.float32)  # [Q]
+    err_tab = jnp.power(10.0, qtab / -10.0)
+    x_tab = jnp.log(2.0 * err_tab)
+    y_tab = jnp.log(2.0 - 2.0 * err_tab)
+    # Pad the tables to 16 so the empty-slot index (0xF) is in range
+    # (its rows are masked by `valid` anyway).
+    pad = 16 - x_tab.shape[0]
+    if pad > 0:
+        x_tab = jnp.concatenate([x_tab, jnp.zeros(pad, jnp.float32)])
+        y_tab = jnp.concatenate([y_tab, jnp.zeros(pad, jnp.float32)])
+    x = x_tab[qidx]
+    y = y_tab[qidx]
+    k_range = jnp.arange(max_alleles, dtype=jnp.uint8)
+    hit = (aid[:, :, None] == k_range) & valid[:, :, None]  # [L, D, K]
+    c = jnp.sum(jnp.where(hit, x[:, :, None], 0.0), axis=1)  # [L, K]
+    g = jnp.sum(jnp.where(hit, y[:, :, None], 0.0), axis=1)  # [L, K]
+    return _screen_from_allele_sums(
+        c, g, is_variant, is_standard_alt, max_alleles, margin,
+        min_phred=min_phred,
+    ) & jnp.any(valid, axis=1)
+
+
+germline_likelihood_screen8 = functools.partial(
+    jax.jit, static_argnames=("max_alleles", "margin", "min_phred")
+)(germline_screen_math8)
+
+
 def germline_screen_math_mxu(
     ll_pack: jnp.ndarray,  # [L, D] uint16: allele_id | qual << 4
     is_variant: jnp.ndarray,  # [L, K] bool
@@ -481,6 +525,46 @@ def tumor_screen_math(
 tumor_likelihood_screen = functools.partial(
     jax.jit, static_argnames=("max_alleles", "margin")
 )(tumor_screen_math)
+
+
+def tumor_screen_math8(
+    ll_pack8: jnp.ndarray,  # [L, D] uint8: allele_id | qual_index << 4
+    ll_qvals: jnp.ndarray,  # [Q <= 16] uint8 phred values
+    ll_mapq: jnp.ndarray,  # [L, D] uint8 per-element read MAPQ
+    is_variant: jnp.ndarray,
+    is_standard_alt: jnp.ndarray,
+    max_alleles: int,
+    margin: float = 0.5,
+) -> jnp.ndarray:
+    """tumor_screen_math over the qual-dictionary byte encoding: the
+    base-qual error comes from the <= 16-entry table (identical f32
+    values -> bit-identical flags); the per-element MAPQ plane is
+    unchanged."""
+    aid = (ll_pack8 & jnp.uint8(0xF)).astype(jnp.uint8)
+    qidx = (ll_pack8 >> jnp.uint8(4)).astype(jnp.int32)
+    valid = ll_pack8 != jnp.uint8(0xFF)
+    err_tab = jnp.power(10.0, ll_qvals.astype(jnp.float32) / -10.0)
+    pad = 16 - err_tab.shape[0]
+    if pad > 0:
+        err_tab = jnp.concatenate([err_tab, jnp.zeros(pad, jnp.float32)])
+    err_q = err_tab[qidx]
+    err_m = jnp.power(10.0, ll_mapq.astype(jnp.float32) / -10.0)
+    pc = (1.0 - err_q) * (1.0 - err_m)
+    one_minus_pc = err_q + err_m - err_q * err_m  # stable complement
+    x = jnp.log(2.0 * one_minus_pc)
+    y = jnp.log(2.0 * pc)
+    k_range = jnp.arange(max_alleles, dtype=jnp.uint8)
+    hit = (aid[:, :, None] == k_range) & valid[:, :, None]
+    c = jnp.sum(jnp.where(hit, x[:, :, None], 0.0), axis=1)
+    g = jnp.sum(jnp.where(hit, y[:, :, None], 0.0), axis=1)
+    return _screen_from_allele_sums(
+        c, g, is_variant, is_standard_alt, max_alleles, margin
+    ) & jnp.any(valid, axis=1)
+
+
+tumor_likelihood_screen8 = functools.partial(
+    jax.jit, static_argnames=("max_alleles", "margin")
+)(tumor_screen_math8)
 
 
 class TileStats(NamedTuple):

@@ -368,16 +368,18 @@ def pallas_csr_screen(
 
 
 def _ll_screen_kernel(
-    pack_ref,      # [TL, D] int32 (uint16 ll_pack widened)
+    pack_ref,      # [TL, D] int32 (uint16 ll_pack / uint8 ll_pack8 widened)
     mapq_ref,      # [TL, D] f32 (zeros when not include_alignment)
     variant_ref,   # [TL, K] f32
     standard_ref,  # [TL, K] f32
+    tab_ref,       # [2, 16] f32 qual-dictionary tables (qdict form only)
     cand_ref,      # [TL, 1] i32 out
     *,
     max_alleles: int,
     margin: float,
     include_alignment: bool,
     min_phred: float = 0.0,
+    use_qdict: bool = False,
 ):
     """Fused likelihood candidate screen over the uint16 ll_pack encoding.
 
@@ -388,17 +390,43 @@ def _ll_screen_kernel(
     [TL, 1] candidate write.
     """
     pack = pack_ref[:]
-    valid = pack != 0xFFFF
+    valid = pack != (0xFF if use_qdict else 0xFFFF)
     aid = pack & 0xF
-    q = (pack >> 4).astype(jnp.float32)
-    err = jnp.power(10.0, q / -10.0)
-    if include_alignment:
+    if use_qdict:
+        # Qual-dictionary byte form: per-element values select from the
+        # <= 16-entry tables (germline: x/y log terms precomputed from
+        # the same f32 qual values; tumor: the base-qual error, combined
+        # with the MAPQ plane elementwise below).
+        qidx = pack >> 4
+        tab = tab_ref[:]
+
+        def select(row):
+            out = jnp.zeros(pack.shape, jnp.float32)
+            for k in range(16):
+                out = jnp.where(qidx == k, tab[row, k], out)
+            return out
+
+        if include_alignment:
+            err = select(0)
+            err_m = jnp.power(10.0, mapq_ref[:] / -10.0)
+            pc = (1.0 - err) * (1.0 - err_m)
+            one_minus_pc = err + err_m - err * err_m
+            x = jnp.log(2.0 * one_minus_pc)
+            y = jnp.log(2.0 * pc)
+        else:
+            x = select(0)
+            y = select(1)
+    elif include_alignment:
+        q = (pack >> 4).astype(jnp.float32)
+        err = jnp.power(10.0, q / -10.0)
         err_m = jnp.power(10.0, mapq_ref[:] / -10.0)
         pc = (1.0 - err) * (1.0 - err_m)
         one_minus_pc = err + err_m - err * err_m  # stable complement
         x = jnp.log(2.0 * one_minus_pc)  # m=0 term
         y = jnp.log(2.0 * pc)  # m=2 term
     else:
+        q = (pack >> 4).astype(jnp.float32)
+        err = jnp.power(10.0, q / -10.0)
         x = jnp.log(2.0 * err)
         y = jnp.log(2.0 - 2.0 * err)
 
@@ -458,7 +486,7 @@ def _ll_screen_kernel(
     ),
 )
 def pallas_likelihood_screen(
-    ll_pack: jnp.ndarray,  # [L, D] uint16: allele_id | qual << 4
+    ll_pack: jnp.ndarray,  # [L, D] uint16 ll_pack (or uint8 ll_pack8)
     ll_mapq,  # [L, D] uint8 per-element MAPQ, or None (germline form)
     is_variant: jnp.ndarray,  # [L, K] bool
     is_standard_alt: jnp.ndarray,  # [L, K] bool
@@ -468,12 +496,16 @@ def pallas_likelihood_screen(
     interpret: bool = False,
     block_l: int = 256,
     min_phred: float = 0.0,
+    ll_qvals=None,  # [Q <= 16] uint8: ll_pack is the byte qdict form
 ) -> jnp.ndarray:
     """Pallas form of germline_likelihood_screen / tumor_likelihood_screen:
     [L] bool candidate mask, same ll_pack H2D encoding and same semantics
-    (pinned bit-equal in interpret mode by tests)."""
+    (pinned bit-equal in interpret mode by tests). With ll_qvals, the
+    uint8 qual-dictionary encoding (half the H2D/HBM bytes; identical
+    flags)."""
     from jax.experimental import pallas as pl
 
+    use_qdict = ll_qvals is not None
     L, D = ll_pack.shape
     K = max_alleles
     # Bound the VMEM working set: the kernel holds several [block_l, D]
@@ -489,6 +521,20 @@ def pallas_likelihood_screen(
         if include_alignment
         else jnp.zeros((L, D), jnp.float32)
     )
+    # Qual-dictionary tables (f32 values identical to the uint16 form's
+    # per-element computation): germline precomputes the x/y log terms;
+    # tumor the base-qual error (combined with MAPQ in the kernel).
+    tab = jnp.zeros((2, 16), jnp.float32)
+    if use_qdict:
+        qtab = jnp.zeros(16, jnp.float32).at[
+            : ll_qvals.shape[0]
+        ].set(jnp.asarray(ll_qvals).astype(jnp.float32))
+        err_tab = jnp.power(10.0, qtab / -10.0)
+        if include_alignment:
+            tab = tab.at[0].set(err_tab)
+        else:
+            tab = tab.at[0].set(jnp.log(2.0 * err_tab))
+            tab = tab.at[1].set(jnp.log(2.0 - 2.0 * err_tab))
     grid = (L // block_l,)
     spec_ld = pl.BlockSpec((block_l, D), lambda i: (i, 0))
     spec_lk = pl.BlockSpec((block_l, K), lambda i: (i, 0))
@@ -499,9 +545,13 @@ def pallas_likelihood_screen(
             margin=margin,
             include_alignment=include_alignment,
             min_phred=min_phred,
+            use_qdict=use_qdict,
         ),
         grid=grid,
-        in_specs=[spec_ld, spec_ld, spec_lk, spec_lk],
+        in_specs=[
+            spec_ld, spec_ld, spec_lk, spec_lk,
+            pl.BlockSpec((2, 16), lambda i: (0, 0)),
+        ],
         out_specs=pl.BlockSpec((block_l, 1), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((L, 1), jnp.int32),
         interpret=interpret,
@@ -510,5 +560,6 @@ def pallas_likelihood_screen(
         mapq_f,
         is_variant.astype(jnp.float32),
         is_standard_alt.astype(jnp.float32),
+        tab,
     )
     return cand[:, 0].astype(bool)

@@ -274,6 +274,16 @@ def _pack_tile_native(
         ll_pack=(
             out["ll_pack"].reshape(L, D) if out["ll_pack"].size else None
         ),
+        ll_pack8=(
+            out["ll_pack8"].reshape(L, D)
+            if out.get("ll_pack8") is not None and out["ll_pack8"].size
+            else None
+        ),
+        ll_qvals=(
+            out["ll_qvals"]
+            if out.get("ll_qvals") is not None and out["ll_qvals"].size
+            else None
+        ),
         ll_mapq=(
             out["ll_mapq"].reshape(L, D) if out["ll_mapq"].size else None
         ),

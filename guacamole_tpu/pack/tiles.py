@@ -84,6 +84,13 @@ class LocusTile:
     # allele_id | qual << 4 (0xFFFF = empty / MAPQ-filtered / beyond-cap),
     # consumed by the device genotype-likelihood screen.
     ll_pack: Optional[np.ndarray] = None
+    # Qual-dictionary form (native packer, <= 16 distinct quals in the
+    # tile): ONE byte per element — allele id | qual-index << 4, 0xFF
+    # empty; ll_qvals[idx] is the phred value. Same candidate flags as
+    # ll_pack (the kernels decode identical f32 qual values), half the
+    # H2D / HBM-read volume.
+    ll_pack8: Optional[np.ndarray] = None  # [L, D] uint8
+    ll_qvals: Optional[np.ndarray] = None  # [n_quals <= 16] uint8
     # fields="likelihood_mapq" additionally: [L, D] uint8 per-element read
     # MAPQ, for alignment-included likelihoods (somatic tumor screen).
     ll_mapq: Optional[np.ndarray] = None
@@ -505,6 +512,18 @@ def pad_tile_loci(tile: LocusTile, target_l: int) -> LocusTile:
                     tile.ll_pack,
                     np.full((pad, tile.ll_pack.shape[1]), 0xFFFF, np.uint16),
                 ]
+            ),
+            ll_pack8=(
+                None
+                if tile.ll_pack8 is None
+                else np.concatenate(
+                    [
+                        tile.ll_pack8,
+                        np.full(
+                            (pad, tile.ll_pack8.shape[1]), 0xFF, np.uint8
+                        ),
+                    ]
+                )
             ),
             ll_mapq=(
                 None

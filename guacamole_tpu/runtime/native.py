@@ -164,6 +164,8 @@ _TILE_ACCESSORS = {
     "csr_nib": np.uint8,
     "csr_off": np.int32,
     "ll_pack": np.uint16,
+    "ll_pack8": np.uint8,
+    "ll_qvals": np.uint8,
     "ll_mapq": np.uint8,
     "is_variant": np.uint8,
     "is_standard_alt": np.uint8,

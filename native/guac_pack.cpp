@@ -146,6 +146,15 @@ struct PackedTile {
   // base qual << 4; 0xFFFF = empty / MAPQ-filtered / beyond-cap slot.
   // Feeds the device genotype-likelihood screen.
   raw_vector<uint16_t> ll_pack;
+  // Qual-dictionary form: when the tile's elements carry <= 16 distinct
+  // base qualities (real BAMs bin to 4-8 levels), ll_pack transcodes to
+  // ONE byte per element — allele id in the low nibble, an index into
+  // ll_qvals in the high nibble, 0xFF for empty slots. Halves the
+  // likelihood screens' H2D (and HBM-read) volume; the kernels decode
+  // the same f32 qual values, so candidate flags are bit-identical
+  // (tests/test_pallas_kernels.py).
+  raw_vector<uint8_t> ll_pack8;
+  std::vector<uint8_t> ll_qvals;
   // Mode 3 only: per-element read MAPQ (for alignment-included
   // likelihoods, e.g. the somatic tumor screen). 0 where ll_pack = 0xFFFF.
   raw_vector<uint8_t> ll_mapq;
@@ -1368,6 +1377,55 @@ void* guac_pack_tile(
     t->uniq_off[row + 1] = t->uniq_off[row];
 
   timer_.mark("stitch");
+
+  if (ll && !t->ll_pack.empty()) {
+    // Qual-dictionary transcode (see PackedTile::ll_pack8): collect the
+    // distinct 12-bit qual fields, and when <= 16 exist, rewrite the
+    // encoding at one byte per element.
+    size_t n_cells = t->ll_pack.size();
+    int64_t qblocks =
+        std::max<int64_t>(1, (int64_t)(n_cells + (1 << 20) - 1) >> 20);
+    int qthreads = thread_count(qblocks, max_threads);
+    std::vector<std::vector<uint8_t>> seen_t(
+        (size_t)qthreads, std::vector<uint8_t>(4096, 0));
+    parallel_blocks(qblocks, max_threads, [&](int64_t b, int th) {
+      size_t lo = (size_t)b << 20;
+      size_t hi = std::min(n_cells, lo + (1 << 20));
+      uint8_t* seen = seen_t[(size_t)th].data();
+      for (size_t i = lo; i < hi; i++) {
+        uint16_t v = t->ll_pack[i];
+        if (v != 0xFFFF) seen[v >> 4] = 1;
+      }
+    });
+    std::vector<uint16_t> quals;
+    for (int q = 0; q < 4096; q++) {
+      for (int th = 0; th < qthreads; th++) {
+        if (seen_t[(size_t)th][(size_t)q]) {
+          quals.push_back((uint16_t)q);
+          break;
+        }
+      }
+    }
+    if (!quals.empty() && quals.size() <= 16 && quals.back() <= 255) {
+      uint8_t idx_of[4096];
+      for (size_t u = 0; u < quals.size(); u++)
+        idx_of[quals[u]] = (uint8_t)u;
+      t->ll_qvals.assign(quals.begin(), quals.end());
+      t->ll_pack8.resize(n_cells);
+      parallel_blocks(qblocks, max_threads, [&](int64_t b, int) {
+        size_t lo = (size_t)b << 20;
+        size_t hi = std::min(n_cells, lo + (1 << 20));
+        for (size_t i = lo; i < hi; i++) {
+          uint16_t v = t->ll_pack[i];
+          t->ll_pack8[i] =
+              v == 0xFFFF
+                  ? (uint8_t)0xFF
+                  : (uint8_t)((v & 0xF) | (idx_of[v >> 4] << 4));
+        }
+      });
+    }
+    timer_.mark("ll_qdict");
+  }
   return t;
 }
 
@@ -1399,6 +1457,8 @@ TILE_ACCESSOR(packed_nib, packed_nib, uint8_t)
 TILE_ACCESSOR(csr_nib, csr_nib, uint8_t)
 TILE_ACCESSOR(csr_off, csr_off, int32_t)
 TILE_ACCESSOR(ll_pack, ll_pack, uint16_t)
+TILE_ACCESSOR(ll_pack8, ll_pack8, uint8_t)
+TILE_ACCESSOR(ll_qvals, ll_qvals, uint8_t)
 TILE_ACCESSOR(ll_mapq, ll_mapq, uint8_t)
 TILE_ACCESSOR(is_variant, is_variant, uint8_t)
 TILE_ACCESSOR(is_standard_alt, is_standard_alt, uint8_t)

@@ -626,3 +626,134 @@ def test_screen_min_phred_gate_parity_and_superset(seed, min_phred):
                 f"seed={seed} locus {li}: exact GQ {gq:.1f} passes the "
                 f"phred-{min_phred} filter but the gate dropped it"
             )
+
+
+@pytest.mark.parametrize("include_alignment", [False, True])
+@pytest.mark.parametrize("min_phred", [0.0, 40.0])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_qual_dictionary_screen_equals_uint16(
+    seed, include_alignment, min_phred
+):
+    """The uint8 qual-dictionary screen forms (germline/tumor, XLA and
+    Pallas) must produce the SAME candidate flags as the uint16 forms —
+    the tables hold the same f32 qual values the wide form computes per
+    element — at half the transfer bytes."""
+    from guacamole_tpu.ops.kernels import (
+        germline_likelihood_screen,
+        germline_likelihood_screen8,
+        tumor_likelihood_screen,
+        tumor_likelihood_screen8,
+    )
+    from guacamole_tpu.ops.pallas_kernels import pallas_likelihood_screen
+
+    if include_alignment and min_phred > 0:
+        pytest.skip("the GQ gate is a germline-only emission bound")
+    K = 8
+    ll_pack, mapq, is_variant, is_standard = _ll_fixture(seed, K=K)
+    # Build the byte form from the wide form: dictionary of the distinct
+    # qual values, index in the high nibble.
+    quals = np.unique((ll_pack >> 4)[ll_pack != 0xFFFF])
+    assert len(quals) <= 16
+    idx_of = {int(q): i for i, q in enumerate(quals)}
+    lut = np.zeros(4096, np.uint8)
+    for q, i in idx_of.items():
+        lut[q] = i
+    pack8 = np.where(
+        ll_pack == 0xFFFF,
+        np.uint8(0xFF),
+        ((ll_pack & 0xF) | (lut[ll_pack >> 4].astype(np.uint16) << 4)).astype(
+            np.uint8
+        ),
+    ).astype(np.uint8)
+    qvals = quals.astype(np.uint8)
+
+    if include_alignment:
+        want = np.asarray(
+            tumor_likelihood_screen(ll_pack, mapq, is_variant, is_standard, K)
+        )
+        got8 = np.asarray(
+            tumor_likelihood_screen8(
+                pack8, qvals, mapq, is_variant, is_standard, K
+            )
+        )
+    else:
+        want = np.asarray(
+            germline_likelihood_screen(
+                ll_pack, is_variant, is_standard, K, min_phred=min_phred
+            )
+        )
+        got8 = np.asarray(
+            germline_likelihood_screen8(
+                pack8, qvals, is_variant, is_standard, K,
+                min_phred=min_phred,
+            )
+        )
+    np.testing.assert_array_equal(got8, want)
+
+    got_pallas = np.asarray(
+        pallas_likelihood_screen(
+            pack8,
+            mapq if include_alignment else None,
+            is_variant,
+            is_standard,
+            K,
+            include_alignment=include_alignment,
+            interpret=True,
+            min_phred=0.0 if include_alignment else min_phred,
+            ll_qvals=qvals,
+        )
+    )
+    np.testing.assert_array_equal(got_pallas, want)
+
+
+def test_native_ll_pack8_roundtrip(resources_dir):
+    """The native packer's qual-dictionary transcode: pack8/qvals decode
+    to exactly the uint16 encoding (same validity, allele ids, quals) and
+    the dispatch launch path produces the same candidates."""
+    from guacamole_tpu.ops.dispatch import germline_screen_launch
+    from guacamole_tpu.pack.columnar import pack_tile_columnar
+    from guacamole_tpu.runtime.columnar import (
+        decode_bam_columnar,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+    from conftest import resource_path
+
+    # The chrM fixture carries 32 distinct quals -> falls back (no pack8).
+    cols = decode_bam_columnar(resource_path("chrM.sorted.bam"))
+    mc = cols.select(cols.is_mapped_mask)
+    cid = mc.ref_names.index("chrM")
+    wide = pack_tile_columnar(
+        mc, cid, "chrM", list(range(0, 1024)), fields="likelihood",
+        min_mapq=1,
+    )
+    assert wide.ll_pack8 is None  # 32 distinct quals: no dictionary
+
+    # A quantized copy (quals binned to 8 levels, like modern basecallers)
+    # must transcode.
+    import dataclasses
+
+    binned = mc.select(np.ones(mc.n, bool))
+    binned.ev_qual[:] = (binned.ev_qual // 16) * 16
+    t = pack_tile_columnar(
+        binned, cid, "chrM", list(range(0, 1024)), fields="likelihood",
+        min_mapq=1,
+    )
+    assert t.ll_pack8 is not None and t.ll_qvals is not None
+    assert len(t.ll_qvals) <= 16
+    p16, p8 = np.asarray(t.ll_pack), np.asarray(t.ll_pack8)
+    valid = p16 != 0xFFFF
+    np.testing.assert_array_equal(valid, p8 != 0xFF)
+    np.testing.assert_array_equal(
+        (p16 & 0xF)[valid], (p8 & 0xF)[valid]
+    )
+    np.testing.assert_array_equal(
+        (p16 >> 4)[valid], t.ll_qvals[(p8 >> 4)[valid]]
+    )
+    # Launch path equality: pack8 launch == forced-wide launch.
+    got = germline_screen_launch(t, min_mapq=1).result()
+    wide_only = dataclasses.replace(t, ll_pack8=None, ll_qvals=None)
+    want = germline_screen_launch(wide_only, min_mapq=1).result()
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
