@@ -609,7 +609,7 @@ def run_multihost_weak_scaling(tmp_root):
     # concurrency effects (DRAM / page-fault contention two separate
     # hosts would not share; docs/MULTIHOST.md has the decomposition).
     ind_wall = None
-    for it in range(2):
+    for it in range(3):  # same best-of-3 as the DCN leg it divides
         t0 = time.time()
         procs = [
             spawn(
@@ -632,7 +632,7 @@ def run_multihost_weak_scaling(tmp_root):
     # equal an (unpinned) single-process full-contig run
     # Comparator legs pin to the SAME two cores the 2-process legs used
     # (so "same work, same silicon" holds on hosts with more cores), and
-    # match their best-of-2 methodology.
+    # match their best-of-3 methodology.
     full_wall = None
     full = None
     for it in range(3):

@@ -422,13 +422,13 @@ def _ll_screen_device(
     min_phred: float = 0.0,
     ll_qvals=None,  # ll_pack is the uint8 qual-dictionary form
 ):
-    is_variant, is_standard_alt = _unpack_flag_words(
-        flag_words, max_alleles
-    )
     """Dispatch the genotype-likelihood candidate screen on raw arrays
     (germline form, or the alignment-included tumor form when ll_mapq is
     given), Pallas or XLA per kernel_path() — identical semantics.
     Returns the device candidates array."""
+    is_variant, is_standard_alt = _unpack_flag_words(
+        flag_words, max_alleles
+    )
     if kernel_path() == "pallas":
         from guacamole_tpu.ops.pallas_kernels import pallas_likelihood_screen
 

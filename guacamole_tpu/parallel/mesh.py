@@ -269,10 +269,13 @@ def csr_of(tile) -> Tuple[np.ndarray, np.ndarray]:
         # A skip_nibbles-packed tile (empty blob with nonzero offsets)
         # must never reach a device CSR launch — it would silently count
         # nothing. Callers pass skip_nibbles only on host-screen runs.
-        assert len(nib) > 0 or len(off) == 0 or off[-1] == 0, (
-            "CSR tile was packed with skip_nibbles but reached a device "
-            "screen launch"
-        )
+        # A hard raise (not assert): the failure mode is silently wrong
+        # calls, which must fail under python -O too.
+        if len(nib) == 0 and len(off) > 0 and off[-1] != 0:
+            raise RuntimeError(
+                "CSR tile was packed with skip_nibbles but reached a "
+                "device screen launch"
+            )
         return nib, off
     return _dense_to_csr(tile)
 

@@ -103,9 +103,11 @@ namespace {
 typedef void* (*ld_alloc_fn)();
 typedef int (*ld_decompress_fn)(void*, const void*, size_t, void*, size_t,
                                 size_t*);
+typedef void (*ld_free_fn)(void*);
 struct LibdeflateApi {
   ld_alloc_fn alloc = nullptr;
   ld_decompress_fn decompress = nullptr;  // LIBDEFLATE_SUCCESS == 0
+  ld_free_fn free_decomp = nullptr;
 };
 const LibdeflateApi& libdeflate_api() {
   static LibdeflateApi api = [] {
@@ -117,9 +119,13 @@ const LibdeflateApi& libdeflate_api() {
           dlsym(h, "libdeflate_alloc_decompressor"));
       a.decompress = reinterpret_cast<ld_decompress_fn>(
           dlsym(h, "libdeflate_deflate_decompress"));
-      if (a.alloc == nullptr || a.decompress == nullptr) {
+      a.free_decomp = reinterpret_cast<ld_free_fn>(
+          dlsym(h, "libdeflate_free_decompressor"));
+      if (a.alloc == nullptr || a.decompress == nullptr ||
+          a.free_decomp == nullptr) {
         a.alloc = nullptr;
         a.decompress = nullptr;
+        a.free_decomp = nullptr;
       }
     }
     return a;
@@ -127,8 +133,19 @@ const LibdeflateApi& libdeflate_api() {
   return api;
 }
 // One decompressor per thread: allocation is not free and inflate_block
-// runs once per 64 KiB BGZF block.
+// runs once per 64 KiB BGZF block. Short-lived pool threads must call
+// release_tl_decomp() before exiting — thread_local storage is NOT freed
+// automatically for a raw pointer, and the chunked streaming decode
+// spawns a pool per chunk (the leak would grow with input size).
 thread_local void* tl_decomp = nullptr;
+
+void release_tl_decomp() {
+  if (tl_decomp != nullptr) {
+    const LibdeflateApi& ld = libdeflate_api();
+    if (ld.free_decomp != nullptr) ld.free_decomp(tl_decomp);
+    tl_decomp = nullptr;
+  }
+}
 }  // namespace
 
 static bool inflate_block(const std::vector<uint8_t>& data,
@@ -178,6 +195,7 @@ static bool bgzf_decompress(const std::vector<uint8_t>& data,
       if (!inflate_block(data, blocks[i], out->data() + blocks[i].uoffset))
         ok.store(false);
     }
+    release_tl_decomp();  // pool threads exit here; see tl_decomp
   };
   std::vector<std::thread> pool;
   int nthreads = std::min<size_t>(threads, blocks.size());
@@ -995,6 +1013,7 @@ static Reads* decode_bam_chunks(const char* path, int threads,
           if (!inflate_block(cbuf, lbs[i], u.data() + lbs[i].uoffset))
             ok.store(false);
         }
+        release_tl_decomp();  // a pool spawns per chunk; see tl_decomp
       };
       int nthreads =
           (int)std::min<size_t>(threads < 1 ? 1 : threads, lbs.size());
