@@ -1014,21 +1014,63 @@ def run_accelerator_scale(tmp_root):
         for pos in truth[contig]["snv_pos"]
     }
     germ = os.path.join(SCALE_DIR, manifest["files"]["germline_bam"])
+    tumor = os.path.join(SCALE_DIR, manifest["files"]["tumor_bam"])
+    normal = os.path.join(SCALE_DIR, manifest["files"]["normal_bam"])
     n_germ = manifest["counts"]["germline"]
+    n_som = manifest["counts"]["tumor"] + manifest["counts"]["normal"]
+    somatic_sites = set(truth["deep1m"]["somatic_pos"])
+    germline_pos = set(truth["deep1m"]["snv_pos"])
+
+    def germline_gate(called, gates):
+        hits = len(called & planted_snvs)
+        stats = {
+            "snv_recall": round(hits / max(1, len(planted_snvs)), 4),
+            "snv_precision": round(hits / max(1, len(called)), 4),
+        }
+        ok = (
+            stats["snv_recall"] >= gates["recall"]
+            and stats["snv_precision"] >= gates["precision"]
+        )
+        return ok, stats
+
+    def somatic_gate(called, gates):
+        pos = {p for (_c, p) in called}
+        hits = len(pos & somatic_sites)
+        stats = {
+            "somatic_recall": round(hits / max(1, len(somatic_sites)), 4),
+            "germline_fp": len(pos & germline_pos),
+        }
+        ok = (
+            stats["somatic_recall"] >= gates["recall"]
+            and stats["germline_fp"] <= gates["max_germline_fp"]
+        )
+        return ok, stats
 
     configs = {
         "germline-threshold": (
             ["germline-threshold", "--reads", germ, "--threshold", "25"],
             {"recall": 0.93, "precision": 0.97},
+            n_germ,
+            germline_gate,
         ),
         "germline-standard": (
             ["germline-standard", "--reads", germ, "--min-likelihood",
              "40"],
             {"recall": 0.95, "precision": 0.92},
+            n_germ,
+            germline_gate,
+        ),
+        # Same gates as the host-side scale section (measured margins).
+        "somatic-standard": (
+            ["somatic-standard", "--tumor-reads", tumor,
+             "--normal-reads", normal, "--odds", "20"],
+            {"recall": 0.9, "max_germline_fp": 13},
+            n_som,
+            somatic_gate,
         ),
     }
     out = {}
-    for name, (argv, gates) in configs.items():
+    for name, (argv, gates, n_reads, gate_fn) in configs.items():
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", ACCELERATOR_SCALE_CODE,
@@ -1056,15 +1098,11 @@ def run_accelerator_scale(tmp_root):
             out[name] = info
             continue
         called = _read_vcf_snvs(info.pop("vcf"))
-        hits = len(called & planted_snvs)
-        info["n_reads"] = n_germ
-        info["reads_per_s"] = round(n_germ / info["wall_s"], 1)
-        info["snv_recall"] = round(hits / max(1, len(planted_snvs)), 4)
-        info["snv_precision"] = round(hits / max(1, len(called)), 4)
-        if (
-            info["snv_recall"] < gates["recall"]
-            or info["snv_precision"] < gates["precision"]
-        ):
+        info["n_reads"] = n_reads
+        info["reads_per_s"] = round(n_reads / info["wall_s"], 1)
+        ok, stats = gate_fn(called, gates)
+        info.update(stats)
+        if not ok:
             out[name] = {"error": f"truth gate failed on-accelerator: "
                          f"{info}"}
             continue
