@@ -108,11 +108,13 @@ def main() -> int:
         )
         out = step(batch)
         jax.block_until_ready(out)
-        # Best of 3 timed loops: this VM's hypervisor noise inflates any
-        # single window by 30-100%; the minimum loop average is the
-        # reproducible per-step cost.
+        # Best of 5 timed loops: this VM's hypervisor noise inflates any
+        # single multi-second window by 30-100%; the minimum loop average
+        # is the reproducible per-step cost (numerator and the pinned
+        # single-core bound probe both get the same treatment, so the
+        # efficiency ratio compares noise floors, not windows).
         wall = float("inf")
-        for _rep in range(3):
+        for _rep in range(5):
             t0 = time.time()
             for _ in range(args.iters):
                 out = step(batch)
