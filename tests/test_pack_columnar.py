@@ -442,3 +442,28 @@ def test_skip_nibbles_fused_fill_matches_two_phase(resources_dir):
         np.testing.assert_array_equal(fused.csr_off, base.csr_off)
         for li in range(fused.L):
             assert list(fused.alleles[li]) == list(base.alleles[li])
+
+
+@pytest.mark.skipif(not native_available(), reason="native runtime not built")
+def test_ll_qdict_16_entry_boundary():
+    """The native qual-dictionary transcode engages at EXACTLY 16
+    distinct quals (a full 4-bit index space) and falls back at 17."""
+    from fixtures import make_test_read
+
+    def tile_with_quals(qvals):
+        reads = []
+        for i, q in enumerate(qvals):
+            r = make_test_read("ACGTACGT", "8M", "8", i, quality_scores=[q] * 8)
+            reads.append(r)
+        reads.sort(key=lambda r: r.start)
+        cols = columnar_from_reads(reads)
+        return pack_tile_columnar(
+            cols, 0, "chr1", list(range(0, len(qvals) + 8)),
+            fields="likelihood",
+        )
+
+    t16 = tile_with_quals(list(range(10, 26)))  # 16 distinct
+    assert t16.ll_pack8 is not None
+    assert sorted(t16.ll_qvals) == list(range(10, 26))
+    t17 = tile_with_quals(list(range(10, 27)))  # 17 distinct
+    assert t17.ll_pack8 is None
