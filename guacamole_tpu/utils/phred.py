@@ -25,6 +25,22 @@ def phred_to_success_probability(phred) -> float:
 
 
 def error_probability_to_phred(prob: float) -> int:
+    """-10 * log10(prob), rounded — with the JVM's edge arithmetic.
+
+    The reference feeds Math.log10 unchecked (AlleleEvidence.scala:52,
+    GenotypeFilter.scala:135), and in the deep-pileup subnormal window
+    its own normalization can yield "probabilities" above 1
+    (DEVIATIONS #11), making the error probability here NEGATIVE. Java:
+    Math.log10(negative) returns NaN and Math.round(NaN) returns 0, so
+    the reference silently carries GQ 0 (and its min-likelihood filter
+    drops the call); Python's throwing math.log10 would crash instead.
+    log10(+0.0) is -Infinity and Math.round(+Infinity) is
+    Long.MAX_VALUE — reproduced likewise. Found by the round-5 fuzz
+    campaign over the exact-confirm emission path."""
+    if prob < 0.0 or math.isnan(prob):
+        return 0  # Math.round(NaN) == 0
+    if prob == 0.0:
+        return (1 << 63) - 1  # Math.round(+Infinity) == Long.MAX_VALUE
     return int(round(-10.0 * math.log10(prob)))
 
 

@@ -487,3 +487,32 @@ def test_shallow_normalization_unchanged_by_fallback():
     assert _normalization_log_total(lls) == math.log(total)
     # all -inf: stays -inf (empty pileup corner)
     assert _normalization_log_total([float("-inf")] * 3) == float("-inf")
+
+
+def test_phred_conversion_jvm_edge_semantics():
+    """The phred conversions must reproduce the JVM's unchecked edge
+    arithmetic (AlleleEvidence.scala:52 / GenotypeFilter.scala:135): in
+    the deep-pileup subnormal window the reference's own normalization
+    yields success 'probabilities' > 1 (DEVIATIONS #11), so the error
+    probability goes NEGATIVE — Java's Math.log10 gives NaN and
+    Math.round(NaN) gives 0, where Python's math.log10 would raise.
+    Found by the round-5 fuzz campaign crashing the exact-confirm
+    emission prefilter."""
+    import math
+
+    from guacamole_tpu.utils.phred import (
+        error_probability_to_phred,
+        success_probability_to_phred,
+    )
+
+    # The subnormal-window artifact: probability 1.47 (the documented
+    # observed value) -> error probability -0.47 -> GQ 0, not a crash.
+    assert success_probability_to_phred(1.47 - 1e-10) == 0
+    assert error_probability_to_phred(-0.47) == 0
+    assert error_probability_to_phred(float("nan")) == 0
+    # log10(+0.0) = -Inf; Math.round(+Infinity) == Long.MAX_VALUE.
+    assert error_probability_to_phred(0.0) == (1 << 63) - 1
+    # Ordinary values unchanged.
+    assert error_probability_to_phred(1e-4) == 40
+    assert success_probability_to_phred(0.9999 - 1e-10) == 40
+    assert error_probability_to_phred(1.0) == 0
