@@ -305,7 +305,11 @@ def _screen_from_allele_sums(
     best_ref = jnp.max(
         jnp.where(pair_exists & ~pair_variant, score, neg_inf), axis=1
     )
-    cand = best_variant >= best_ref - margin
+    # Rows with no standard variant allele can never emit; the guard also
+    # keeps every implementation identical when all scores are -inf
+    # (IEEE -inf >= -inf is true — see the native form's same guard).
+    has_var = jnp.any(pair_exists & pair_variant, axis=1)
+    cand = has_var & (best_variant >= best_ref - margin)
     if min_phred > 0:
         smax = jnp.maximum(best_variant, best_ref)  # [L]
         rel = jnp.where(

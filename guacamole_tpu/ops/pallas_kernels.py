@@ -441,6 +441,7 @@ def _ll_screen_kernel(
     shape = c_cols[0].shape
     best_variant = jnp.full(shape, neg_inf)
     best_ref = jnp.full(shape, neg_inf)
+    has_var = jnp.zeros(shape, jnp.bool_)
     variant = variant_ref[:] > 0
     standard = standard_ref[:] > 0
     for p in range(len(i_idx)):
@@ -448,6 +449,7 @@ def _ll_screen_kernel(
         score = -c_cols[i] + (g_cols[i] if i == j else -c_cols[j])
         pair_exists = standard[:, i] & standard[:, j]
         pair_variant = variant[:, i] | variant[:, j]
+        has_var = has_var | (pair_exists & pair_variant)
         best_variant = jnp.maximum(
             best_variant,
             jnp.where(pair_exists & pair_variant, score, neg_inf),
@@ -456,7 +458,12 @@ def _ll_screen_kernel(
             best_ref,
             jnp.where(pair_exists & ~pair_variant, score, neg_inf),
         )
-    cand = (best_variant >= best_ref - margin) & jnp.any(valid, axis=1)
+    # has_var guard: see kernels._screen_from_allele_sums.
+    cand = (
+        has_var
+        & (best_variant >= best_ref - margin)
+        & jnp.any(valid, axis=1)
+    )
     if min_phred > 0:
         # Normalized-probability (GQ) gate — same formulation as
         # kernels._screen_from_allele_sums (runner/total form, no 1-p

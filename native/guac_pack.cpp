@@ -1046,7 +1046,18 @@ void* guac_pack_tile(
               }
             }
           }
-          bool cand = best_var >= best_ref - ll_screen_margin;
+          // Rows with no standard VARIANT allele can never emit (the
+          // argmax pair cannot contain one) — and without this guard
+          // the eager and lazy fills disagree when every score is -inf
+          // (IEEE -inf >= -inf is true; found by the round-5 fuzz
+          // campaign). Same guard in the XLA/Pallas kernels.
+          bool has_var = false;
+          for (int32_t i = 0; i < na; i++)
+            if (sa[i] && iv[i]) {
+              has_var = true;
+              break;
+            }
+          bool cand = has_var && best_var >= best_ref - ll_screen_margin;
           if (cand && ll_screen_min_phred > 0.0) {
             // Emission-gate prefilter in the screen: the best genotype's
             // normalized probability p = exp(s_max) / sum_k exp(s_k)

@@ -417,15 +417,22 @@ def test_skip_nibbles_fused_fill_matches_two_phase(resources_dir):
     mapped_cols = cols.select(cols.is_mapped_mask)
     contig_id = mapped_cols.ref_names.index("chrM")
     loci = list(range(0, 4096))
-    for kind, min_mapq in ((1, 0), (1, 20), (2, 0)):
+    # The (kind=2, margin=2.0) combination is the regression case the
+    # round-5 fuzz campaign caught: all-(-inf) tumor scores at ref-only
+    # rows made the eager and lazy fills disagree before the has_var
+    # guard unified them.
+    for kind, min_mapq, margin in (
+        (1, 0, 0.5), (1, 20, 0.5), (2, 0, 0.5), (2, 0, 2.0), (1, 0, 0.0),
+    ):
         base = pack_tile_columnar(
             mapped_cols, contig_id, "chrM", loci, fields="screen",
-            min_mapq=min_mapq, ll_screen_margin=0.5, ll_screen_kind=kind,
+            min_mapq=min_mapq, ll_screen_margin=margin,
+            ll_screen_kind=kind,
         )
         fused = pack_tile_columnar(
             mapped_cols, contig_id, "chrM", loci, fields="screen",
-            min_mapq=min_mapq, ll_screen_margin=0.5, ll_screen_kind=kind,
-            skip_nibbles=True,
+            min_mapq=min_mapq, ll_screen_margin=margin,
+            ll_screen_kind=kind, skip_nibbles=True,
         )
         assert len(fused.csr_nib) == 0  # the blob really is skipped
         np.testing.assert_array_equal(fused.counts32, base.counts32)
