@@ -84,9 +84,16 @@ def find_potential_variant_at_locus(
         probability_correct_ignoring_alignment,
         normalize=True,
     )
-    normal_variants_total = sum(
-        l for g, l in normal_likelihoods if g.has_variant_allele
-    )
+    # Explicit sequential fold, NOT builtin sum(): CPython >= 3.12 gives
+    # exact-float sum() Neumaier compensation, which deviates from the
+    # JVM's naive foldLeft (SomaticStandardCaller.scala:206-210) by an
+    # ulp — found by the round-5 fuzz campaign as an oracle-vs-production
+    # evidence mismatch. The production batched path (below) folds the
+    # same way.
+    normal_variants_total = 0.0
+    for g, l in normal_likelihoods:
+        if g.has_variant_allele:
+            normal_variants_total += l
     somatic_odds = (
         best_likelihood / normal_variants_total
         if normal_variants_total != 0
@@ -269,11 +276,12 @@ def somatic_calls_from_row_pairs(
         best_pair, best_likelihood = best_info[pos]
         n_pairs, normal_probs = normal_res[spos]
         iv_n = is_variant_n[r]
-        normal_variants_total = sum(
-            p
-            for (a, b), p in zip(n_pairs, normal_probs)
-            if iv_n[a] or iv_n[b]
-        )
+        # Sequential fold in enumeration order (JVM .sum parity; see
+        # find_potential_variant_at_locus).
+        normal_variants_total = 0.0
+        for (a, b), p in zip(n_pairs, normal_probs):
+            if iv_n[a] or iv_n[b]:
+                normal_variants_total += float(p)
         somatic_odds = (
             best_likelihood / normal_variants_total
             if normal_variants_total != 0

