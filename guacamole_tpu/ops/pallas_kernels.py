@@ -520,6 +520,13 @@ def pallas_likelihood_screen(
     # (block_l * D <= 64k elements keeps the scoped VMEM stack well under
     # the 16 MB limit; D = 2048 overflowed it at the default 256 rows).
     block_l = min(block_l, max(8, (64 * 1024) // max(D, 1)))
+    if min_phred > 0:
+        # The GQ gate's second unrolled pair loop roughly doubles the
+        # kernel's live temporaries; Mosaic's scoped-VMEM accounting
+        # overflowed at block 256 even for D = 16 (measured on v5e).
+        # Half the rows restores headroom at every depth; 128-row blocks
+        # compile and run at all tested shapes.
+        block_l = min(block_l, 128)
     if L % block_l != 0:
         block_l = int(np.gcd(L, block_l)) or 1
     pack32 = ll_pack.astype(jnp.int32)
